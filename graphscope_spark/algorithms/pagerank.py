@@ -1,0 +1,125 @@
+"""PageRank — both reference variants.
+
+Semantics reproduced (SURVEY.md §2.2):
+
+* fixed-round (the reference's default `pagerank` app,
+  analytical_engine/benchmarks/apps/pagerank/pagerank.h:82-199 /
+  libgrape-lite PageRankOpt): init 1/N; exactly ``max_iter`` synchronous
+  rounds of  r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling_sum/N)
+  with dangling_sum = Σ_{outdeg=0} r(u) of the previous round.
+
+* tolerance (`pagerank_nx`,
+  analytical_engine/apps/pagerank/pagerank_networkx.h:36-164): identical
+  update; stops when Σ_v |r'(v) − r(v)| < tol·N (pagerank_networkx.h:147)
+  or after max_iter rounds. Directed graphs gather over in-edges; undirected
+  over the symmetrized adjacency (:121-131). Dangling mass is carried across
+  rounds pre-multiplied by α (:82-87,160) — algebraically identical to the
+  formula above, which is what we compute.
+
+Dataflow per round = exactly one shuffle (contribs ⋈ edges → groupBy(dst),
+the message exchange of pagerank_networkx.h:70-73) + one scalar aggregation
+(the Communicator::Sum allreduce at :146). Contributions are sent
+pre-divided by out-degree, as the reference does, so no second join against
+the degree table on the receive side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.pregel import SuperstepRunner, SuperstepResult
+
+
+def pagerank(
+    g: Graph,
+    alpha: float = 0.85,
+    max_iter: int = 10,
+    tol: float | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    run_id: str | None = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Returns SuperstepResult whose state is ``(id: long, rank: double)``.
+
+    ``tol=None`` reproduces the fixed-round app; ``tol`` set reproduces
+    pagerank_nx L1 convergence (alpha=0.85, max_iter=100, tol=1e-6 defaults
+    in python/graphscope/analytical/app/pagerank.py:91-121).
+    """
+    spark = g.spark
+    n = g.num_vertices
+    if n == 0:
+        empty = spark.createDataFrame([], "id long, rank double")
+        return SuperstepResult(state=empty, rounds=0, metrics=[])
+
+    # degrees and edges stay pinned (the fragment in vineyard analog);
+    # out_deg drives both the contribution divide and the dangling set.
+    deg = g.degrees.select("id", "out_deg")
+    edges = g.out_edges.select("src", "dst")
+
+    init = g.vertices.select("id", F.lit(1.0 / n).alias("rank"))
+
+    def step(state: DataFrame, rnd: int) -> DataFrame:
+        # scalar "allreduce" #1: dangling mass of the current ranks.
+        # Recomputed from state (not carried in a driver variable) so a
+        # resumed run is bit-identical to an uninterrupted one.
+        dangling_sum = (
+            state.join(deg, "id")
+            .filter(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = (1.0 - alpha) / n + alpha * dangling_sum / n
+
+        contribs = (
+            state.join(deg, "id")
+            .filter(F.col("out_deg") > 0)
+            .select("id", (F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        # the message exchange: one shuffle of contribs onto edge.src
+        # partitioning, then the groupBy(dst) partial-aggregates map-side
+        # (Spark hash agg = the Pregel combiner, pagerank_pregel.h:85-95).
+        msgs = (
+            edges.join(contribs.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("gathered"))
+        )
+        return (
+            state.select("id")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(alpha) * F.coalesce(F.col("gathered"), F.lit(0.0))
+                    + F.lit(base)
+                ).alias("rank"),
+            )
+            .repartition(g.num_partitions, "id")
+        )
+
+    metrics_fn = None
+    should_stop = None
+    if tol is not None:
+        def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
+            eps = (
+                new.withColumnRenamed("rank", "rank_new")
+                .join(prev.withColumnRenamed("rank", "rank_old"), "id")
+                .agg(F.sum(F.abs(F.col("rank_new") - F.col("rank_old"))))
+                .first()[0]
+            )
+            return {"l1_delta": float(eps)}
+
+        def should_stop(m: dict) -> bool:
+            return m["l1_delta"] < tol * n
+
+    runner = SuperstepRunner(
+        spark,
+        name="pagerank",
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        run_id=run_id,
+    )
+    return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                      should_stop=should_stop, resume=resume)

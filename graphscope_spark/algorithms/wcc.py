@@ -1,0 +1,88 @@
+"""Weakly connected components — min-label propagation with a frontier.
+
+Reference semantics (gs::WCCProjected,
+analytical_engine/apps/projected/wcc_projected.h:62-183): every vertex
+starts labeled with its own id (:76-81); each round takes the min label over
+neighbors in BOTH edge directions, tracking a modified-vertex frontier
+(:83-121,140-166); terminates when no label changes. Component id therefore
+converges to the minimum vertex id reachable in the underlying undirected
+graph.
+
+Spark dataflow per round: messages from the *changed frontier only* (the
+curr_modified/next_modified DenseVertexSets of :58-59 become a boolean
+``changed`` column) along both directions → groupBy(id).min → keep-smaller
+join; one scalar count action = the termination vote. Shuffle volume is
+proportional to the frontier, not the graph — same property the reference's
+frontier sets buy it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.pregel import SuperstepRunner, SuperstepResult
+
+
+def wcc(
+    g: Graph,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    run_id: str | None = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Returns state ``(id: long, comp: long, changed: boolean)``; ``comp``
+    is the min reachable vertex id. Callers typically select(id, comp)."""
+    spark = g.spark
+    edges = g.out_edges.select("src", "dst")
+
+    init = g.vertices.select(
+        "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
+    )
+
+    def step(state: DataFrame, rnd: int) -> DataFrame:
+        frontier = state.filter("changed").select("id", "comp")
+        # both directions — weak connectivity ignores orientation
+        # (wcc_projected.h:92-106 iterates out- then in-adjacency).
+        out_msgs = edges.join(
+            frontier.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "comp")
+        in_msgs = edges.join(
+            frontier.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "comp")
+        mins = (
+            out_msgs.union(in_msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("cand"))
+        )
+        return (
+            state.select("id", "comp")
+            .join(mins, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("cand"), F.col("comp")))
+                .alias("comp"),
+                (F.coalesce(F.col("cand"), F.col("comp")) < F.col("comp"))
+                .alias("changed"),
+            )
+            .repartition(g.num_partitions, "id")
+        )
+
+    def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
+        active = new.filter("changed").count()
+        return {"frontier": int(active)}
+
+    def should_stop(m: dict) -> bool:
+        return m["frontier"] == 0
+
+    runner = SuperstepRunner(
+        spark,
+        name="wcc",
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        run_id=run_id,
+    )
+    return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                      should_stop=should_stop, resume=resume)

@@ -1,0 +1,244 @@
+"""Graph substrate: property graph as a pair of DataFrames.
+
+Reference data model (SURVEY.md §1): GraphScope holds the graph as
+edge-cut ArrowFragments — hash-partitioned by vertex, columnar property
+tables, CSR adjacency per direction, dense GID = FID|OFFSET encoding
+(docs/frag_intro.md:17-19, analytical_engine/core/utils/partitioner.h:43-54).
+
+Spark-native re-expression:
+  * vertices  DataFrame (id: long, props…)        — one row per vertex
+  * edges     DataFrame (src: long, dst: long, …) — one row per edge
+  * out_edges = edges hash-partitioned by src  (out-CSR analog)
+  * in_edges  = edges hash-partitioned by dst  (in-CSR analog; the reference
+    materializes both directions: LoadStrategy::kBothOutIn,
+    apps/pagerank/pagerank_networkx.h:44-45)
+  * degrees   DataFrame (id, out_deg, in_deg), cached — the reference
+    precomputes out-degree in PEval (pagerank.h PEval) and GIE has a
+    DegreeFusionRule; we keep one cached degree table per graph.
+  * dense ids: GID = partition_id << 40 | per-partition offset — same
+    bit-packing idea as the reference's FID|OFFSET, built with a shuffle by
+    hash(key) + per-partition row_number (no global sort, no
+    monotonically_increasing_id non-determinism across reruns of the same
+    partitioning).
+
+Everything is lazy DataFrames; `.persist()` is applied to the hot tables
+(edges both ways + degrees) because every superstep re-reads them — the
+analog of the fragment living pinned in vineyard shared memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+#: bits reserved for the per-partition offset in dense GIDs
+_OFFSET_BITS = 40
+
+
+def assign_dense_ids(
+    df: DataFrame, key_col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Map an arbitrary key column to dense int64 ids.
+
+    GID = partition_id << 40 | offset, mirroring the reference's
+    FID|LABEL|OFFSET packing (docs/frag_intro.md:17-19) with one implicit
+    label. Deterministic given (input rows, num_partitions): rows are
+    hash-shuffled by key then ordered by key within the partition.
+
+    Returns a vertex-map DataFrame ``(key_col, id)`` — the analog of the
+    reference's o2g_<fid> hashmap (performance_tuning.md:22-40).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = df.select(key_col).distinct().repartition(num_partitions, key_col)
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(key_col)
+    return keys.select(
+        F.col(key_col),
+        (
+            (F.spark_partition_id().cast("long") * F.lit(1 << _OFFSET_BITS))
+            + F.row_number().over(w).cast("long")
+            - F.lit(1)
+        ).alias("id"),
+    )
+
+
+class Graph:
+    """A (possibly directed) graph over two DataFrames.
+
+    The analog of gs::ArrowProjectedFragment (SURVEY.md §1.2): one vertex
+    "label", one edge "label", arbitrary extra property columns.
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        directed: bool = True,
+        num_partitions: int | None = None,
+        persist: bool = True,
+    ):
+        self.spark: SparkSession = edges.sparkSession
+        if num_partitions is None:
+            num_partitions = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+        self.num_partitions = num_partitions
+        self.directed = directed
+        self._persist = persist
+
+        if vertices is None:
+            vertices = (
+                edges.select(F.col("src").alias("id"))
+                .union(edges.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+        self.vertices = vertices
+        self.edges = edges
+
+        # out-CSR / in-CSR analogs: one copy of the edge table per direction,
+        # pre-shuffled on the join key each direction's superstep uses, so a
+        # message exchange costs exactly one shuffle (of the message df, not
+        # the edges).
+        self.out_edges = edges.repartition(num_partitions, "src")
+        self.in_edges = edges.repartition(num_partitions, "dst")
+        if persist:
+            self.vertices = self.vertices.persist(StorageLevel.MEMORY_AND_DISK)
+            self.out_edges = self.out_edges.persist(StorageLevel.MEMORY_AND_DISK)
+            self.in_edges = self.in_edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+        self._degrees: DataFrame | None = None
+        self._nv: int | None = None
+        self._ne: int | None = None
+
+    # ------------------------------------------------------------------ #
+    # construction helpers
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_edges(cls, edges: DataFrame, directed: bool = True, **kw) -> "Graph":
+        return cls(edges, None, directed, **kw)
+
+    def to_undirected(self) -> "Graph":
+        """TRANSFORM_GRAPH(to_undirected) — dag_utils.py:583-637.
+
+        Symmetrize: union of both directions, deduplicated.
+        """
+        sym = (
+            self.edges.select("src", "dst")
+            .union(self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+        )
+        return Graph(sym, directed=False, num_partitions=self.num_partitions,
+                     persist=self._persist)
+
+    def project(self, vertex_cols: list[str] | None = None,
+                edge_cols: list[str] | None = None) -> "Graph":
+        """PROJECT_GRAPH / project_to_simple (dag_utils.py:490-552) —
+        column projection; Catalyst prunes the rest anyway, this makes the
+        simple-graph contract explicit."""
+        v = self.vertices.select("id", *(vertex_cols or []))
+        e = self.edges.select("src", "dst", *(edge_cols or []))
+        return Graph(e, v, self.directed, self.num_partitions, self._persist)
+
+    def subgraph(self, vertex_pred) -> "Graph":
+        """Induced subgraph on vertices satisfying ``vertex_pred`` (a Column)."""
+        keep = self.vertices.filter(vertex_pred).select("id")
+        e = (
+            self.edges.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select(self.edges.columns)
+        )
+        return Graph(e, keep, self.directed, self.num_partitions, self._persist)
+
+    # ------------------------------------------------------------------ #
+    # cached statistics
+    # ------------------------------------------------------------------ #
+
+    @property
+    def degrees(self) -> DataFrame:
+        """(id, out_deg, in_deg) — cached. Degree of the graph as loaded;
+        for an undirected Graph built via to_undirected both columns equal
+        the undirected degree."""
+        if self._degrees is None:
+            out_d = self.out_edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("out_deg")
+            )
+            in_d = self.in_edges.groupBy(F.col("dst").alias("id")).agg(
+                F.count(F.lit(1)).alias("in_deg")
+            )
+            deg = (
+                self.vertices.select("id")
+                .join(out_d, "id", "left")
+                .join(in_d, "id", "left")
+                .fillna(0, ["out_deg", "in_deg"])
+                .repartition(self.num_partitions, "id")
+            )
+            if self._persist:
+                deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+            self._degrees = deg
+        return self._degrees
+
+    @property
+    def num_vertices(self) -> int:
+        """REPORT_GRAPH NODE_NUM (core/fragment/fragment_reporter.h:66-199)."""
+        if self._nv is None:
+            self._nv = self.vertices.count()
+        return self._nv
+
+    @property
+    def num_edges(self) -> int:
+        """REPORT_GRAPH EDGE_NUM."""
+        if self._ne is None:
+            self._ne = self.edges.count()
+        return self._ne
+
+    # ------------------------------------------------------------------ #
+    # point-lookup reports (REPORT_GRAPH, dag_utils.py:413-489)
+    # ------------------------------------------------------------------ #
+
+    def selfloops_num(self) -> int:
+        return self.edges.filter(F.col("src") == F.col("dst")).count()
+
+    def has_node(self, vid: int) -> bool:
+        return self.vertices.filter(F.col("id") == vid).limit(1).count() > 0
+
+    def has_edge(self, src: int, dst: int) -> bool:
+        return (
+            self.edges.filter((F.col("src") == src) & (F.col("dst") == dst))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def successors(self, vid: int) -> DataFrame:
+        """SUCCS_BY_NODE — out-neighbors of one vertex."""
+        return self.out_edges.filter(F.col("src") == vid).select(
+            F.col("dst").alias("id")
+        )
+
+    def predecessors(self, vid: int) -> DataFrame:
+        """PREDS_BY_NODE — in-neighbors of one vertex."""
+        return self.in_edges.filter(F.col("dst") == vid).select(
+            F.col("src").alias("id")
+        )
+
+    # ------------------------------------------------------------------ #
+    # context write-back
+    # ------------------------------------------------------------------ #
+
+    def add_column(self, ctx: DataFrame, col: str = "r") -> "Graph":
+        """ADD_COLUMN (dag_utils.py:973-994): attach an algorithm result
+        (a context DataFrame keyed by ``id``) as a new vertex property."""
+        v = self.vertices.join(ctx.select("id", col), "id", "left")
+        return Graph(self.edges, v, self.directed, self.num_partitions,
+                     self._persist)
+
+    def unpersist(self) -> None:
+        for df in (self.vertices, self.out_edges, self.in_edges, self._degrees):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
