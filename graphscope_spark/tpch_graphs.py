@@ -1,0 +1,264 @@
+"""Deterministic graphs derived from the driver's TPC-H-ish parquet tables,
+plus DuckDB-oracle SQL generators for the iterative algorithms.
+
+Two graphs, both derivable identically in Spark and ANSI SQL so the driver's
+DuckDB comparison can value-hash every algorithm end-to-end:
+
+* **co-purchase** (undirected): parts appearing in the same order, both with
+  l_quantity >= QMIN. At sf0.01: 1662 vertices / 4736 directed edge rows /
+  46 weakly connected components / 447 triangles — calibrated so WCC
+  converges in 16 min-label rounds (the SQL oracle unrolls WCC_ROUNDS ≥ that
+  with margin).
+* **purchase** (directed, customer → supplier via orders+lineitem): supplier
+  ids offset by +1_000_000 into the customer id space; suppliers have no
+  out-edges, so this graph exercises PageRank's dangling-mass path.
+
+The SQL oracles unroll the synchronous rounds as chained CTEs — the same
+fixed-round semantics the reference's `max_round` apps use (SURVEY.md §2.2).
+Float results are ROUND()ed to FLOAT_DECIMALS on both sides because Spark and
+DuckDB sum partial aggregates in different orders (last-ulp differences).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+
+QMIN = 44
+FLOAT_DECIMALS = 8
+#: unrolled min-label rounds for the WCC oracle; sf0.01 converges in 16
+WCC_ROUNDS = 24
+
+# ---------------------------------------------------------------------- #
+# Spark-side constructions
+# ---------------------------------------------------------------------- #
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized distinct co-purchase part pairs — must stay expression-
+    for-expression equal to COPURCHASE_CTE below."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= QMIN)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def copurchase_graph(spark: SparkSession, sf_dir: str,
+                     num_partitions: int | None = None) -> Graph:
+    return Graph(copurchase_edges(spark, sf_dir), directed=False,
+                 num_partitions=num_partitions)
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed customer → (1_000_000 + supplier) edges; suppliers dangle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def purchase_graph(spark: SparkSession, sf_dir: str,
+                   num_partitions: int | None = None) -> Graph:
+    return Graph(purchase_edges(spark, sf_dir), directed=True,
+                 num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------- #
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------- #
+
+COPURCHASE_CTE = f"""
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+   AND a.l_quantity >= {QMIN} AND b.l_quantity >= {QMIN}
+),
+edges AS (SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v AS src, u AS dst FROM pairs),
+verts AS (SELECT DISTINCT src AS id FROM edges)
+"""
+
+PURCHASE_CTE = """
+edges AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)
+"""
+
+
+
+def _materialized(sql: str) -> str:
+    """Force every CTE to materialize. DuckDB 1.x inlines CTEs; with the
+    unrolled-round chains below, inlining expands each round's references
+    multiplicatively (3^rounds parquet scans → fd exhaustion). MATERIALIZED
+    evaluates each round exactly once, like Spark's persisted state."""
+    return re.sub(r"(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+
+
+def edges_sql() -> str:
+    return _materialized(f"WITH {COPURCHASE_CTE} SELECT src, dst FROM edges")
+
+
+def degrees_sql() -> str:
+    _sql = f"""WITH {COPURCHASE_CTE}
+SELECT v.id,
+       COALESCE(o.c, 0) AS out_deg,
+       COALESCE(i.c, 0) AS in_deg
+FROM verts v
+LEFT JOIN (SELECT src AS id, count(*) AS c FROM edges GROUP BY src) o ON v.id = o.id
+LEFT JOIN (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst) i ON v.id = i.id"""
+    return _materialized(_sql)
+
+
+def pagerank_sql(rounds: int = 10, alpha: float = 0.85,
+                 directed: bool = False) -> str:
+    """Unrolled fixed-round PageRank with dangling-mass redistribution —
+    the update rule of benchmarks/apps/pagerank/pagerank.h:82-199 expressed
+    round-by-round as CTEs."""
+    cte = PURCHASE_CTE if directed else COPURCHASE_CTE
+    parts = [
+        cte.rstrip(),
+        ",\nnv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        ",\ndeg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg"
+        " FROM edges GROUP BY src)",
+        ",\nr0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS r FROM verts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"r{k-1}"
+        parts.append(
+            f""",
+dang{k} AS (
+  SELECT COALESCE(SUM(p.r), 0.0) AS s
+  FROM {p} p LEFT JOIN deg d ON p.id = d.id WHERE d.id IS NULL
+),
+r{k} AS (
+  SELECT v.id,
+         (1.0 - {alpha}) / (SELECT n FROM nv)
+         + {alpha} * ((SELECT s FROM dang{k}) / (SELECT n FROM nv)
+                      + COALESCE(m.s, 0.0)) AS r
+  FROM verts v
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r / d.outdeg) AS s
+    FROM edges e JOIN {p} p ON e.src = p.id JOIN deg d ON p.id = d.id
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, ROUND(r, {FLOAT_DECIMALS}) AS pr FROM r{rounds} ORDER BY id"
+    )
+    return _materialized("WITH " + "".join(parts))
+
+
+def wcc_sql(rounds: int = WCC_ROUNDS) -> str:
+    """Unrolled min-label propagation; ``rounds`` must exceed the label-
+    propagation diameter of the sf0.01 co-purchase graph (16)."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             ",\nl0 AS (SELECT id, id AS comp FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f""",
+l{k} AS (
+  SELECT l.id, LEAST(l.comp, COALESCE(m.c, l.comp)) AS comp
+  FROM {p} l LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.comp) AS c
+    FROM edges e JOIN {p} p ON e.src = p.id GROUP BY e.dst
+  ) m ON l.id = m.id
+)"""
+        )
+    parts.append(f"\nSELECT id, comp FROM l{rounds} ORDER BY id")
+    return _materialized("WITH " + "".join(parts))
+
+
+def cdlp_sql(rounds: int = 10) -> str:
+    """Unrolled LDBC CDLP on the (symmetrized) co-purchase graph: most
+    frequent neighbor label, ties → min, exactly ``rounds`` rounds."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             ",\nl0 AS (SELECT id, id AS label FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f""",
+cnt{k} AS (
+  SELECT e.dst AS id, p.label, count(*) AS c
+  FROM edges e JOIN {p} p ON e.src = p.id
+  GROUP BY e.dst, p.label
+),
+top{k} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+    FROM cnt{k}
+  ) t WHERE rn = 1
+),
+l{k} AS (
+  SELECT l.id, COALESCE(t.label, l.label) AS label
+  FROM {p} l LEFT JOIN top{k} t ON l.id = t.id
+)"""
+        )
+    parts.append(f"\nSELECT id, label FROM l{rounds} ORDER BY id")
+    return _materialized("WITH " + "".join(parts))
+
+
+TRIANGLES_BODY = """
+deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+oe AS (
+  SELECT e.src AS u, e.dst AS v
+  FROM edges e JOIN deg d1 ON e.src = d1.id JOIN deg d2 ON e.dst = d2.id
+  WHERE d1.d < d2.d OR (d1.d = d2.d AND e.src < e.dst)
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT a.u AS a, a.v AS b, b.v AS c FROM oe a JOIN oe b ON a.v = b.u) w
+  JOIN oe x ON x.u = w.a AND x.v = w.c
+)"""
+
+
+def triangles_sql() -> str:
+    _sql = f"""WITH {COPURCHASE_CTE}, {TRIANGLES_BODY}
+SELECT v.id, COALESCE(t.c, 0) AS tri
+FROM verts v LEFT JOIN (
+  SELECT id, count(*) AS c FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) corners GROUP BY id
+) t ON v.id = t.id ORDER BY v.id"""
+    return _materialized(_sql)
+
+
+def triangle_count_sql() -> str:
+    return _materialized(
+        f"WITH {COPURCHASE_CTE}, {TRIANGLES_BODY} SELECT count(*) AS n_tri FROM tri"
+    )
