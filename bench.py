@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "edges": E,
+   "pagerank_edge_updates_per_sec": ...}
+
+The headline metric mirrors BASELINE.md: PageRank gather-scatter throughput
+(edge-updates/sec = E × rounds / wall) on the derived edge table, plus
+per-algorithm wall times for WCC / CDLP / triangles. Scaling-efficiency
+evidence across two parallelism levels lives in scripts/scaling_bench.py
+(writes BENCH/BASELINE.md); this file is the per-round driver feedback loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphscope_spark import tpch_graphs as tg  # noqa: E402
+from graphscope_spark.algorithms import cdlp, pagerank, triangles, wcc  # noqa: E402
+from graphscope_spark.session import get_spark  # noqa: E402
+
+PR_ROUNDS = 10
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cpus=cpus)
+
+    g = tg.copurchase_graph(spark, sf_dir)
+    n_edges = g.num_edges  # also warms the persisted edge tables
+    g.degrees.count()  # warm the degree cache outside the timed regions
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    timed("pagerank", lambda: pagerank(g, alpha=0.85, max_iter=PR_ROUNDS)
+          .state.foreach(lambda r: None))
+    timed("wcc", lambda: wcc(g).state.foreach(lambda r: None))
+    timed("cdlp", lambda: cdlp(g, max_iter=10).state.foreach(lambda r: None))
+    timed("triangles", lambda: triangles(g).foreach(lambda r: None))
+
+    gd = tg.purchase_graph(spark, sf_dir)
+    gd.num_edges
+    gd.degrees.count()
+    timed("pagerank_directed",
+          lambda: pagerank(gd, alpha=0.85, max_iter=PR_ROUNDS)
+          .state.foreach(lambda r: None))
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "edges": n_edges,
+        "cpus": cpus,
+        "pagerank_edge_updates_per_sec": round(
+            n_edges * PR_ROUNDS / queries["pagerank"], 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -5,4 +5,18 @@ DataFrame supersteps."""
 from graphscope_spark.algorithms.pagerank import pagerank  # noqa: F401
 from graphscope_spark.algorithms.wcc import wcc  # noqa: F401
 from graphscope_spark.algorithms.cdlp import cdlp  # noqa: F401
-from graphscope_spark.algorithms.triangles import triangles  # noqa: F401
+from graphscope_spark.algorithms.triangles import triangles, triangle_count  # noqa: F401
+from graphscope_spark.algorithms.sssp import (  # noqa: F401
+    bfs, sssp, sssp_average_length, sssp_has_path,
+)
+from graphscope_spark.algorithms.centrality import (  # noqa: F401
+    degree_centrality, eigenvector_centrality, hits, katz_centrality,
+)
+from graphscope_spark.algorithms.clustering import (  # noqa: F401
+    average_clustering, clustering, lcc, transitivity,
+)
+from graphscope_spark.algorithms.cores import kcore, kcore_vertices, kshell  # noqa: F401
+from graphscope_spark.algorithms.misc import (  # noqa: F401
+    average_degree_connectivity, degree_assortativity_coefficient,
+    edge_boundary, node_boundary,
+)

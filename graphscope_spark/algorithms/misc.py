@@ -1,0 +1,78 @@
+"""Boundary / assortativity / degree-connectivity statistics.
+
+Reference semantics:
+* node_boundary (apps/boundary/node_boundary.h:1-118): vertices outside S
+  with an in-edge from S.
+* edge_boundary (apps/boundary/edge_boundary.h:1-123): edges (u, v) with
+  u ∈ S, v ∉ S.
+* degree_assortativity_coefficient (apps/assortativity/degree_assortativity
+  _coefficient.h:1-259): Pearson correlation of (deg(src), deg(dst)) over
+  edges — networkx semantics: for directed graphs out-degree of source vs
+  in-degree of target; for undirected both endpoints' degrees over the
+  symmetrized edge list.
+* average_degree_connectivity (apps/assortativity/average_degree_
+  connectivity.h:1-250): mean neighbor degree, grouped by source degree.
+
+All are single-pass joins + aggregations — no iteration, fully
+Catalyst-optimized (the degree table broadcast when small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+
+
+def node_boundary(g: Graph, s: DataFrame) -> DataFrame:
+    """(id) — node boundary of vertex set ``s`` (a DataFrame with column
+    id). edges.filter(src∈S ∧ dst∉S) per SURVEY §2.2."""
+    s = s.select("id")
+    return (
+        g.edges.join(s.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(s.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+    )
+
+
+def edge_boundary(g: Graph, s: DataFrame) -> DataFrame:
+    """(src, dst) — edges leaving ``s``."""
+    s = s.select("id")
+    return (
+        g.edges.join(s.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(s.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        .select("src", "dst")
+    )
+
+
+def _edge_degree_pairs(g: Graph) -> DataFrame:
+    """(x, y) degree pairs per edge: directed → (out_deg(src), in_deg(dst));
+    undirected graphs are expected symmetrized already (Graph.to_undirected),
+    so both endpoints appear in both roles."""
+    deg = g.degrees
+    if g.directed:
+        sx = deg.select(F.col("id").alias("src"), F.col("out_deg").alias("x"))
+        dy = deg.select(F.col("id").alias("dst"), F.col("in_deg").alias("y"))
+    else:
+        sx = deg.select(F.col("id").alias("src"), F.col("out_deg").alias("x"))
+        dy = deg.select(F.col("id").alias("dst"), F.col("out_deg").alias("y"))
+    return g.edges.select("src", "dst").join(sx, "src").join(dy, "dst").select("x", "y")
+
+
+def degree_assortativity_coefficient(g: Graph) -> float:
+    """Pearson correlation of degree pairs over edges — corr() is a single
+    Spark aggregate (numerically the two-pass-free covariance form)."""
+    r = _edge_degree_pairs(g).agg(F.corr("x", "y")).first()[0]
+    return float(r) if r is not None else float("nan")
+
+
+def average_degree_connectivity(g: Graph) -> DataFrame:
+    """(deg: long, avg_nbr_deg: double) — mean neighbor degree by source
+    degree (average_degree_connectivity.h)."""
+    return (
+        _edge_degree_pairs(g)
+        .groupBy(F.col("x").alias("deg"))
+        .agg(F.avg("y").alias("avg_nbr_deg"))
+    )

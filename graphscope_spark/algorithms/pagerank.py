@@ -62,16 +62,19 @@ def pagerank(
     init = g.vertices.select("id", F.lit(1.0 / n).alias("rank"))
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        # scalar "allreduce" #1: dangling mass of the current ranks.
-        # Recomputed from state (not carried in a driver variable) so a
-        # resumed run is bit-identical to an uninterrupted one.
-        dangling_sum = (
+        # scalar "allreduce" #1: dangling mass of the current ranks —
+        # carried as a broadcast 1-row aggregate crossJoined into the
+        # update, NOT collected to the driver: a fixed-round run therefore
+        # issues NO action per round (the whole multi-round plan pipelines
+        # until the kernel's periodic localCheckpoint), the Spark analog of
+        # the reference overlapping communication with compute.
+        # Recomputed from state (not a driver variable) so a resumed run
+        # matches an uninterrupted one.
+        dang = (
             state.join(deg, "id")
             .filter(F.col("out_deg") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
-        base = (1.0 - alpha) / n + alpha * dangling_sum / n
 
         contribs = (
             state.join(deg, "id")
@@ -89,11 +92,13 @@ def pagerank(
         return (
             state.select("id")
             .join(msgs, "id", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit(alpha) * F.coalesce(F.col("gathered"), F.lit(0.0))
-                    + F.lit(base)
+                    + F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * F.col("_dang") / F.lit(float(n))
                 ).alias("rank"),
             )
             .repartition(g.num_partitions, "id")

@@ -1,0 +1,279 @@
+"""Source-code repository corpus: the north-star input table and the
+repo→repo dependency-edge derivation.
+
+BASELINE.json input_hint fixes the input shape: an Iceberg (Parquet locally)
+table ``repos(repo: string, path: string, commit: string, lang: string,
+content: string)``; edges are extracted from ``content`` with vectorized
+pandas/Arrow UDFs (no per-row Python); the per-row invariant carried through
+every content-bearing stage is ``sha256(content)`` equality against the
+source table.
+
+Reference analog: this plays the role of GraphScope's loading pipeline
+(docs/frag_intro.md:24-112 — shuffle v-table by hash(oid), build vertex map,
+gid-encode edge endpoints) with the extra upstream step that the *edge list
+itself* is derived from repository file contents.
+
+Scale design (100 TB / 10^12 files): every stage below is a single pass —
+  * synthesis / ingest: pure JVM-side column expressions, no Python;
+  * extraction: one ``mapInPandas``-free vectorized ``pandas_udf`` over
+    ``content`` (Arrow batches, regex via pandas ``str`` vectorized ops),
+    then ``explode`` + broadcast-join against the (small) module→repo map —
+    the only shuffle is the final edge dedup, keyed by (src, dst);
+  * the module→repo map is ``O(#repos)`` — tiny next to the file table —
+    and is broadcast, so extraction never shuffles the 100 TB content table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from graphscope_spark.graph import Graph, assign_dense_ids
+
+LANGS = ["python", "java", "go", "rust", "js"]
+_EXT = {"python": "py", "java": "java", "go": "go", "rust": "rs", "js": "js"}
+
+#: import-statement template per language (module token = repo module name)
+_IMPORT_FMT = {
+    "python": "import %s",
+    "java": "import %s.Main;",
+    "go": 'import "%s"',
+    "rust": "use %s::lib;",
+    "js": "const m = require('%s');",
+}
+
+#: one combined extraction regex per language (vectorized via pandas .str)
+IMPORT_RE = {
+    "python": r"^import\s+([A-Za-z_][\w]*)\s*$",
+    "java": r"^import\s+([A-Za-z_][\w]*)\.Main;",
+    "go": r'^import\s+"([A-Za-z_][\w]*)"',
+    "rust": r"^use\s+([A-Za-z_][\w]*)::lib;",
+    "js": r"require\('([A-Za-z_][\w]*)'\)",
+}
+
+
+def module_of(repo_col) -> "F.Column":
+    """Canonical module name of a repo: ``org3/repo17`` → ``org3_repo17``.
+    Pure column expression so the module→repo map needs no UDF."""
+    return F.regexp_replace(repo_col, "/", "_")
+
+
+# --------------------------------------------------------------------- #
+# deterministic synthesis (test/bench stand-in for the Iceberg corpus)
+# --------------------------------------------------------------------- #
+
+
+def synthesize_repos(
+    spark: SparkSession,
+    n_repos: int = 200,
+    files_per_repo: int = 12,
+    n_orgs: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic ``repos`` table, entirely JVM-side (no Python in the
+    generation path — `spark.range` + column expressions, so it scales to
+    any row count and is identical across reruns/partitionings).
+
+    Graph structure planted by construction:
+      * two id-blocks with no cross-block imports → ≥2 weakly connected
+        components;
+      * each block's first repo is a hub every non-dangling repo imports →
+        skewed in-degree (the salting/AQE test case);
+      * repos with ``ri % 10 == 9`` emit no imports → dangling vertices
+        (PageRank dangling-mass path);
+      * repos b+1,b+2,b+3 of each block import each other pairwise → planted
+        triangles.
+    """
+    half = n_repos // 2
+    rows = spark.range(n_repos * files_per_repo).select(
+        (F.col("id") / files_per_repo).cast("long").alias("ri"),
+        F.pmod(F.col("id"), F.lit(files_per_repo)).cast("long").alias("fi"),
+    )
+    block = (F.col("ri") >= half).cast("long")  # 0 or 1
+    bstart = block * half
+    bsize = F.when(F.lit(n_repos) - bstart < half, F.lit(n_repos) - bstart).otherwise(
+        F.lit(half)
+    )
+
+    repo = F.format_string("org%d/repo%d", F.pmod(F.col("ri"), F.lit(n_orgs)), F.col("ri"))
+    lang_arr = F.array(*[F.lit(lang) for lang in LANGS])
+    lang = F.element_at(
+        lang_arr,
+        (F.pmod(F.col("ri") * 31 + F.col("fi") * 7 + seed, F.lit(len(LANGS))) + 1).cast("int"),
+    )
+
+    # import targets (repo indices), NULL when the line is suppressed
+    dangling = F.pmod(F.col("ri"), F.lit(10)) == 9
+    t_hub = F.when(~dangling, bstart)
+    t_mix = F.when(
+        ~dangling, bstart + F.pmod(F.col("ri") * 13 + F.col("fi") * 5 + seed, bsize)
+    )
+    t_nbr = F.when(
+        (~dangling) & (F.col("fi") % 3 == 0),
+        bstart
+        + F.pmod(
+            F.col("ri") - bstart + (F.col("fi") / F.lit(3)).cast("long") + 1, bsize
+        ),
+    )
+    in_clique = (F.col("ri") - bstart >= 1) & (F.col("ri") - bstart <= 3)
+    t_cliq = F.when(
+        in_clique, bstart + F.pmod(F.col("ri") - bstart + F.pmod(F.col("fi"), F.lit(2)), F.lit(3)) + 1
+    )
+
+    def import_line(target_ri):
+        target_ri = target_ri.cast("long")
+        mod = F.format_string(
+            "org%d_repo%d", F.pmod(target_ri, F.lit(n_orgs)), target_ri
+        )
+        line = (
+            F.when(lang == "python", F.format_string("import %s", mod))
+            .when(lang == "java", F.format_string("import %s.Main;", mod))
+            .when(lang == "go", F.format_string('import "%s"', mod))
+            .when(lang == "rust", F.format_string("use %s::lib;", mod))
+            .otherwise(F.format_string("const m = require('%s');", mod))
+        )
+        return F.when(target_ri.isNotNull(), line)
+
+    header = F.format_string(
+        "// file %d of %s (seed %d)", F.col("fi"), repo, F.lit(seed)
+    )
+    body = F.format_string(
+        "def f_%d():\n    return %d\n",
+        F.col("fi"),
+        F.pmod(F.col("ri") * 1315423911 + F.col("fi") * 2654435761 + seed, F.lit(997)),
+    )
+    content = F.concat_ws(
+        "\n",
+        F.array_compact(
+            F.array(
+                header,
+                import_line(t_hub),
+                import_line(t_mix),
+                import_line(t_nbr),
+                import_line(t_cliq),
+                body,
+            )
+        ),
+    )
+
+    path = F.format_string(
+        "src/mod%d/file%d.%s",
+        F.pmod(F.col("fi"), F.lit(4)),
+        F.col("fi"),
+        F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(lang) for lang in LANGS]),
+                F.array(*[F.lit(_EXT[lang]) for lang in LANGS]),
+            ),
+            lang,
+        ),
+    )
+    commit = F.substring(F.sha2(F.concat(repo, F.lit("@"), path), 256), 1, 40)
+
+    return rows.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# vectorized edge extraction (the only Python in the pipeline)
+# --------------------------------------------------------------------- #
+
+
+def _extract_imports_pd(content: pd.Series, lang: pd.Series) -> pd.Series:
+    """Vectorized import extraction: per Arrow batch, group rows by lang and
+    run one multiline ``str.findall`` regex per group — pandas C-level
+    string ops, no per-row Python loop (input_hint mandate).
+
+    Reference analog: the loading pipeline's edge-table parse
+    (docs/frag_intro.md:63-87), with the parse living in content itself.
+    """
+    out = pd.Series([None] * len(content), dtype="object", index=content.index)
+    for lg, pat in IMPORT_RE.items():
+        mask = lang == lg
+        if mask.any():
+            found = content[mask].str.findall(pat, flags=re.M)
+            out[mask] = found
+    out[out.isna()] = out[out.isna()].apply(lambda _: [])
+    return out
+
+
+def extract_imports(content, lang):
+    """Column wrapper — the pandas_udf is created per call because UDF
+    registration needs an active SparkSession (not available at import)."""
+    return pandas_udf(_extract_imports_pd, "array<string>")(content, lang)
+
+
+def extract_edges(repos: DataFrame) -> DataFrame:
+    """repos(content) → distinct repo→repo string edges, self-loops dropped.
+
+    Plan shape (the thing that must survive 100 TB): scan content once,
+    vectorized UDF → explode → **broadcast** join on the tiny module map →
+    distinct on (src_repo, dst_repo). The wide content column is pruned
+    before the explode; the only shuffle is the final distinct over the
+    (narrow) edge pairs.
+    """
+    module_map = (
+        repos.select("repo").distinct()
+        .select(module_of(F.col("repo")).alias("module"), F.col("repo").alias("dst_repo"))
+    )
+    mentions = (
+        repos.select(
+            F.col("repo").alias("src_repo"),
+            F.explode(extract_imports(F.col("content"), F.col("lang"))).alias("module"),
+        )
+    )
+    return (
+        mentions.join(F.broadcast(module_map), "module")
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .select("src_repo", "dst_repo")
+        .distinct()
+    )
+
+
+def content_fingerprints(repos: DataFrame) -> DataFrame:
+    """Per-row ``sha256(content)`` — the north-rule row invariant. JVM-side
+    (``F.sha2``), checked by tests against a recomputation after every
+    content-carrying stage."""
+    return repos.select("repo", "path", F.sha2(F.col("content"), 256).alias("sha256"))
+
+
+def repo_graph(
+    spark: SparkSession,
+    n_repos: int = 200,
+    files_per_repo: int = 12,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> tuple[Graph, DataFrame, DataFrame]:
+    """End-to-end: synthesize → extract → dense-id encode → Graph.
+
+    Returns (graph, vertices(id, repo), repos). Dense ids follow the
+    reference's GID = FID|OFFSET packing via assign_dense_ids
+    (docs/frag_intro.md:17-19).
+    """
+    repos = synthesize_repos(spark, n_repos, files_per_repo, seed=seed)
+    str_edges = extract_edges(repos).persist()
+    vmap = assign_dense_ids(
+        str_edges.select(F.col("src_repo").alias("repo"))
+        .union(str_edges.select(F.col("dst_repo").alias("repo"))),
+        "repo",
+        num_partitions,
+    ).persist()
+    edges = (
+        str_edges.join(vmap.withColumnRenamed("repo", "src_repo"), "src_repo")
+        .withColumnRenamed("id", "src")
+        .join(vmap.withColumnRenamed("repo", "dst_repo"), "dst_repo")
+        .withColumnRenamed("id", "dst")
+        .select("src", "dst")
+    )
+    vertices = vmap.select("id", "repo")
+    return Graph(edges, vertices.select("id"), directed=True,
+                 num_partitions=num_partitions), vertices, repos

@@ -1,0 +1,169 @@
+"""DuckDB oracle SQL for the document-pipeline operators — each mirrors its
+Spark twin in graphscope_spark/functions/* expression-for-expression, so the
+driver's value-hash comparison passes. Shared constants (stopword lists,
+rounding, hash construction) are imported from the Spark modules — one
+source of truth.
+
+Portability notes (why each construction is the way it is):
+  * tokens: Spark split(trim(t),'\\s+') == DuckDB regexp_split_to_array.
+  * 1-based indexing: Spark element_at == DuckDB l[i].
+  * 60-bit hash: Spark conv(substr(md5,1,15),16,10) == DuckDB
+    CAST('0x'||substr(md5,1,15) AS BIGINT)  (functions/hashing.py).
+  * positional explode: Spark posexplode(+1) == DuckDB unnest +
+    generate_subscripts (1-based).
+  * regexp_replace needs the 'g' flag in DuckDB to match Spark's
+    replace-all default.
+"""
+
+from __future__ import annotations
+
+from graphscope_spark.functions.hashing import hash64_sql
+from graphscope_spark.functions.text import FLOAT_DECIMALS, STOPWORDS
+
+TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def doc_stats_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars,
+       ROUND(length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE),
+             {FLOAT_DECIMALS}) AS avg_token_len,
+       ROUND(len(list_filter(toks, x -> x IN ({en}))) / CAST(len(toks) AS DOUBLE),
+             {FLOAT_DECIMALS}) AS stopword_ratio,
+       ROUND(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+             / CAST(length(text) AS DOUBLE), {FLOAT_DECIMALS}) AS punct_ratio,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / CAST(length(text) AS DOUBLE), {FLOAT_DECIMALS}) AS digit_ratio
+FROM t"""
+
+
+def quality_score_sql() -> str:
+    return f"""
+WITH s AS ({doc_stats_sql()})
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-(3.0*stopword_ratio + 0.1*LN(1.0 + n_tokens)
+             - 5.0*punct_ratio - 2.0*digit_ratio
+             - 0.05*ABS(avg_token_len - 5.0)))), {FLOAT_DECIMALS}) AS quality
+FROM s"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(STOPWORDS)
+    score_cols = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang
+        )
+        for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "\n         ".join(cases[:-1])
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+       {score_cols}
+      FROM t)
+SELECT doc_id,
+       CASE {case_sql}
+         ELSE '{langs[-1]}' END AS lang_guess
+FROM s"""
+
+
+def fingerprint_sql() -> str:
+    h = hash64_sql("tok")
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+e AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM t
+)
+SELECT doc_id,
+       SUM(({h} % {1 << 40}) * ((pos % 31) + 1)) AS fp
+FROM e GROUP BY doc_id"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"""
+
+
+def _shingle_cte(k: int = 3) -> str:
+    """Distinct word k-gram shingles per doc — the twin of
+    functions/dedup.py::shingles (1-based element_at, short docs yield one
+    shingle via greatest(n-k+1, 1))."""
+    parts = ", ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - {k - 1}, 1) + 1)) AS i
+  FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', {parts}) AS shingle FROM idx
+)"""
+
+
+def minhash_sql(num_hashes: int = 16, k: int = 3) -> str:
+    h = hash64_sql("CAST(perm AS VARCHAR) || ':' || shingle")
+    return f"""
+WITH {_shingle_cte(k)},
+perms AS (SELECT unnest(range({num_hashes})) AS perm)
+SELECT doc_id, perm, MIN({h}) AS minhash
+FROM sh CROSS JOIN perms
+GROUP BY doc_id, perm"""
+
+
+def ngram_jaccard_sql(threshold: float, k: int = 3) -> str:
+    return f"""
+WITH {_shingle_cte(k)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       ROUND(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), {FLOAT_DECIMALS}) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= {threshold}"""
+
+
+def ann_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}"""
+
+
+def multimodal_meta_sql() -> str:
+    return """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents"""

@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash,
+(embedding near-dup lives in similarity.py).
+
+Scale design per operator:
+  * exact        — one hash-groupBy on md5(text): the canonical 100 TB dedup
+                   (shuffle carries 16-byte digests, not documents).
+  * minhash      — shingle explode → one groupBy computing all H signature
+                   mins at once (single shuffle over (doc, shingle) pairs).
+  * LSH pairs    — band keys from signature slices → self-join per band
+                   (shuffle ∝ #docs × #bands, never all-pairs).
+  * ngram_jaccard— inverted-index candidate join (docs sharing ≥1 shingle)
+                   → exact Jaccard on candidates only; all-pairs never
+                   materializes. Hub shingles (very common n-grams) are the
+                   skew risk — AQE skew-join handles it; a stopword-shingle
+                   filter (``max_doc_freq``) caps it explicitly.
+  * simhash      — vectorized pandas UDF (per-Arrow-batch numpy bit votes);
+                   Hamming-ball lookup via 16-bit chunk index (Charikar /
+                   Manku et al. WWW'07 style) — chunk equality is a join
+                   key, so near-dup lookup is again a join, not a scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from graphscope_spark.functions.hashing import hash64
+from graphscope_spark.functions.text import tokenize
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands × 4 rows with 16 hashes
+
+
+def dedup_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) — survivor set: the minimum id per exact content digest."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles (space-joined), 1-based element_at so the SQL
+    twin (DuckDB 1-based list indexing) is expression-for-expression equal.
+    Docs shorter than k tokens yield their whole token string as one
+    shingle (sequence(1, greatest(n-k+1, 1)))."""
+    toks = tokenize(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            # try_element_at → NULL past the end (short docs); concat_ws
+            # skips NULLs identically in Spark and DuckDB.
+            " ", *[F.try_element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct — the exploded shingle set."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash signature; permutation h_i(s) =
+    hash64(i || ':' || s). One explode + one groupBy computing every min
+    simultaneously (single shuffle)."""
+    sh = doc_shingles(docs, text_col, id_col, k)
+    mins = [
+        F.min(hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs (a < b): docs colliding in ≥1
+    LSH band. With ``verify_threshold`` the candidates are verified with
+    exact shingle-set Jaccard ≥ threshold (returns (a, b, jaccard))."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, k)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_", *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    left = banded.withColumnRenamed(id_col, "a")
+    right = banded.withColumnRenamed(id_col, "b")
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    jac = _jaccard_on_pairs(cand, doc_shingles(docs, text_col, id_col, k), id_col)
+    return jac.filter(F.col("jaccard") >= verify_threshold)
+
+
+def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        pairs.join(a_sh, "a").join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sb"), "b")
+        .select(
+            "a", "b",
+            (F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
+            .alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) — exact n-gram Jaccard over inverted-index candidates
+    (pairs sharing ≥1 shingle). ``max_doc_freq`` drops hub shingles from
+    candidate *generation* only (Jaccard itself stays exact), bounding the
+    candidate blowup that common n-grams cause at scale."""
+    sh = doc_shingles(docs, text_col, id_col, k)
+    gen = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        gen = sh.join(rare, "shingle", "left_semi")
+    cand = (
+        gen.select(F.col(id_col).alias("a"), "shingle")
+        .join(gen.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _jaccard_on_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------ #
+# SimHash
+# ------------------------------------------------------------------ #
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per document over whitespace tokens, md5-based token
+    hashes (deterministic across processes). Vectorized per Arrow batch:
+    token hashing is memoized over the batch vocabulary, bit votes are one
+    numpy reduction per doc."""
+    vocab: dict[str, int] = {}
+
+    def tok_hash(t: str) -> int:
+        h = vocab.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            vocab[t] = h
+        return h
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = text.split()
+        if not toks:
+            continue
+        hs = np.fromiter((tok_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sh.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash: long)."""
+    udf = pandas_udf(_simhash_batch, "long")
+    return docs.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, hamming) pairs within Hamming distance ``max_hamming``.
+    Candidate generation via 16-bit chunk equality (any pair within
+    distance 3 shares ≥1 of 4 chunks — pigeonhole, Manku et al. WWW'07);
+    verification via bit_count(xor)."""
+    sh = simhash64(docs, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col), "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.key")
+    a = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
+                      "chunk", "key")
+    b = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
+                      "chunk", "key")
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

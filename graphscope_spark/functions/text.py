@@ -1,0 +1,126 @@
+"""Text analysis over a documents table: tokenization, stats, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything here is pure JVM-side column expressions (whole-stage codegen,
+no Python) and each op has an exact ANSI-SQL twin (built by
+``*_sql_exprs`` helpers / __spark_entry__.py) so the DuckDB gate can
+value-hash-match it. Scale: all ops are single-pass projections or one
+groupBy — no joins, no iteration; at 100 TB they are scan-bound and
+Catalyst prunes to the columns used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.hashing import hash64
+
+#: tiny per-language stopword lists for the n-gram/stopword lang-ID
+#: heuristic. Deterministic and portable; accuracy is data-dependent (the
+#: heuristic is the operator — the synthetic corpus carries no real
+#: language signal).
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["de", "le", "shi", "bu", "wo", "you", "ta", "men"],
+}
+
+FLOAT_DECIMALS = 6
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokens. SQL twin: regexp_split_to_array(trim(t), '\\s+')."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: (id, n_tokens, n_chars, avg_token_len,
+    stopword_ratio, punct_ratio, digit_ratio) — the quality-signal raw
+    features (length / punctuation / stopword ratios)."""
+    toks = tokenize(text_col)
+    text = F.col(text_col)
+    n_tokens = F.size(toks)
+    en = [F.lit(w) for w in STOPWORDS["en"]]
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.length(text).alias("n_chars"),
+        F.round(F.length(F.array_join(toks, "")) / n_tokens, FLOAT_DECIMALS)
+        .alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"]))) / n_tokens,
+            FLOAT_DECIMALS,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(text, r"[^\.,;:!\?]", "")) / F.length(text),
+            FLOAT_DECIMALS,
+        ).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(text, r"[^0-9]", "")) / F.length(text),
+            FLOAT_DECIMALS,
+        ).alias("digit_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, quality) — deterministic logistic combination of the raw
+    features; the shape of a fastText-style quality filter with the
+    learned weights replaced by fixed ones."""
+    s = doc_stats(docs, text_col, id_col)
+    z = (
+        3.0 * F.col("stopword_ratio")
+        + 0.1 * F.log(1.0 + F.col("n_tokens"))
+        - 5.0 * F.col("punct_ratio")
+        - 2.0 * F.col("digit_ratio")
+        - 0.05 * F.abs(F.col("avg_token_len") - 5.0)
+    )
+    return s.select(
+        F.col(id_col),
+        F.round(1.0 / (1.0 + F.exp(-z)), FLOAT_DECIMALS).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, lang_guess) — stopword-hit language ID; ties broken by
+    alphabetically-first language (deterministic). The CASE chain below is
+    mirrored verbatim in the SQL oracle."""
+    toks = tokenize(text_col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+    langs = sorted(STOPWORDS)
+    guess = None
+    for lang in reversed(langs):
+        if guess is None:
+            guess = F.lit(lang)
+            continue
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+    return docs.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fp) — order-sensitive document fingerprint: a positional
+    polynomial over portable 60-bit token hashes,
+    fp = Σ_pos (hash64(token) % 2^40) · ((pos % 31) + 1), pos 1-based.
+    Bounded: 2^40 · 31 · n_tokens stays far below int64 for any real doc.
+    SQL twin uses unnest + generate_subscripts."""
+    toks = tokenize(text_col)
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos0", "tok")
+    ).select(
+        id_col,
+        ((hash64(F.col("tok")) % F.lit(1 << 40))
+         * ((F.col("pos0") + 1) % 31 + 1)).alias("term"),
+    )
+    return exploded.groupBy(id_col).agg(F.sum("term").alias("fp"))

@@ -52,12 +52,19 @@ def assign_dense_ids(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    keys = df.select(key_col).distinct().repartition(num_partitions, key_col)
-    w = Window.partitionBy(F.spark_partition_id()).orderBy(key_col)
+    # fid = hash(key) % P — the reference's HashPartitioner::GetPartitionId
+    # (partitioner.h:43-54). Derived from the KEY, never from the physical
+    # partition (spark_partition_id/monotonically_increasing_id change
+    # across recomputations and AQE coalescing; a vertex map must not).
+    keys = df.select(key_col).distinct().select(
+        F.col(key_col),
+        F.pmod(F.xxhash64(key_col), F.lit(num_partitions)).alias("_fid"),
+    )
+    w = Window.partitionBy("_fid").orderBy(key_col)
     return keys.select(
         F.col(key_col),
         (
-            (F.spark_partition_id().cast("long") * F.lit(1 << _OFFSET_BITS))
+            (F.col("_fid") * F.lit(1 << _OFFSET_BITS))
             + F.row_number().over(w).cast("long")
             - F.lit(1)
         ).alias("id"),

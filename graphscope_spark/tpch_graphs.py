@@ -262,3 +262,255 @@ def triangle_count_sql() -> str:
     return _materialized(
         f"WITH {COPURCHASE_CTE}, {TRIANGLES_BODY} SELECT count(*) AS n_tri FROM tri"
     )
+
+
+# ---------------------------------------------------------------------- #
+# breadth-algorithm oracles (SSSP/BFS, centralities, clustering, cores,
+# assortativity, path expand) — all on the co-purchase graph
+# ---------------------------------------------------------------------- #
+
+#: unrolled rounds for distance relaxations (≥ weighted diameter at sf0.01)
+SSSP_ROUNDS = 40
+#: unrolled peel rounds for the k-core oracle
+KCORE_ROUNDS = 16
+
+SOURCE_CTE = ",\nsrc AS (SELECT MIN(id) AS sid FROM verts)"
+
+#: deterministic edge weight derivable on both sides
+W_EXPR = "CAST((src + dst) % 10 + 1 AS DOUBLE)"
+
+
+def bfs_sql(rounds: int = WCC_ROUNDS) -> str:
+    """Unrolled BFS level relaxation from the min vertex id."""
+    parts = [COPURCHASE_CTE.rstrip(), SOURCE_CTE,
+             ",\nd0 AS (SELECT id, CASE WHEN id = (SELECT sid FROM src)"
+             " THEN 0.0 END AS dist FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"d{k-1}"
+        parts.append(f""",
+d{k} AS (
+  SELECT v.id, LEAST(COALESCE(v.dist, 1e18), COALESCE(m.c, 1e18)) AS d2,
+         CASE WHEN LEAST(COALESCE(v.dist, 1e18), COALESCE(m.c, 1e18)) < 1e18
+              THEN LEAST(COALESCE(v.dist, 1e18), COALESCE(m.c, 1e18)) END AS dist
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.dist + 1.0) AS c
+    FROM edges e JOIN {p} p ON e.src = p.id AND p.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+)""")
+    parts.append(f"\nSELECT id, dist FROM d{rounds} ORDER BY id")
+    return _materialized("WITH " + "".join(parts))
+
+
+def sssp_sql(rounds: int = SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford with the deterministic (src+dst)%10+1 weight."""
+    parts = [COPURCHASE_CTE.rstrip(), SOURCE_CTE,
+             f",\nwe AS (SELECT src, dst, {W_EXPR} AS w FROM edges)",
+             ",\nd0 AS (SELECT id, CASE WHEN id = (SELECT sid FROM src)"
+             " THEN 0.0 END AS dist FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"d{k-1}"
+        parts.append(f""",
+d{k} AS (
+  SELECT v.id,
+         CASE WHEN LEAST(COALESCE(v.dist, 1e18), COALESCE(m.c, 1e18)) < 1e18
+              THEN LEAST(COALESCE(v.dist, 1e18), COALESCE(m.c, 1e18)) END AS dist
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.dist + e.w) AS c
+    FROM we e JOIN {p} p ON e.src = p.id AND p.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+)""")
+    parts.append(f"\nSELECT id, dist FROM d{rounds} ORDER BY id")
+    return _materialized("WITH " + "".join(parts))
+
+
+def degree_centrality_sql() -> str:
+    _sql = f"""WITH {COPURCHASE_CTE},
+n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts),
+od AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+idg AS (SELECT dst AS id, count(*) AS d FROM edges GROUP BY dst)
+SELECT v.id,
+       ROUND((COALESCE(od.d,0) + COALESCE(idg.d,0)) / ((SELECT c FROM n) - 1),
+             {FLOAT_DECIMALS}) AS dc
+FROM verts v LEFT JOIN od ON v.id = od.id LEFT JOIN idg ON v.id = idg.id"""
+    return _materialized(_sql)
+
+
+def clustering_sql() -> str:
+    """Per-vertex clustering coefficient from the triangles CTE."""
+    _sql = f"""WITH {COPURCHASE_CTE}, {TRIANGLES_BODY},
+pertri AS (
+  SELECT id, count(*) AS c FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) corners GROUP BY id
+)
+SELECT v.id,
+       CASE WHEN COALESCE(d.d, 0) >= 2
+            THEN ROUND(2.0 * COALESCE(t.c, 0) / (d.d * (d.d - 1)), {FLOAT_DECIMALS})
+            ELSE 0.0 END AS cc
+FROM verts v LEFT JOIN deg d ON v.id = d.id LEFT JOIN pertri t ON v.id = t.id"""
+    return _materialized(_sql)
+
+
+def transitivity_sql() -> str:
+    _sql = f"""WITH {COPURCHASE_CTE}, {TRIANGLES_BODY}
+SELECT ROUND(
+  CAST(3 * (SELECT count(*) FROM tri) AS DOUBLE)
+  / (SELECT SUM(d * (d - 1) / 2.0) FROM deg), {FLOAT_DECIMALS}) AS transitivity"""
+    return _materialized(_sql)
+
+
+def avg_clustering_sql() -> str:
+    _sql = f"""WITH {COPURCHASE_CTE}, {TRIANGLES_BODY},
+pertri AS (
+  SELECT id, count(*) AS c FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) corners GROUP BY id
+),
+cc AS (
+  SELECT v.id,
+         CASE WHEN COALESCE(d.d, 0) >= 2
+              THEN 2.0 * COALESCE(t.c, 0) / (d.d * (d.d - 1))
+              ELSE 0.0 END AS cc
+  FROM verts v LEFT JOIN deg d ON v.id = d.id LEFT JOIN pertri t ON v.id = t.id
+)
+SELECT ROUND(AVG(cc), {FLOAT_DECIMALS}) AS avg_cc FROM cc"""
+    return _materialized(_sql)
+
+
+def kcore_sql(k: int = 2, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peel: alive_{i+1} = vertices with ≥k alive neighbors."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             ",\na0 AS (SELECT id FROM verts)"]
+    for i in range(1, rounds + 1):
+        p = f"a{i-1}"
+        parts.append(f""",
+a{i} AS (
+  SELECT e.src AS id FROM edges e
+  JOIN {p} s ON e.src = s.id JOIN {p} d ON e.dst = d.id
+  GROUP BY e.src HAVING count(*) >= {k}
+)""")
+    parts.append(f"\nSELECT id FROM a{rounds} ORDER BY id")
+    return _materialized("WITH " + "".join(parts))
+
+
+def assortativity_sql() -> str:
+    _sql = f"""WITH {COPURCHASE_CTE},
+od AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+idg AS (SELECT dst AS id, count(*) AS d FROM edges GROUP BY dst)
+SELECT ROUND(corr(CAST(sx.d AS DOUBLE), CAST(dy.d AS DOUBLE)),
+             {FLOAT_DECIMALS}) AS assortativity
+FROM edges e JOIN od sx ON e.src = sx.id JOIN idg dy ON e.dst = dy.id"""
+    return _materialized(_sql)
+
+
+def avg_degree_connectivity_sql() -> str:
+    _sql = f"""WITH {COPURCHASE_CTE},
+od AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+idg AS (SELECT dst AS id, count(*) AS d FROM edges GROUP BY dst)
+SELECT sx.d AS deg, ROUND(AVG(CAST(dy.d AS DOUBLE)), {FLOAT_DECIMALS}) AS avg_nbr_deg
+FROM edges e JOIN od sx ON e.src = sx.id JOIN idg dy ON e.dst = dy.id
+GROUP BY sx.d"""
+    return _materialized(_sql)
+
+
+def eigenvector_sql(rounds: int = 5) -> str:
+    """Fixed-round power iteration with per-round L2 normalization —
+    mirrors algorithms/centrality.py::_power_iteration (tol=None)."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             ",\nnv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+             ",\nx0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS x FROM verts)"]
+    for r in range(1, rounds + 1):
+        p = f"x{r-1}"
+        parts.append(f""",
+raw{r} AS (
+  SELECT v.id, COALESCE(m.s, 0.0) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.x) AS s
+    FROM edges e JOIN {p} p ON e.src = p.id GROUP BY e.dst
+  ) m ON v.id = m.id
+),
+nrm{r} AS (SELECT SQRT(SUM(x * x)) AS t FROM raw{r}),
+x{r} AS (SELECT id, x / (SELECT CASE WHEN t = 0 THEN 1.0 ELSE t END FROM nrm{r}) AS x
+         FROM raw{r})""")
+    parts.append(
+        f"\nSELECT id, ROUND(x, {FLOAT_DECIMALS}) AS x FROM x{rounds} ORDER BY id"
+    )
+    return _materialized("WITH " + "".join(parts))
+
+
+def katz_sql(rounds: int = 5, alpha: float = 0.1, beta: float = 1.0) -> str:
+    """Un-normalized Katz recurrence, single final L2 normalization —
+    mirrors algorithms/centrality.py::katz_centrality."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             ",\nx0 AS (SELECT id, 0.0 AS x FROM verts)"]
+    for r in range(1, rounds + 1):
+        p = f"x{r-1}"
+        parts.append(f""",
+x{r} AS (
+  SELECT v.id, {alpha} * COALESCE(m.s, 0.0) + {beta} AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.x) AS s
+    FROM edges e JOIN {p} p ON e.src = p.id GROUP BY e.dst
+  ) m ON v.id = m.id
+)""")
+    parts.append(f""",
+fin AS (SELECT SQRT(SUM(x * x)) AS t FROM x{rounds})
+SELECT id, ROUND(x / (SELECT CASE WHEN t = 0 THEN 1.0 ELSE t END FROM fin),
+                 {FLOAT_DECIMALS}) AS x
+FROM x{rounds} ORDER BY id""")
+    return _materialized("WITH " + "".join(parts))
+
+
+def hits_sql(rounds: int = 3) -> str:
+    """Fixed-round HITS, sum-normalized each half-step — mirrors
+    algorithms/centrality.py::hits."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             ",\nnv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+             ",\nh0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS hub FROM verts)"]
+    for r in range(1, rounds + 1):
+        hp = f"h{r-1}"
+        parts.append(f""",
+ar{r} AS (
+  SELECT v.id, COALESCE(m.s, 0.0) AS a
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.hub) AS s
+    FROM edges e JOIN {hp} p ON e.src = p.id GROUP BY e.dst
+  ) m ON v.id = m.id
+),
+asum{r} AS (SELECT SUM(a) AS t FROM ar{r}),
+a{r} AS (SELECT id, a / (SELECT CASE WHEN t = 0 THEN 1.0 ELSE t END FROM asum{r}) AS auth
+         FROM ar{r}),
+hr{r} AS (
+  SELECT v.id, COALESCE(m.s, 0.0) AS h
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS id, SUM(p.auth) AS s
+    FROM edges e JOIN a{r} p ON e.dst = p.id GROUP BY e.src
+  ) m ON v.id = m.id
+),
+hsum{r} AS (SELECT SUM(h) AS t FROM hr{r}),
+h{r} AS (SELECT id, h / (SELECT CASE WHEN t = 0 THEN 1.0 ELSE t END FROM hsum{r}) AS hub
+         FROM hr{r})""")
+    parts.append(f"""
+SELECT h.id, ROUND(h.hub, {FLOAT_DECIMALS}) AS hub,
+       ROUND(a.auth, {FLOAT_DECIMALS}) AS auth
+FROM h{rounds} h JOIN a{rounds} a ON h.id = a.id ORDER BY h.id""")
+    return _materialized("WITH " + "".join(parts))
+
+
+def path_expand_sql(mod: int = 50) -> str:
+    """1..2-hop ARBITRARY paths from starts (id % mod == 0) — one row per
+    path, matching operators/traversal.py::path_expand(end_v)."""
+    _sql = f"""WITH {COPURCHASE_CTE},
+starts AS (SELECT id FROM verts WHERE id % {mod} = 0),
+h1 AS (
+  SELECT s.id AS start, e.dst AS v, 1 AS hops
+  FROM starts s JOIN edges e ON e.src = s.id
+),
+h2 AS (
+  SELECT h1.start, e.dst AS v, 2 AS hops
+  FROM h1 JOIN edges e ON e.src = h1.v
+)
+SELECT start, v, hops FROM h1 UNION ALL SELECT start, v, hops FROM h2"""
+    return _materialized(_sql)

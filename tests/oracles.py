@@ -150,3 +150,75 @@ def symmetrize(edges):
             s.add((a, b))
             s.add((b, a))
     return sorted(s)
+
+
+# ------------------------------------------------------------------ #
+# oracles for the breadth algorithms (SURVEY.md §2.2 remaining registry)
+# ------------------------------------------------------------------ #
+
+
+def oracle_sssp(edges_w, vertices, source):
+    """Dijkstra. ``edges_w`` = [(src, dst, w)] directed."""
+    import heapq
+
+    adj = defaultdict(list)
+    for s, d, w in edges_w:
+        adj[s].append((d, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return {v: dist.get(v) for v in vertices}
+
+
+def oracle_clustering(edges, vertices):
+    """Per-vertex clustering coefficient on the simple undirected graph."""
+    tri = oracle_triangles(edges, vertices)
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    out = {}
+    for v in vertices:
+        d = len(adj[v])
+        out[v] = 2.0 * tri[v] / (d * (d - 1)) if d >= 2 else 0.0
+    return out
+
+
+def oracle_kcore(edges, vertices, k):
+    """Vertex set of the k-core (undirected simple graph)."""
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    alive = set(vertices)
+    changed = True
+    while changed:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        changed = bool(drop)
+        alive -= drop
+    return alive
+
+
+def oracle_core_number(edges, vertices):
+    """shell index per vertex = max k with v in k-core."""
+    shell = {v: 0 for v in vertices}
+    k = 1
+    alive = set(vertices)
+    while alive:
+        alive = oracle_kcore(edges, [v for v in alive], k)
+        for v in alive:
+            shell[v] = k
+        k += 1
+        if k > len(vertices):
+            break
+    return shell

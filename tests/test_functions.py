@@ -1,0 +1,192 @@
+"""Pipeline-operator tests over the driver's documents/embeddings tables:
+exact dedup, MinHash/LSH (planted near-dups recovered), SimHash, n-gram
+Jaccard, ANN brute-force vs numpy oracle, LSH recall, text analysis parity
+vs python oracles, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions import (
+    ann_brute_force, ann_lsh, dedup_exact, doc_stats, documents_as_media,
+    embedding_neardup_pairs, fake_decode_meta, fingerprint, frame_sample_plan,
+    lang_id, media_metadata, minhash_lsh_pairs, minhash_signatures,
+    ngram_jaccard_pairs, quality_score, simhash64, simhash_neardup_pairs,
+)
+from graphscope_spark.functions.text import STOPWORDS
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents ∪ planted near/exact duplicates with doc_id offset 1M."""
+    base = docs.limit(20)
+    exact = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        "text", "lang", "source", "n_chars")
+    # near-dup: append two tokens
+    near = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(exact).unionByName(near).cache()
+
+
+def test_dedup_exact(docs_with_dups, docs):
+    survivors = dedup_exact(docs_with_dups)
+    n_docs = docs.count()
+    # every planted exact dup collapses onto its original (min id)
+    assert survivors.count() == n_docs + 20  # near-dups survive exact dedup
+    assert survivors.filter(F.col("doc_id") >= 1_000_000).count() == 20
+
+
+def test_minhash_lsh_finds_planted_dups(docs_with_dups):
+    pairs = minhash_lsh_pairs(docs_with_dups, verify_threshold=0.8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # all 20 exact pairs must be found (jaccard 1.0, identical signatures)
+    for i in range(20):
+        assert any(a == i and b == i + 1_000_000 for a, b in got), i
+    # most near-dup pairs too (jaccard just below 1)
+    near_found = sum(
+        1 for i in range(20) if any(a == i and b == i + 2_000_000 for a, b in got)
+    )
+    assert near_found >= 15
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = minhash_signatures(docs.limit(10)).collect()
+    s2 = minhash_signatures(docs.limit(10)).collect()
+    assert {r["doc_id"]: r["sig"] for r in s1} == {r["doc_id"]: r["sig"] for r in s2}
+
+
+def test_ngram_jaccard(docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups.filter(
+        (F.col("doc_id") < 20) | (F.col("doc_id") >= 1_000_000)
+    ), threshold=0.9)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    for i in range(20):
+        assert math.isclose(got[(i, i + 1_000_000)], 1.0)
+
+
+def test_simhash_properties(docs_with_dups):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs_with_dups).collect()}
+    # exact dups → identical simhash; near-dups → small hamming distance
+    for i in range(20):
+        assert sh[i] == sh[i + 1_000_000]
+        ham = bin((sh[i] ^ sh[i + 2_000_000]) & (2**64 - 1)).count("1")
+        assert ham <= 12, (i, ham)
+    pairs = simhash_neardup_pairs(docs_with_dups, max_hamming=3)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    for i in range(20):
+        assert (i, i + 1_000_000) in got
+
+
+def test_ann_brute_force_vs_numpy(emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ann_brute_force(emb, queries, k=10)
+    res = {}
+    for r in got.collect():
+        res.setdefault(r["query_id"], []).append((r["neighbor_id"], r["score"]))
+    sims = mat @ mat.T
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        order = sorted(
+            [(int(i), round(float(s), 6)) for i, s in zip(ids, sims[qi]) if i != q],
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        assert res[q] == order, q
+
+
+def test_ann_lsh_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = ann_brute_force(emb, queries, k=5)
+    approx = ann_lsh(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, recall  # multi-table sign-LSH on random vectors
+
+
+def test_embedding_neardup_symmetry(emb):
+    pairs = embedding_neardup_pairs(emb, threshold=0.9, n_planes=4, n_tables=4)
+    rows = pairs.collect()
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert r["score"] >= 0.9
+
+
+def test_text_stats_vs_python(docs):
+    got = {r["doc_id"]: r for r in doc_stats(docs.limit(50)).collect()}
+    for row in docs.limit(50).collect():
+        toks = row["text"].strip().split()
+        g = got[row["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        assert g["n_chars"] == len(row["text"])
+        sw = sum(1 for t in toks if t in STOPWORDS["en"])
+        assert abs(g["stopword_ratio"] - round(sw / len(toks), 6)) < 1e-9
+        punct = len(re.findall(r"[\.,;:!\?]", row["text"]))
+        assert abs(g["punct_ratio"] - round(punct / len(row["text"]), 6)) < 1e-9
+
+
+def test_quality_and_lang_deterministic(docs):
+    q1 = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    q2 = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert q1 == q2
+    assert all(0.0 <= v <= 1.0 for v in q1.values())
+    langs = {r["lang_guess"] for r in lang_id(docs).collect()}
+    assert langs <= set(STOPWORDS)
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
+
+
+def test_multimodal_plumbing(docs):
+    media = documents_as_media(docs.limit(30))
+    meta = media_metadata(media)
+    rows = meta.collect()
+    assert len(rows) == 30
+    by_id = {r["media_id"]: r for r in rows}
+    src = {r["doc_id"]: r["text"] for r in docs.limit(30).collect()}
+    for mid, r in by_id.items():
+        assert r["sha256"] == hashlib.sha256(src[mid].encode()).hexdigest()
+        assert r["n_bytes"] == len(src[mid].encode())
+    dec = fake_decode_meta(media).collect()
+    assert len(dec) == 30
+    for r in dec:
+        assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080
+    # determinism of the fake decode
+    dec2 = fake_decode_meta(media).collect()
+    assert sorted(map(tuple, dec)) == sorted(map(tuple, dec2))
+    plan = frame_sample_plan(media, every_n=60)
+    assert plan.filter(F.col("frame_idx") % 60 != 0).count() == 0
+
+
+def test_decode_stub_raises():
+    from graphscope_spark.functions.multimodal import decode_image
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,142 @@
+"""GIE operator-surface tests: traversal operators vs python oracles on the
+fixture graph; relational wrappers sanity (semantics delegated to Spark)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.operators import (
+    dedup, edge_expand, expand_intersect, get_v, group_by, join, limit,
+    order_by, path_expand, project, sample, select, unfold, union,
+)
+from tests.oracles import make_test_graph
+
+
+@pytest.fixture(scope="module")
+def graph_data():
+    return make_test_graph()
+
+
+@pytest.fixture(scope="module")
+def g(spark, graph_data):
+    vertices, edges = graph_data
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    return Graph(e, v, directed=True, num_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def adj(graph_data):
+    _, edges = graph_data
+    out = defaultdict(set)
+    inn = defaultdict(set)
+    for s, d in edges:
+        out[s].add(d)
+        inn[d].add(s)
+    return out, inn
+
+
+def _starts(spark, ids):
+    return spark.createDataFrame([(x,) for x in ids], "v long")
+
+
+def test_edge_expand_out_in_both(spark, g, adj):
+    out, inn = adj
+    starts = [7, 10, 13]
+    frame = _starts(spark, starts)
+    got_out = sorted((r["v"]) for r in edge_expand(frame, g, "out").collect())
+    want_out = sorted(v for s in starts for v in out[s])
+    assert got_out == want_out
+    got_in = sorted(r["v"] for r in edge_expand(frame, g, "in").collect())
+    want_in = sorted(v for s in starts for v in inn[s])
+    assert got_in == want_in
+    got_both = sorted(r["v"] for r in edge_expand(frame, g, "both").collect())
+    want_both = sorted(
+        [v for s in starts for v in out[s]] + [v for s in starts for v in inn[s]]
+    )
+    assert got_both == want_both
+
+
+def test_get_v(spark, g, graph_data):
+    _, edges = graph_data
+    frame = _starts(spark, [7]).alias("f")
+    edge_frame = edge_expand(frame, g, "out", expand_e=True)
+    ends = sorted(r["v"] for r in get_v(edge_frame.drop("v"), "end").collect())
+    assert ends == sorted(d for s, d in edges if s == 7)
+
+
+def test_path_expand_arbitrary_vs_oracle(spark, g, adj):
+    out, _ = adj
+    res = path_expand(_starts(spark, [7]), g, min_hops=1, max_hops=2)
+    got = sorted((r["v"], r["hops"]) for r in res.collect())
+    want = []
+    for v1 in out[7]:
+        want.append((v1, 1))
+        for v2 in out[v1]:
+            want.append((v2, 2))
+    assert got == sorted(want)
+
+
+def test_path_expand_simple_excludes_revisits(spark, g, adj):
+    out, _ = adj
+    res = path_expand(_starts(spark, [7]), g, 1, 3, path_opt="simple",
+                      result_opt="all_v")
+    rows = res.collect()
+    for r in rows:
+        assert len(r["path"]) == len(set(r["path"]))  # no vertex revisited
+    # oracle count at hop ≤ 3
+    want = 0
+    stack = [(7, (7,))]
+    while stack:
+        v, path = stack.pop()
+        if len(path) - 1 >= 1:
+            want += 1
+        if len(path) - 1 == 3:
+            continue
+        for n in out[v]:
+            if n not in path:
+                stack.append((n, path + (n,)))
+    assert len(rows) == want
+
+
+def test_expand_intersect_closes_triangles(spark, g, graph_data):
+    """Common out-neighbors of the K5 pair — pattern-match primitive."""
+    _, edges = graph_data
+    k5 = [3 * i + 7 for i in range(10, 15)]
+    a, b = k5[0], k5[1]
+    frame = spark.createDataFrame([(a, b)], "x long, y long")
+    res = expand_intersect(frame, g, ["x", "y"], direction="both")
+    got = sorted(set(r["v"] for r in res.collect()))
+    out = defaultdict(set)
+    for s, d in edges:
+        out[s].add(d)
+        out[d].add(s)
+    assert got == sorted(out[a] & out[b])
+    assert set(k5[2:]) <= set(got)
+
+
+def test_relational_wrappers(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30), (3, "a", 30)],
+        "id long, k string, x long",
+    )
+    assert select(df, F.col("x") > 15).count() == 3
+    assert project(df, "id").columns == ["id"]
+    assert dedup(df).count() == 3
+    assert limit(df, 2).count() == 2
+    agg = {r["k"]: r["s"] for r in
+           group_by(df, ["k"], [F.sum("x").alias("s")]).collect()}
+    assert agg == {"a": 70, "b": 20}
+    top = order_by(df, [F.col("x").desc()], limit_n=1).collect()
+    assert top[0]["x"] == 30
+    other = spark.createDataFrame([(1, "z")], "id long, v string")
+    assert join(df, other, "id", "semi").count() == 1
+    assert join(df, other, "id", "anti").count() == 3
+    assert union(df.select("id"), other.select("id")).count() == 5
+    arr = spark.createDataFrame([(1, [1, 2, 3])], "id long, xs array<long>")
+    assert unfold(arr, "xs").count() == 3
+    assert sample(df, 0.5, seed=1).count() <= 4
