@@ -202,6 +202,40 @@ def _q_hits(spark, sf_dir):
     )
 
 
+def _q_closeness(spark, sf_dir):
+    g = tg.copurchase_graph(spark, sf_dir)
+    sources = g.vertices.filter(F.col("id") % 20 == 0)
+    from graphscope_spark.algorithms.paths import closeness_centrality
+    return closeness_centrality(g, sources).select(
+        "id", F.round("closeness", RD).alias("closeness")
+    )
+
+
+def _q_apsp(spark, sf_dir):
+    """Sampled-source APSP slice (id % 10 == 0) — full APSP is the same
+    substrate (tests/test_paths.py runs it exactly on the fixture); the
+    sample keeps the gate run time bounded."""
+    g = tg.copurchase_graph(spark, sf_dir)
+    from graphscope_spark.algorithms.paths import multi_source_bfs
+    sources = g.vertices.filter(F.col("id") % 10 == 0)
+    return multi_source_bfs(g, sources).select("src", "id", "dist")
+
+
+def _q_betweenness(spark, sf_dir):
+    g = tg.copurchase_graph(spark, sf_dir)
+    sources = g.vertices.filter(F.col("id") % 20 == 0)
+    from graphscope_spark.algorithms.paths import betweenness_centrality
+    return betweenness_centrality(g, sources).select(
+        "id", F.round("betweenness", RD).alias("betweenness")
+    )
+
+
+def _q_flash_cc(spark, sf_dir):
+    from graphscope_spark.flash import flash_cc
+    g = tg.copurchase_graph(spark, sf_dir)
+    return flash_cc(g)
+
+
 def _q_path_expand(spark, sf_dir):
     g = tg.copurchase_graph(spark, sf_dir)
     starts = g.vertices.filter(F.col("id") % 50 == 0).select(F.col("id").alias("v"))
@@ -329,6 +363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector": _q_eigenvector,
         "katz": _q_katz,
         "hits": _q_hits,
+        "closeness": _q_closeness,
+        "apsp": _q_apsp,
+        "betweenness": _q_betweenness,
+        "flash_cc": _q_flash_cc,
         "path_expand": _q_path_expand,
         # corpus input path (north rule)
         "repo_edges": _q_repo_edges,
@@ -373,6 +411,10 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector": tg.eigenvector_sql(rounds=5),
         "katz": tg.katz_sql(rounds=5),
         "hits": tg.hits_sql(rounds=3),
+        "closeness": tg.closeness_sql(mod=20),
+        "apsp": tg.apsp_sql(mod=10),
+        # betweenness omitted: per-level backward joins, data-dependent depth
+        "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "path_expand": tg.path_expand_sql(mod=50),
         # repo_* omitted: pandas-UDF extraction has no SQL twin
         "doc_stats": do.doc_stats_sql(),

@@ -42,7 +42,8 @@ def pagerank(
     run_id: str | None = None,
     resume: bool = False,
 ) -> SuperstepResult:
-    """Returns SuperstepResult whose state is ``(id: long, rank: double)``.
+    """Returns SuperstepResult whose state is ``(id: long, rank: double,
+    out_deg: long)`` (out_deg rides along so no per-round degree join).
 
     ``tol=None`` reproduces the fixed-round app; ``tol`` set reproduces
     pagerank_nx L1 convergence (alpha=0.85, max_iter=100, tol=1e-6 defaults
@@ -54,54 +55,61 @@ def pagerank(
         empty = spark.createDataFrame([], "id long, rank double")
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
-    # degrees and edges stay pinned (the fragment in vineyard analog);
-    # out_deg drives both the contribution divide and the dangling set.
-    deg = g.degrees.select("id", "out_deg")
+    # out_deg is static per vertex, so it rides IN the state row — the
+    # per-round state⋈degrees joins disappear (the reference likewise
+    # fuses out-degree into PEval once, benchmarks/apps/pagerank/
+    # pagerank.h PEval, and never re-fetches it).
     edges = g.out_edges.select("src", "dst")
-
-    init = g.vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    init = (
+        g.vertices.select("id")
+        .join(g.degrees.select("id", "out_deg"), "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+        )
+    )
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        # scalar "allreduce" #1: dangling mass of the current ranks —
-        # carried as a broadcast 1-row aggregate crossJoined into the
-        # update, NOT collected to the driver: a fixed-round run therefore
-        # issues NO action per round (the whole multi-round plan pipelines
-        # until the kernel's periodic localCheckpoint), the Spark analog of
-        # the reference overlapping communication with compute.
+        # scalar "allreduce": dangling mass of the current ranks, one
+        # collected aggregate per round — the grape::Communicator Sum of
+        # pagerank_networkx.h:85. This action also materializes the
+        # (persisted) previous round exactly once, keeping per-round cost
+        # linear; expressing it as a broadcast subquery instead lets the
+        # branches of each round's plan recompute the state chain.
         # Recomputed from state (not a driver variable) so a resumed run
         # matches an uninterrupted one.
-        dang = (
-            state.join(deg, "id")
-            .filter(F.col("out_deg") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        dangling_sum = (
+            state.filter(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
         )
-
-        contribs = (
-            state.join(deg, "id")
-            .filter(F.col("out_deg") > 0)
-            .select("id", (F.col("rank") / F.col("out_deg")).alias("contrib"))
+        base = (1.0 - alpha) / n + alpha * dangling_sum / n
+        contribs = state.filter(F.col("out_deg") > 0).select(
+            F.col("id").alias("src"),
+            (F.col("rank") / F.col("out_deg")).alias("contrib"),
         )
         # the message exchange: one shuffle of contribs onto edge.src
         # partitioning, then the groupBy(dst) partial-aggregates map-side
         # (Spark hash agg = the Pregel combiner, pagerank_pregel.h:85-95).
         msgs = (
-            edges.join(contribs.withColumnRenamed("id", "src"), "src")
+            edges.join(contribs, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("contrib").alias("gathered"))
         )
+        # the join on id re-partitions the new state by id; no extra
+        # repartition exchange needed.
         return (
-            state.select("id")
+            state.select("id", "out_deg")
             .join(msgs, "id", "left")
-            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit(alpha) * F.coalesce(F.col("gathered"), F.lit(0.0))
-                    + F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha) * F.col("_dang") / F.lit(float(n))
+                    + F.lit(base)
                 ).alias("rank"),
+                "out_deg",
             )
-            .repartition(g.num_partitions, "id")
         )
 
     metrics_fn = None

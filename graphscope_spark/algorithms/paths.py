@@ -1,0 +1,225 @@
+"""Multi-source shortest-path substrate + closeness / betweenness / APSP.
+
+Reference semantics:
+* closeness_centrality (apps/centrality/closeness/closeness_centrality.h:
+  1-143): wf_improved — C(v) = ((r−1)/(n−1)) · ((r−1)/Σ_u d(u,v)) over the
+  r vertices that reach v; per-source BFS/SSSP sweeps.
+* all_pairs_shortest_path_length (apps/apsp/all_pairs_shortest_path_
+  length.h:1-144): n × SSSP.
+* betweenness_centrality (apps/centrality/betweenness/*.h, Brandes):
+  forward BFS counting σ shortest paths per (source, vertex), then
+  per-level backward dependency accumulation
+  δ(v) = Σ_{w: v∈pred(w)} σ_v/σ_w · (1 + δ_w).
+
+Spark re-expression — ONE batched loop for ALL sources (instead of the
+reference's per-source sweep): state is keyed (src, id), a frontier round
+expands every source's frontier in a single join+groupBy. Shuffle volume
+is Σ_src |frontier_src| per round — the same total work as n sweeps but in
+`diameter` Spark stages instead of n×diameter, which is the difference
+between usable and not on a cluster (stage launch overhead amortizes over
+sources). ``sources=None`` means exact (all vertices); a sampled subset
+gives the standard Brandes/closeness source-sampling approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import Graph
+
+
+def _edges_for(g: Graph, directed: bool | None = None) -> DataFrame:
+    e = g.edges.select("src", "dst")
+    if directed is False or (directed is None and not g.directed):
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return e
+
+
+def multi_source_bfs(
+    g: Graph,
+    sources: DataFrame | None = None,
+    max_iter: int = 10_000,
+    with_sigma: bool = False,
+) -> DataFrame:
+    """(src, id, dist[, sigma]) for every reached pair — levelized batched
+    BFS from all ``sources`` at once (sources: df with column id; None =
+    all vertices). ``with_sigma`` also counts shortest paths per pair
+    (σ, the forward pass of Brandes)."""
+    spark = g.spark
+    edges = _edges_for(g).repartition(g.num_partitions, "src").persist()
+    if sources is None:
+        sources = g.vertices.select("id")
+    cols = [F.col("id").alias("src"), F.col("id"), F.lit(0).alias("dist")]
+    if with_sigma:
+        cols.append(F.lit(1.0).alias("sigma"))
+    f0 = sources.select(*cols).repartition(g.num_partitions, "id").persist()
+    f0.count()
+    # one cached df per BFS level; "settled" is their LAZY union — narrow
+    # over cached parents, so the per-round anti-join reads cache without
+    # ever copying the accumulated pair set (copying it every round is
+    # quadratic in rounds).
+    frontiers: list[DataFrame] = [f0]
+    frontier = f0
+
+    def settled_view() -> DataFrame:
+        out = frontiers[0].select("src", "id")
+        for fdf in frontiers[1:]:
+            out = out.union(fdf.select("src", "id"))
+        return out
+
+    rnd = 0
+    while True:
+        rnd += 1
+        if rnd > max_iter:
+            break
+        agg = [F.min(F.lit(rnd)).alias("dist")]
+        if with_sigma:
+            agg.append(F.sum("sigma").alias("sigma"))
+        expanded = (
+            frontier.withColumnRenamed("id", "u")
+            .join(edges.withColumnRenamed("src", "u"), "u")
+            .groupBy("src", F.col("dst").alias("id"))
+            .agg(*agg)
+        )
+        # eager localCheckpoint EVERY round: truncates the new level's
+        # logical plan to a flat RDD. With persist() alone each level's
+        # plan embeds every earlier level's plan (the anti-join side), so
+        # plan size grows exponentially with rounds and the driver dies
+        # building plan strings long before any data is large.
+        nxt = expanded.join(
+            settled_view(), ["src", "id"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        frontiers.append(nxt)
+        frontier = nxt
+    result = frontiers[0]
+    for fdf in frontiers[1:]:
+        result = result.union(fdf)
+    # snapshot, then release every level cache — callers iterate over the
+    # result many times (closeness agg, betweenness backward levels) and
+    # the per-level caches would otherwise pile up across calls until the
+    # driver JVM OOMs.
+    result = result.localCheckpoint(eager=True)
+    for fdf in frontiers:
+        fdf.unpersist()
+    edges.unpersist()
+    return result
+
+
+def all_pairs_shortest_path_length(g: Graph, max_iter: int = 10_000) -> DataFrame:
+    """(src, id, dist) — APSP lengths (reached pairs only), the
+    all_pairs_shortest_path_length.h surface."""
+    return multi_source_bfs(g, None, max_iter)
+
+
+def closeness_centrality(
+    g: Graph, sources: DataFrame | None = None, wf_improved: bool = True
+) -> DataFrame:
+    """(id, closeness) — closeness over incoming shortest paths from
+    ``sources`` (exact when sources=None). wf_improved scales by the
+    reached fraction (closeness_centrality.h / networkx)."""
+    n = g.num_vertices
+    pairs = multi_source_bfs(g, sources)
+    into = (
+        pairs.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("dist").alias("total"))
+    )
+    c = F.col("r") / F.col("total")
+    if wf_improved:
+        c = c * F.col("r") / F.lit(float(max(n - 1, 1)))
+    return (
+        g.vertices.select("id")
+        .join(into, "id", "left")
+        .select("id", F.coalesce(c, F.lit(0.0)).alias("closeness"))
+    )
+
+
+def betweenness_centrality(
+    g: Graph,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """(id, betweenness) — Brandes: batched forward σ pass, then per-level
+    backward dependency accumulation (betweenness/*.h). Exact with
+    sources=None; source-sampled approximation otherwise (scaled by
+    n/|sources|)."""
+    spark = g.spark
+    n = g.num_vertices
+    edges = _edges_for(g).persist()
+    fwd = multi_source_bfs(g, sources, max_iter, with_sigma=True).persist()
+    n_sources = (
+        fwd.filter(F.col("dist") == 0).select("src").distinct().count()
+    )
+    max_d = fwd.agg(F.max("dist")).first()[0] or 0
+
+    # delta starts 0 for every settled pair
+    delta = fwd.select("src", "id", "dist", "sigma", F.lit(0.0).alias("delta"))
+    delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
+    for lev in range(int(max_d), 0, -1):
+        w = delta.filter(F.col("dist") == lev).select(
+            "src",
+            F.col("id").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        # contributions flow backward along edges v→w where dist_v = lev-1
+        # (edge endpoints renamed v/w up front so the traversal source
+        # column "src" never clashes with the edge's src)
+        contrib = (
+            w.join(
+                edges.select(F.col("src").alias("v"), F.col("dst").alias("w")), "w"
+            )
+            .join(
+                delta.filter(F.col("dist") == lev - 1)
+                .select("src", F.col("id").alias("v"), F.col("sigma").alias("sigma_v")),
+                ["src", "v"],
+            )
+            .groupBy("src", F.col("v").alias("id"))
+            .agg(
+                F.sum(
+                    F.col("sigma_v") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                ).alias("dd")
+            )
+        )
+        new_delta = (
+            delta.join(contrib, ["src", "id"], "left")
+            .select(
+                "src", "id", "dist", "sigma",
+                (F.col("delta") + F.coalesce(F.col("dd"), F.lit(0.0))).alias("delta"),
+            )
+            # eager every level: the backward update references delta three
+            # times, so plans nest exponentially without truncation
+            .localCheckpoint(eager=True)
+        )
+        delta.unpersist()
+        delta = new_delta
+
+    bc = (
+        delta.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum("delta").alias("b"))
+    )
+    scale = 1.0
+    if n_sources and n_sources < n:
+        scale *= n / float(n_sources)  # source-sampling extrapolation
+    if not g.directed:
+        scale *= 0.5  # each undirected pair counted from both endpoints
+    if normalized:
+        denom = (n - 1) * (n - 2) if g.directed else (n - 1) * (n - 2) / 2.0
+        scale /= denom if denom else 1.0
+    out = (
+        g.vertices.select("id")
+        .join(bc, "id", "left")
+        .select("id", (F.coalesce(F.col("b"), F.lit(0.0)) * F.lit(scale)).alias("betweenness"))
+        .localCheckpoint(eager=True)  # snapshot so the caches below can go
+    )
+    delta.unpersist()
+    edges.unpersist()
+    fwd.unpersist()
+    return out

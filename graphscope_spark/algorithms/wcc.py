@@ -36,25 +36,26 @@ def wcc(
     """Returns state ``(id: long, comp: long, changed: boolean)``; ``comp``
     is the min reachable vertex id. Callers typically select(id, comp)."""
     spark = g.spark
-    edges = g.out_edges.select("src", "dst")
+    # both directions, symmetrized ONCE outside the loop — weak
+    # connectivity ignores orientation (wcc_projected.h:92-106 iterates
+    # out- then in-adjacency; one pre-built union table costs one join per
+    # round instead of two).
+    e = g.out_edges.select("src", "dst")
+    both = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).repartition(g.num_partitions, "src").persist()
 
     init = g.vertices.select(
         "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
     )
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        frontier = state.filter("changed").select("id", "comp")
-        # both directions — weak connectivity ignores orientation
-        # (wcc_projected.h:92-106 iterates out- then in-adjacency).
-        out_msgs = edges.join(
-            frontier.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "comp")
-        in_msgs = edges.join(
-            frontier.withColumnRenamed("id", "dst"), "dst"
-        ).select(F.col("src").alias("id"), "comp")
+        frontier = state.filter("changed").select(
+            F.col("id").alias("src"), "comp"
+        )
         mins = (
-            out_msgs.union(in_msgs)
-            .groupBy("id")
+            both.join(frontier, "src")
+            .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("cand"))
         )
         return (
@@ -67,7 +68,6 @@ def wcc(
                 (F.coalesce(F.col("cand"), F.col("comp")) < F.col("comp"))
                 .alias("changed"),
             )
-            .repartition(g.num_partitions, "id")
         )
 
     def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
@@ -84,5 +84,7 @@ def wcc(
         checkpoint_every=checkpoint_every,
         run_id=run_id,
     )
-    return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
-                      should_stop=should_stop, resume=resume)
+    res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                     should_stop=should_stop, resume=resume)
+    both.unpersist()
+    return res

@@ -514,3 +514,51 @@ h2 AS (
 )
 SELECT start, v, hops FROM h1 UNION ALL SELECT start, v, hops FROM h2"""
     return _materialized(_sql)
+
+
+# ---------------------------------------------------------------------- #
+# multi-source BFS oracles: closeness / APSP (algorithms/paths.py)
+# ---------------------------------------------------------------------- #
+
+
+def _msbfs_cte(rounds: int, source_filter: str) -> str:
+    """Unrolled multi-source BFS: state (src, id, dist) relaxed ``rounds``
+    times — the SQL twin of algorithms/paths.py::multi_source_bfs."""
+    parts = [f",\nd0 AS (SELECT id AS src, id, 0 AS dist FROM verts {source_filter})"]
+    for k in range(1, rounds + 1):
+        p = f"d{k-1}"
+        parts.append(f""",
+d{k} AS (
+  SELECT src, id, MIN(dist) AS dist FROM (
+    SELECT src, id, dist FROM {p}
+    UNION ALL
+    SELECT p.src, e.dst AS id, p.dist + 1 AS dist
+    FROM edges e JOIN {p} p ON e.src = p.id
+  ) u GROUP BY src, id
+)""")
+    return "".join(parts)
+
+
+def closeness_sql(mod: int = 20, rounds: int = WCC_ROUNDS) -> str:
+    """wf_improved closeness from sampled sources (id % mod == 0):
+    C(v) = (r/Σd) · (r/(n−1)) over incoming pair distances."""
+    _sql = f"""WITH {COPURCHASE_CTE}{_msbfs_cte(rounds, f"WHERE id % {mod} = 0")},
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+agg AS (
+  SELECT id, count(*) AS r, SUM(dist) AS total
+  FROM d{rounds} WHERE dist > 0 GROUP BY id
+)
+SELECT v.id,
+       ROUND(COALESCE((a.r / CAST(a.total AS DOUBLE))
+             * (a.r / ((SELECT n FROM nv) - 1)), 0.0), {FLOAT_DECIMALS}) AS closeness
+FROM verts v LEFT JOIN agg a ON v.id = a.id"""
+    return _materialized(_sql)
+
+
+def apsp_sql(rounds: int = WCC_ROUNDS, mod: int | None = None) -> str:
+    """(src, id, dist) for every reached pair; ``mod`` samples sources
+    (id % mod == 0) to bound gate runtime."""
+    filt = f"WHERE id % {mod} = 0" if mod else ""
+    _sql = f"""WITH {COPURCHASE_CTE}{_msbfs_cte(rounds, filt)}
+SELECT src, id, dist FROM d{rounds}"""
+    return _materialized(_sql)

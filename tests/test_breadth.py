@@ -91,7 +91,7 @@ def test_eigenvector_fixed_point(g, graph_data):
     """Implementation-independent check: the result is (approximately) an
     eigenvector of A^T with positive eigenvalue, L2-normalized."""
     vertices, edges = graph_data
-    res = eigenvector_centrality(g, max_iter=150, tol=1e-10)
+    res = eigenvector_centrality(g, max_iter=100, tol=1e-9)
     x = _as_dict(res.state, "id", "x")
     ids = sorted(vertices)
     idx = {v: i for i, v in enumerate(ids)}
@@ -109,7 +109,7 @@ def test_eigenvector_fixed_point(g, graph_data):
 def test_katz_closed_form(g, graph_data):
     vertices, edges = graph_data
     alpha, beta = 0.05, 1.0
-    res = katz_centrality(g, alpha=alpha, beta=beta, max_iter=200, tol=1e-12)
+    res = katz_centrality(g, alpha=alpha, beta=beta, max_iter=80, tol=1e-10)
     x = _as_dict(res.state, "id", "x")
     ids = sorted(vertices)
     idx = {v: i for i, v in enumerate(ids)}
@@ -125,7 +125,7 @@ def test_katz_closed_form(g, graph_data):
 
 def test_hits_fixed_point(g, graph_data):
     vertices, edges = graph_data
-    res = hits(g, max_iter=100, tol=1e-10)
+    res = hits(g, max_iter=60, tol=1e-9)
     hub = _as_dict(res.state, "id", "hub")
     auth = _as_dict(res.state, "id", "auth")
     assert abs(sum(hub.values()) - 1.0) < 1e-9

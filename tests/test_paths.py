@@ -1,0 +1,144 @@
+"""Multi-source BFS / closeness / betweenness / APSP / FLASH primitives vs
+driver-side oracles (python Brandes + BFS)."""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.algorithms.paths import (
+    all_pairs_shortest_path_length, betweenness_centrality,
+    closeness_centrality, multi_source_bfs,
+)
+from graphscope_spark.flash import flash_cc
+from graphscope_spark.graph import Graph
+from tests.oracles import make_test_graph, oracle_wcc
+
+
+@pytest.fixture(scope="module")
+def graph_data():
+    # small slice with a SMALL diameter: the per-level Brandes backward
+    # pass and level-synchronous BFS cost one Spark job per level, so a
+    # long ring would make this suite diameter-bound, not data-bound.
+    vertices, edges = make_test_graph()
+    keep = set(v for v in vertices if v < 200)
+    edges = [(s, d) for s, d in edges if s in keep and d in keep]
+    # add a tiny disjoint ring (second component, diameter 11)
+    ring = [10_000 + i for i in range(12)]
+    edges += [(ring[i], ring[(i + 1) % 12]) for i in range(12)]
+    vertices = sorted(keep | set(ring))
+    return vertices, edges
+
+
+@pytest.fixture(scope="module")
+def g(spark, graph_data):
+    vertices, edges = graph_data
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    return Graph(e, v, directed=True, num_partitions=8)
+
+
+def _bfs_all(edges, vertices, directed=True):
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    dist = {}
+    for s in vertices:
+        dq = deque([(s, 0)])
+        seen = {s: 0}
+        while dq:
+            u, du = dq.popleft()
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = du + 1
+                    dq.append((v, du + 1))
+        for v, d in seen.items():
+            dist[(s, v)] = d
+    return dist
+
+
+def test_multi_source_bfs(g, graph_data, spark):
+    vertices, edges = graph_data
+    srcs = [v for v in vertices if v % 30 == 7]
+    sdf = spark.createDataFrame([(x,) for x in srcs], "id long")
+    got = {(r["src"], r["id"]): r["dist"]
+           for r in multi_source_bfs(g, sdf).collect()}
+    want_all = _bfs_all(edges, vertices)
+    want = {(s, v): d for (s, v), d in want_all.items() if s in set(srcs)}
+    assert got == want
+
+
+def test_apsp(g, graph_data):
+    vertices, edges = graph_data
+    got = {(r["src"], r["id"]): r["dist"]
+           for r in all_pairs_shortest_path_length(g).collect()}
+    assert got == _bfs_all(edges, vertices)
+
+
+def test_closeness_exact(g, graph_data):
+    vertices, edges = graph_data
+    n = len(vertices)
+    dist = _bfs_all(edges, vertices)
+    got = {r["id"]: r["closeness"] for r in closeness_centrality(g).collect()}
+    into = defaultdict(list)
+    for (s, v), d in dist.items():
+        if d > 0:
+            into[v].append(d)
+    for v in vertices:
+        ds = into.get(v, [])
+        want = (len(ds) / sum(ds)) * (len(ds) / (n - 1)) if ds else 0.0
+        assert abs(got[v] - want) < 1e-9, v
+
+
+def _brandes(edges, vertices, directed=True):
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    bc = {v: 0.0 for v in vertices}
+    for s in vertices:
+        order, pred = [], defaultdict(list)
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    pred[w].append(u)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+        # bc accumulates dependency of s on w
+    return bc
+
+
+def test_betweenness_exact(g, graph_data):
+    vertices, edges = graph_data
+    n = len(vertices)
+    want_raw = _brandes(edges, vertices)
+    denom = (n - 1) * (n - 2)
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_centrality(g, normalized=True).collect()}
+    for v in vertices:
+        assert abs(got[v] - want_raw[v] / denom) < 1e-9, v
+
+
+def test_flash_cc_matches_wcc(g, graph_data):
+    vertices, edges = graph_data
+    got = {r["id"]: r["comp"] for r in flash_cc(g).collect()}
+    assert got == oracle_wcc(edges, vertices)
