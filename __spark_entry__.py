@@ -230,6 +230,25 @@ def _q_betweenness(spark, sf_dir):
     )
 
 
+def _q_louvain(spark, sf_dir):
+    """Rows-only: community membership (deterministic here, but the
+    modularity-greedy fixed point has no tractable SQL twin; the reference
+    itself only smoke-tests louvain, test_app.py:218-228)."""
+    from graphscope_spark.algorithms import louvain
+    g = tg.copurchase_graph(spark, sf_dir)
+    comm, q = louvain(g, max_passes=2, max_move_rounds=6)
+    return comm
+
+
+def _q_sssp_path(spark, sf_dir):
+    """Rows-only: (id, dist, parent); min-parent tie-break documented in
+    algorithms/sssp.py (the reference excludes sssp_path from exact golden
+    match for the same diamond-tie reason, app_tests.sh:349-356)."""
+    from graphscope_spark.algorithms import sssp_path
+    g = tg.copurchase_graph(spark, sf_dir)
+    return sssp_path(g, _min_id(g)).state.select("id", "dist", "parent")
+
+
 def _q_flash_cc(spark, sf_dir):
     from graphscope_spark.flash import flash_cc
     g = tg.copurchase_graph(spark, sf_dir)
@@ -367,6 +386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp": _q_apsp,
         "betweenness": _q_betweenness,
         "flash_cc": _q_flash_cc,
+        "louvain": _q_louvain,
+        "sssp_path": _q_sssp_path,
         "path_expand": _q_path_expand,
         # corpus input path (north rule)
         "repo_edges": _q_repo_edges,

@@ -7,7 +7,12 @@ from graphscope_spark.algorithms.wcc import wcc  # noqa: F401
 from graphscope_spark.algorithms.cdlp import cdlp  # noqa: F401
 from graphscope_spark.algorithms.triangles import triangles, triangle_count  # noqa: F401
 from graphscope_spark.algorithms.sssp import (  # noqa: F401
-    bfs, sssp, sssp_average_length, sssp_has_path,
+    bfs, sssp, sssp_average_length, sssp_has_path, sssp_path,
+)
+from graphscope_spark.algorithms.louvain import louvain  # noqa: F401
+from graphscope_spark.algorithms.paths import (  # noqa: F401
+    all_pairs_shortest_path_length, betweenness_centrality,
+    closeness_centrality, multi_source_bfs,
 )
 from graphscope_spark.algorithms.centrality import (  # noqa: F401
     degree_centrality, eigenvector_centrality, hits, katz_centrality,

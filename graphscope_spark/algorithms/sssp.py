@@ -115,3 +115,68 @@ def sssp_average_length(g: Graph, source: int) -> float:
     over reached vertices."""
     res = sssp(g, source)
     return float(res.state.agg(F.avg("dist")).first()[0])
+
+
+def sssp_path(
+    g: Graph,
+    source: int,
+    weight_col: str | None = None,
+    max_iter: int = 10_000,
+) -> SuperstepResult:
+    """SSSP with predecessor tracking (apps/sssp/sssp_path.h:1-174):
+    state ``(id, dist, parent)``; parent = the neighbor the shortest path
+    arrives from, ties broken by minimum parent id (the reference documents
+    diamond-tie nondeterminism, app_tests.sh:349-356 — we pin the min-id
+    choice so results are reproducible). Path reconstruction = walking
+    ``parent`` (driver-side or via iterative self-join)."""
+    spark = g.spark
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    edges = g.out_edges.select("src", "dst", w.alias("w"))
+    if not g.directed:
+        edges = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+
+    init = g.vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).alias("dist"),
+        F.lit(None).cast("long").alias("parent"),
+        (F.col("id") == source).alias("changed"),
+    )
+
+    def step(state: DataFrame, rnd: int) -> DataFrame:
+        frontier = state.filter("changed").select("id", "dist")
+        relaxed = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("dist") + F.col("w")).alias("d"),
+                        F.col("src").alias("parent"),
+                    )
+                ).alias("cand")
+            )
+        )
+        better = (
+            F.col("cand").isNotNull()
+            & (F.col("cand.d") < F.coalesce(F.col("dist"), F.lit(float("inf"))))
+        )
+        return (
+            state.select("id", "dist", "parent")
+            .join(relaxed, "id", "left")
+            .select(
+                "id",
+                F.when(better, F.col("cand.d")).otherwise(F.col("dist")).alias("dist"),
+                F.when(better, F.col("cand.parent")).otherwise(F.col("parent"))
+                .alias("parent"),
+                better.alias("changed"),
+            )
+        )
+
+    def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
+        return {"frontier": int(new.filter("changed").count())}
+
+    runner = SuperstepRunner(spark, name="sssp_path")
+    return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                      should_stop=lambda m: m["frontier"] == 0)

@@ -10,7 +10,7 @@ from graphscope_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    cpus = int(os.environ.get("SPARK_TEST_CPUS", "4"))
+    cpus = int(os.environ.get("SPARK_TEST_CPUS", "8"))
     s = get_spark("graphscope_spark_tests", cpus=cpus, shuffle_partitions=8)
     yield s
 

@@ -190,3 +190,25 @@ def test_assortativity(g, graph_data):
     adc = _as_dict(average_degree_connectivity(g), "deg", "avg_nbr_deg")
     for dv in set(xs):
         assert abs(adc[int(dv)] - ys[xs == dv].mean()) < 1e-9
+
+
+def test_sssp_path_parents(spark, g, graph_data):
+    from graphscope_spark.algorithms import sssp_path
+    vertices, edges = graph_data
+    res = sssp_path(g, SOURCE)
+    rows = {r["id"]: r for r in res.state.collect()}
+    dist = oracle_sssp([(s, d, 1.0) for s, d in edges], vertices, SOURCE)
+    eset = set(edges)
+    for v in vertices:
+        r = rows[v]
+        assert r["dist"] == dist[v]
+        if v == SOURCE:
+            assert r["parent"] is None
+        elif dist[v] is not None:
+            # parent is a true predecessor on a shortest path, min-id tie
+            p = r["parent"]
+            assert (p, v) in eset and dist[p] == dist[v] - 1
+            cands = [s for s, d in edges if d == v and dist[s] == dist[v] - 1]
+            assert p == min(cands)
+        else:
+            assert r["parent"] is None
