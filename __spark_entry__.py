@@ -249,6 +249,74 @@ def _q_sssp_path(spark, sf_dir):
     return sssp_path(g, _min_id(g)).state.select("id", "dist", "parent")
 
 
+def _q_ppr(spark, sf_dir):
+    g = tg.copurchase_graph(spark, sf_dir)
+    from graphscope_spark.algorithms import ppr as _ppr
+    return _ppr(g, _min_id(g), max_iter=10).state.select(
+        "id", F.round("rank", RD).alias("r")
+    )
+
+
+def _q_articlerank(spark, sf_dir):
+    g = tg.purchase_graph(spark, sf_dir)
+    from graphscope_spark.algorithms import articlerank as _ar
+    return _ar(g, max_iter=10).state.select(
+        "id", F.round("rank", RD).alias("r")
+    )
+
+
+def _q_scc(spark, sf_dir):
+    from graphscope_spark.algorithms import scc as _scc
+    g = tg.partseq_graph(spark, sf_dir)
+    return _scc(g).select("id", "comp")
+
+
+def _q_lpa_u2i(spark, sf_dir):
+    from graphscope_spark.algorithms import lpa_u2i as _lpa
+    edges = tg.bipartite_edges(spark, sf_dir)
+    users = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", (F.col("id") % 7).cast("double") / 6.0
+    ).toDF("id", "label")
+    out = _lpa(edges, users, ["label"], max_round=4)
+    return out.select("id", F.round("label_0", RD).alias("label"))
+
+
+def _q_attr_assortativity(spark, sf_dir):
+    from graphscope_spark.algorithms import attribute_assortativity as _aa
+    g = tg.copurchase_graph(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    gv = g.vertices.join(
+        part.select(F.col("p_partkey").alias("id"), F.col("p_brand")), "id"
+    )
+    from graphscope_spark.graph import Graph
+    g2 = Graph(g.edges, gv, directed=g.directed, persist=False)
+    v = round(_aa(g2, "p_brand"), RD)
+    return spark.createDataFrame([(v,)], "assortativity double")
+
+
+def _q_voterank(spark, sf_dir):
+    from graphscope_spark.algorithms import voterank as _vr
+    g = tg.copurchase_graph(spark, sf_dir)
+    return _vr(g, num_of_nodes=10)
+
+
+def _q_all_simple_paths(spark, sf_dir):
+    from graphscope_spark.algorithms import all_simple_paths as _asp
+    g = tg.copurchase_graph(spark, sf_dir)
+    targets = g.vertices.filter(F.col("id") % 3 == 0).select(
+        F.col("id").alias("v")
+    )
+    return _asp(g, _min_id(g), targets, cutoff=4)
+
+
+def _q_bfs_parents(spark, sf_dir):
+    from graphscope_spark.algorithms import bfs_parents as _bp
+    g = tg.copurchase_graph(spark, sf_dir)
+    return _bp(g, _min_id(g)).select(
+        "id", F.col("dist").cast("long").alias("dist"), "parent"
+    )
+
+
 def _q_flash_cc(spark, sf_dir):
     from graphscope_spark.flash import flash_cc
     g = tg.copurchase_graph(spark, sf_dir)
@@ -389,6 +457,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": _q_louvain,
         "sssp_path": _q_sssp_path,
         "path_expand": _q_path_expand,
+        # round-2 additions
+        "ppr": _q_ppr,
+        "articlerank": _q_articlerank,
+        "scc": _q_scc,
+        "lpa_u2i": _q_lpa_u2i,
+        "attr_assortativity": _q_attr_assortativity,
+        "voterank": _q_voterank,
+        "all_simple_paths": _q_all_simple_paths,
+        "bfs_parents": _q_bfs_parents,
         # corpus input path (north rule)
         "repo_edges": _q_repo_edges,
         "repo_pagerank": _q_repo_pagerank,
@@ -437,6 +514,14 @@ def oracle_sql() -> dict[str, str]:
         # betweenness omitted: per-level backward joins, data-dependent depth
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "path_expand": tg.path_expand_sql(mod=50),
+        "ppr": tg.ppr_sql(rounds=10),
+        "articlerank": tg.articlerank_sql(rounds=10),
+        "scc": tg.scc_sql(),
+        "lpa_u2i": tg.lpa_u2i_sql(rounds=4),
+        "attr_assortativity": tg.attr_assortativity_sql(),
+        "voterank": tg.voterank_sql(rounds=10),
+        "all_simple_paths": tg.all_simple_paths_sql(cutoff=4, target_mod=3),
+        "bfs_parents": tg.bfs_parents_sql(),
         # repo_* omitted: pandas-UDF extraction has no SQL twin
         "doc_stats": do.doc_stats_sql(),
         "quality_score": do.quality_score_sql(),

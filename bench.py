@@ -41,23 +41,28 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
+    def sink(df) -> None:
+        # JVM-side noop sink: full materialization of every row without
+        # serializing anything to Python (foreach would pickle every row
+        # into the timed region and measure pickle, not the engine).
+        df.write.format("noop").mode("overwrite").save()
+
     def timed(name: str, fn) -> None:
         t0 = time.monotonic()
         fn()
         queries[name] = round(time.monotonic() - t0, 3)
 
-    timed("pagerank", lambda: pagerank(g, alpha=0.85, max_iter=PR_ROUNDS)
-          .state.foreach(lambda r: None))
-    timed("wcc", lambda: wcc(g).state.foreach(lambda r: None))
-    timed("cdlp", lambda: cdlp(g, max_iter=10).state.foreach(lambda r: None))
-    timed("triangles", lambda: triangles(g).foreach(lambda r: None))
+    timed("pagerank", lambda: sink(
+        pagerank(g, alpha=0.85, max_iter=PR_ROUNDS).state))
+    timed("wcc", lambda: sink(wcc(g).state))
+    timed("cdlp", lambda: sink(cdlp(g, max_iter=10).state))
+    timed("triangles", lambda: sink(triangles(g)))
 
     gd = tg.purchase_graph(spark, sf_dir)
     gd.num_edges
     gd.degrees.count()
-    timed("pagerank_directed",
-          lambda: pagerank(gd, alpha=0.85, max_iter=PR_ROUNDS)
-          .state.foreach(lambda r: None))
+    timed("pagerank_directed", lambda: sink(
+        pagerank(gd, alpha=0.85, max_iter=PR_ROUNDS).state))
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({

@@ -22,6 +22,16 @@ from graphscope_spark.algorithms.clustering import (  # noqa: F401
 )
 from graphscope_spark.algorithms.cores import kcore, kcore_vertices, kshell  # noqa: F401
 from graphscope_spark.algorithms.misc import (  # noqa: F401
-    average_degree_connectivity, degree_assortativity_coefficient,
-    edge_boundary, node_boundary,
+    attribute_assortativity, average_degree_connectivity,
+    degree_assortativity_coefficient, edge_boundary, node_boundary,
+    numeric_assortativity,
+)
+from graphscope_spark.algorithms.ranking import (  # noqa: F401
+    articlerank, ppr, voterank,
+)
+from graphscope_spark.algorithms.scc import scc  # noqa: F401
+from graphscope_spark.algorithms.lpa import lpa_u2i  # noqa: F401
+from graphscope_spark.algorithms.simple_paths import (  # noqa: F401
+    all_simple_paths, bfs_edges, bfs_parents, bfs_successors, is_simple_path,
+    sampling_path,
 )

@@ -68,12 +68,28 @@ def _power_iteration(
             .join(msgs, "id", "left")
             .select("id", update(F.coalesce(F.col("gathered"), F.lit(0.0))).alias("x"))
         )
+        # normalization scalar as a broadcast one-row cross join, NOT a
+        # driver .first(): fixed-round runs then have no per-round action,
+        # so truncate_every supersteps fuse into one Spark job (same
+        # driver-critical-path argument as pagerank's dangling mass).
         if normalize == "l2":
-            norm = raw.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).first()[0] or 1.0
-            raw = raw.select("id", (F.col("x") / F.lit(norm)).alias("x"))
+            nrm = raw.agg(
+                F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("_nrm")
+            )
+            raw = raw.crossJoin(F.broadcast(nrm)).select(
+                "id",
+                (F.col("x") / F.when(
+                    F.col("_nrm").isNull() | (F.col("_nrm") == 0), F.lit(1.0)
+                ).otherwise(F.col("_nrm"))).alias("x"),
+            )
         elif normalize == "sum":
-            s = raw.agg(F.sum(F.abs(F.col("x")))).first()[0] or 1.0
-            raw = raw.select("id", (F.col("x") / F.lit(s)).alias("x"))
+            nrm = raw.agg(F.sum(F.abs(F.col("x"))).alias("_nrm"))
+            raw = raw.crossJoin(F.broadcast(nrm)).select(
+                "id",
+                (F.col("x") / F.when(
+                    F.col("_nrm").isNull() | (F.col("_nrm") == 0), F.lit(1.0)
+                ).otherwise(F.col("_nrm"))).alias("x"),
+            )
         # normalize == "none": keep the raw recurrence (Katz)
         return raw.repartition(g.num_partitions, "id")
 
@@ -150,8 +166,19 @@ def hits(
         auth = state.select("id").join(auth_raw, "id", "left").select(
             "id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
         )
+        # HITS keeps DRIVER-side normalization scalars (unlike pagerank /
+        # _power_iteration, which fold the scalar in as a broadcast cross
+        # join): the hits round references its state twice per half-step,
+        # and a cross join doubles the subtree again — ~14 copies of the
+        # state subtree per round, 14^4 ≈ 38k copies at the checkpoint
+        # cadence, which OOMs the driver just BUILDING THE PLAN STRING.
+        # Two O(1) collects per round is the cheaper side of that trade,
+        # and the L1 convergence metric forces per-round actions anyway.
+        # (No persist() here: per-round cache entries pile up in the
+        # CacheManager — every lookup then plan-compares against all of
+        # them, degrading quadratically over rounds.)
         s_a = auth.agg(F.sum("a")).first()[0] or 1.0
-        auth = auth.select("id", (F.col("a") / F.lit(s_a)).alias("auth"))
+        auth = auth.select("id", (F.col("a") / F.lit(float(s_a))).alias("auth"))
         # hub(u) = Σ_{u→v} auth(v)
         hub_raw = (
             edges.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
@@ -162,7 +189,7 @@ def hits(
             "id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
         )
         s_h = hub.agg(F.sum("h")).first()[0] or 1.0
-        hub = hub.select("id", (F.col("h") / F.lit(s_h)).alias("hub"))
+        hub = hub.select("id", (F.col("h") / F.lit(float(s_h))).alias("hub"))
         return (
             hub.join(auth, "id")
             .select("id", "hub", "auth")

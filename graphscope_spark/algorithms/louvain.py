@@ -35,10 +35,15 @@ def _local_move_pass(
     comm = comm.localCheckpoint(eager=True)
     for rnd in range(max_rounds):
         ctot = comm.join(deg, "id").groupBy("comm").agg(F.sum("k").alias("tot"))
-        # neighbor-community in-weights per vertex
+        # neighbor-community in-weights per vertex. Self-loops (created by
+        # phase-2 contraction in passes >= 2) are excluded: a self-loop's
+        # weight stays internal regardless of which community the vertex
+        # joins, so it cancels out of every candidate's gain — counting it
+        # only for the current community biased the score toward staying.
         nbr = (
-            edges.join(comm.select(F.col("id").alias("dst"),
-                                   F.col("comm").alias("ncomm")), "dst")
+            edges.filter(F.col("src") != F.col("dst"))
+            .join(comm.select(F.col("id").alias("dst"),
+                              F.col("comm").alias("ncomm")), "dst")
             .groupBy(F.col("src").alias("id"), "ncomm")
             .agg(F.sum("w").alias("k_in"))
         )

@@ -68,6 +68,63 @@ def degree_assortativity_coefficient(g: Graph) -> float:
     return float(r) if r is not None else float("nan")
 
 
+def attribute_assortativity(g: Graph, attr_col: str) -> float:
+    """Categorical attribute assortativity
+    (apps/assortativity/attribute_assortativity.h:59-90, numeric=false;
+    networkx attribute_assortativity_coefficient):
+    r = (Σ_i e_ii − Σ_i a_i·b_i) / (1 − Σ_i a_i·b_i) over the mixing
+    matrix e_xy = fraction of edges whose endpoints carry attribute values
+    (x, y); a = row sums, b = column sums. Vertices must carry
+    ``attr_col``. Fully relational: two attribute joins + two small
+    aggregations over the (tiny) per-value marginals — no iteration."""
+    va = g.vertices.select("id", F.col(attr_col).alias("_a"))
+    pairs = (
+        g.edges.select("src", "dst")
+        .join(va.withColumnRenamed("id", "src")
+              .withColumnRenamed("_a", "xa"), "src")
+        .join(va.withColumnRenamed("id", "dst")
+              .withColumnRenamed("_a", "ya"), "dst")
+        .select("xa", "ya")
+    )
+    m = pairs.count()
+    if m == 0:
+        return float("nan")
+    mix = pairs.groupBy("xa", "ya").agg(
+        (F.count(F.lit(1)) / F.lit(float(m))).alias("e")
+    ).persist()
+    trace = mix.filter(F.col("xa") == F.col("ya")).agg(
+        F.coalesce(F.sum("e"), F.lit(0.0))
+    ).first()[0]
+    a = mix.groupBy("xa").agg(F.sum("e").alias("a"))
+    b = mix.groupBy("ya").agg(F.sum("e").alias("b"))
+    sum_ab = (
+        a.join(b, a["xa"] == b["ya"])
+        .agg(F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0.0)))
+        .first()[0]
+    )
+    mix.unpersist()
+    if sum_ab == 1.0:
+        return float("nan")
+    return float((trace - sum_ab) / (1.0 - sum_ab))
+
+
+def numeric_assortativity(g: Graph, attr_col: str) -> float:
+    """Numeric assortativity (attribute_assortativity.h numeric=true,
+    ProcessMatrix): Pearson correlation of the numeric attribute across
+    edge endpoints — one corr() aggregate over the attribute-joined edge
+    list."""
+    va = g.vertices.select("id", F.col(attr_col).cast("double").alias("_a"))
+    pairs = (
+        g.edges.select("src", "dst")
+        .join(va.withColumnRenamed("id", "src")
+              .withColumnRenamed("_a", "x"), "src")
+        .join(va.withColumnRenamed("id", "dst")
+              .withColumnRenamed("_a", "y"), "dst")
+    )
+    r = pairs.agg(F.corr("x", "y")).first()[0]
+    return float(r) if r is not None else float("nan")
+
+
 def average_degree_connectivity(g: Graph) -> DataFrame:
     """(deg: long, avg_nbr_deg: double) — mean neighbor degree by source
     degree (average_degree_connectivity.h)."""

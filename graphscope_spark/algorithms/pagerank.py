@@ -71,20 +71,20 @@ def pagerank(
     )
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        # scalar "allreduce": dangling mass of the current ranks, one
-        # collected aggregate per round — the grape::Communicator Sum of
-        # pagerank_networkx.h:85. This action also materializes the
-        # (persisted) previous round exactly once, keeping per-round cost
-        # linear; expressing it as a broadcast subquery instead lets the
-        # branches of each round's plan recompute the state chain.
-        # Recomputed from state (not a driver variable) so a resumed run
-        # matches an uninterrupted one.
-        dangling_sum = (
-            state.filter(F.col("out_deg") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # scalar "allreduce": dangling mass of the current ranks — the
+        # grape::Communicator Sum of pagerank_networkx.h:85 — expressed as
+        # a one-row aggregate CROSS-JOINED (broadcast) into the update
+        # instead of a driver-side .first(). The round then has NO driver
+        # action of its own: in fixed-round mode the kernel only
+        # materializes every truncate_every rounds, so 4 supersteps fuse
+        # into one Spark job (driver critical path ÷4 — the difference
+        # between 0.72 and target scaling efficiency came largely from
+        # per-round driver round-trips). Derived from state, not a driver
+        # variable, so a resumed run matches an uninterrupted one; the
+        # persisted previous round keeps each branch computed once.
+        dang = state.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
-        base = (1.0 - alpha) / n + alpha * dangling_sum / n
         contribs = state.filter(F.col("out_deg") > 0).select(
             F.col("id").alias("src"),
             (F.col("rank") / F.col("out_deg")).alias("contrib"),
@@ -102,11 +102,13 @@ def pagerank(
         return (
             state.select("id", "out_deg")
             .join(msgs, "id", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit(alpha) * F.coalesce(F.col("gathered"), F.lit(0.0))
-                    + F.lit(base)
+                    + F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * F.col("_dang") / n
                 ).alias("rank"),
                 "out_deg",
             )

@@ -33,7 +33,15 @@ from graphscope_spark.graph import Graph
 def _edges_for(g: Graph, directed: bool | None = None) -> DataFrame:
     e = g.edges.select("src", "dst")
     if directed is False or (directed is None and not g.directed):
-        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # Symmetrize + dedup: undirected edge lists are conventionally
+        # already stored in both directions (to_undirected / copurchase),
+        # so a bare union would double every edge — harmless for min-dist
+        # but it doubles sigma per hop (2^dist inflation of the Brandes
+        # forward counts). distinct() is one extra shuffle, paid once per
+        # call on a table that is then persisted for the whole BFS.
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
     return e
 
 

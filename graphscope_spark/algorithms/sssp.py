@@ -112,9 +112,14 @@ def sssp_has_path(g: Graph, source: int, target: int) -> bool:
 
 def sssp_average_length(g: Graph, source: int) -> float:
     """apps/sssp/sssp_average_length.h (single-source form): mean distance
-    over reached vertices."""
+    over reached vertices EXCLUDING the source itself — the reference
+    averages over ordered pairs (sum / n(n-1), sssp_average_length.h:164),
+    i.e. never counts a self-distance of 0; this single-source surface
+    applies the same exclusion (denominator = reached vertices − source)."""
     res = sssp(g, source)
-    return float(res.state.agg(F.avg("dist")).first()[0])
+    return float(
+        res.state.filter(F.col("id") != source).agg(F.avg("dist")).first()[0]
+    )
 
 
 def sssp_path(

@@ -41,9 +41,17 @@ def wcc(
     # out- then in-adjacency; one pre-built union table costs one join per
     # round instead of two).
     e = g.out_edges.select("src", "dst")
-    both = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).repartition(g.num_partitions, "src").persist()
+    if g.directed:
+        both = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        # undirected Graphs store the edge list bidirectionally already
+        # (to_undirected / copurchase convention) — re-symmetrizing would
+        # double per-round message volume (min-agg keeps it correct but
+        # wastes half the shuffle).
+        both = e
+    both = both.repartition(g.num_partitions, "src").persist()
 
     init = g.vertices.select(
         "id", F.col("id").alias("comp"), F.lit(True).alias("changed")

@@ -86,7 +86,7 @@ e AS (
   FROM t
 )
 SELECT doc_id,
-       SUM(({h} % {1 << 40}) * ((pos % 31) + 1)) AS fp
+       CAST(SUM(({h} % {1 << 40}) * ((pos % 31) + 1)) AS BIGINT) AS fp
 FROM e GROUP BY doc_id"""
 
 

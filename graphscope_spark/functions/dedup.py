@@ -242,7 +242,17 @@ def simhash_neardup_pairs(
     """(a, b, hamming) pairs within Hamming distance ``max_hamming``.
     Candidate generation via 16-bit chunk equality (any pair within
     distance 3 shares ≥1 of 4 chunks — pigeonhole, Manku et al. WWW'07);
-    verification via bit_count(xor)."""
+    verification via bit_count(xor). The 4-chunk scheme guarantees recall
+    only for ``max_hamming <= 3`` (a pair at distance 4 can differ in all
+    four chunks and never share a bucket) — larger radii are rejected
+    rather than silently dropping true pairs; a larger radius needs
+    ``max_hamming + 1`` chunks."""
+    if max_hamming > 3:
+        raise ValueError(
+            "max_hamming > 3 breaks the 4x16-bit pigeonhole recall "
+            "guarantee (need max_hamming+1 chunks); rebuild with more "
+            "chunks instead of silently losing pairs"
+        )
     sh = simhash64(docs, text_col, id_col)
     chunks = sh.select(
         F.col(id_col), "simhash",

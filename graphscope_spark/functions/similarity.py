@@ -26,8 +26,20 @@ from pyspark.sql.window import Window
 ROUND = 6
 
 
+#: hard cap on driver-collected query sets — beyond this the broadcast GEMM
+#: path stops being "small side fits on the driver"; callers should switch
+#: to the bucketed join path (ann_lsh / embedding_neardup_pairs).
+MAX_COLLECTED_QUERIES = 100_000
+
+
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
-    rows = df.select(id_col, vec_col).collect()
+    rows = df.select(id_col, vec_col).limit(MAX_COLLECTED_QUERIES + 1).collect()
+    if len(rows) > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"query set exceeds {MAX_COLLECTED_QUERIES} rows — the "
+            "brute-force path driver-collects and broadcasts the query "
+            "matrix; use ann_lsh/embedding_neardup_pairs for large sets"
+        )
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)

@@ -50,6 +50,16 @@ def get_spark(
         # iterative plan growth: allow deep plans before checkpoint truncation
         .config("spark.sql.analyzer.maxIterations", "250")
         .config("spark.driver.maxResultSize", "4g")
+        # Stats sanity for iterative plans: relations with unknown size
+        # (LogicalRDD from localCheckpoint — every truncated superstep
+        # state) default to Long.MaxValue bytes, and join cardinality
+        # estimates MULTIPLY; a loop that joins checkpointed states a few
+        # levels deep produces sizeInBytes with millions of digits, and the
+        # driver then burns minutes formatting BigIntegers into plan
+        # strings (observed: 700 s in BigInteger.pow under
+        # Dataset.localCheckpoint). 64 GB is large enough that nothing
+        # mis-broadcasts, small enough that estimate products stay tame.
+        .config("spark.sql.defaultSizeInBytes", str(64 * 1024**3))
     )
     if extra_conf:
         for k, v in extra_conf.items():

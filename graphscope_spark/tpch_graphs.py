@@ -562,3 +562,332 @@ def apsp_sql(rounds: int = WCC_ROUNDS, mod: int | None = None) -> str:
     _sql = f"""WITH {COPURCHASE_CTE}{_msbfs_cte(rounds, filt)}
 SELECT src, id, dist FROM d{rounds}"""
     return _materialized(_sql)
+
+
+# ---------------------------------------------------------------------- #
+# round-2 graphs + oracles: partseq (SCC), bipartite (lpa_u2i), and the
+# ranking/path/assortativity oracle generators
+# ---------------------------------------------------------------------- #
+
+#: quantity floor for the part-sequence graph (sparser than QMIN so SCCs
+#: stay non-trivial but the closure oracle stays cheap)
+PSEQ_QMIN = 40
+
+PARTSEQ_CTE = f"""
+seq AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+         a.l_linenumber AS ln
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+    AND a.l_quantity >= {PSEQ_QMIN} AND b.l_quantity >= {PSEQ_QMIN}
+),
+edges AS (SELECT src, dst FROM seq
+          UNION
+          SELECT dst AS src, src AS dst FROM seq WHERE ln % 3 = 0),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)
+"""
+
+BIPART_CTE = """
+edges AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 47
+),
+users AS (SELECT DISTINCT u AS id FROM edges)
+"""
+
+
+def partseq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed part-sequence graph: consecutive high-quantity line items
+    within an order, plus reversed edges for every third line number —
+    expression-for-expression the PARTSEQ_CTE (cycles → non-trivial SCCs)."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= PSEQ_QMIN)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    seq = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+            F.col("a.l_linenumber").alias("ln"),
+        )
+        .distinct()
+    )
+    return (
+        seq.select("src", "dst")
+        .union(seq.filter(F.col("ln") % 3 == 0)
+               .select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def partseq_graph(spark: SparkSession, sf_dir: str,
+                  num_partitions: int | None = None) -> Graph:
+    return Graph(partseq_edges(spark, sf_dir), directed=True,
+                 num_partitions=num_partitions)
+
+
+def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → part purchase edges (u, i) — the lpa_u2i input shape."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= 47)
+        .select("l_orderkey", "l_partkey")
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+
+
+def scc_sql() -> str:
+    """SCC oracle: comp(v) = min u with u→*v and v→*u, via a recursive
+    reachability closure (tractable because the partseq graph is small and
+    sparse at the gate's sf)."""
+    return f"""
+WITH RECURSIVE {PARTSEQ_CTE.strip()},
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (
+  SELECT v.id, MIN(r1.a) AS comp
+  FROM verts v
+  JOIN reach r1 ON r1.b = v.id
+  JOIN reach r2 ON r2.a = v.id AND r2.b = r1.a
+  GROUP BY v.id
+)
+SELECT id, comp FROM comp ORDER BY id"""
+
+
+def ppr_sql(rounds: int = 10) -> str:
+    """Unrolled flash PPR (ppr.h:48-70): damping 0.5, teleport only to the
+    min-id source, undirected adjacency, init r = [v = source]."""
+    parts = [COPURCHASE_CTE.rstrip(), SOURCE_CTE,
+             ",\ndeg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d"
+             " FROM edges GROUP BY src)",
+             ",\nr0 AS (SELECT id, CASE WHEN id = (SELECT sid FROM src)"
+             " THEN 1.0 ELSE 0.0 END AS r FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"r{k-1}"
+        parts.append(f""",
+r{k} AS (
+  SELECT v.id,
+         COALESCE(m.s, 0.0)
+         + CASE WHEN v.id = (SELECT sid FROM src) THEN 0.5 ELSE 0.0 END AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(0.5 * p.r / d.d) AS s
+    FROM edges e JOIN {p} p ON e.src = p.id JOIN deg d ON p.id = d.id
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+)""")
+    parts.append(
+        f"\nSELECT id, ROUND(r, {FLOAT_DECIMALS}) AS r FROM r{rounds} ORDER BY id"
+    )
+    return _materialized("WITH " + "".join(parts))
+
+
+def articlerank_sql(rounds: int = 10, damping: float = 0.85) -> str:
+    """Unrolled flash ArticleRank (articlerank.h:61-71) on the directed
+    purchase graph: r ← (1−d) + d·Σ r(u)/(outdeg(u)+avg), init 0."""
+    parts = [PURCHASE_CTE.rstrip(),
+             ",\nnv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+             ",\nne AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges)",
+             ",\navgd AS (SELECT m / (SELECT n FROM nv) AS a FROM ne)",
+             ",\ndeg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d"
+             " FROM edges GROUP BY src)",
+             ",\nr0 AS (SELECT id, 0.0 AS r FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"r{k-1}"
+        parts.append(f""",
+r{k} AS (
+  SELECT v.id, {1.0 - damping} + COALESCE(m.s, 0.0) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id,
+           SUM({damping} * p.r / (d.d + (SELECT a FROM avgd))) AS s
+    FROM edges e JOIN {p} p ON e.src = p.id JOIN deg d ON p.id = d.id
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+)""")
+    parts.append(
+        f"\nSELECT id, ROUND(r, {FLOAT_DECIMALS}) AS r FROM r{rounds} ORDER BY id"
+    )
+    return _materialized("WITH " + "".join(parts))
+
+
+def lpa_u2i_sql(rounds: int = 4) -> str:
+    """Unrolled lpa_u2i (lpa_u2i.h:164-240) on the customer→part bipartite
+    graph, single label prop, init label = (custkey % 7)/6 (hits both the
+    0/1 clamp and the degree-corrected average)."""
+    parts = [BIPART_CTE.rstrip(), """,
+odeg AS (SELECT u, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY u),
+ideg AS (SELECT i, CAST(count(*) AS DOUBLE) AS idg FROM edges GROUP BY i),
+nbrsum AS (
+  SELECT e.u, SUM(ideg.idg) AS ns FROM edges e JOIN ideg ON e.i = ideg.i
+  GROUP BY e.u
+),
+ul0 AS (SELECT id, CAST(id % 7 AS DOUBLE) / 6.0 AS label FROM users)"""]
+    t = 0
+    for step in range(rounds):
+        if step % 2 == 0:
+            t += 1
+            parts.append(f""",
+il{t} AS (
+  SELECT e.i, SUM(p.label) AS ilabel
+  FROM edges e JOIN ul{t-1} p ON e.u = p.id GROUP BY e.i
+)""")
+        else:
+            parts.append(f""",
+tmp{t} AS (
+  SELECT e.u, SUM(il.ilabel) AS tl
+  FROM edges e JOIN il{t} il ON e.i = il.i GROUP BY e.u
+),
+ul{t} AS (
+  SELECT p.id,
+         CASE WHEN p.label = 0.0 OR p.label = 1.0 THEN p.label
+              WHEN ns.ns = od.od THEN p.label
+              ELSE (COALESCE(t.tl, 0.0) - od.od * p.label) / (ns.ns - od.od)
+         END AS label
+  FROM ul{t-1} p
+  JOIN odeg od ON p.id = od.u
+  JOIN nbrsum ns ON p.id = ns.u
+  LEFT JOIN tmp{t} t ON p.id = t.u
+)""")
+    parts.append(
+        f"\nSELECT id, ROUND(label, {FLOAT_DECIMALS}) AS label FROM ul{t} ORDER BY id"
+    )
+    return _materialized("WITH " + "".join(parts))
+
+
+def attr_assortativity_sql() -> str:
+    """Categorical assortativity of p_brand over the co-purchase graph —
+    the trace formula over the mixing matrix."""
+    _sql = f"""WITH {COPURCHASE_CTE},
+attr AS (SELECT p_partkey AS id, p_brand AS a FROM part),
+apairs AS (
+  SELECT sa.a AS xa, da.a AS ya
+  FROM edges e JOIN attr sa ON e.src = sa.id JOIN attr da ON e.dst = da.id
+),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM apairs),
+mix AS (SELECT xa, ya, count(*) / (SELECT c FROM m) AS e FROM apairs GROUP BY xa, ya),
+tr AS (SELECT COALESCE(SUM(e), 0.0) AS t FROM mix WHERE xa = ya),
+am AS (SELECT xa, SUM(e) AS a FROM mix GROUP BY xa),
+bm AS (SELECT ya, SUM(e) AS b FROM mix GROUP BY ya),
+ab AS (SELECT COALESCE(SUM(am.a * bm.b), 0.0) AS s
+       FROM am JOIN bm ON am.xa = bm.ya)
+SELECT ROUND(((SELECT t FROM tr) - (SELECT s FROM ab))
+             / (1.0 - (SELECT s FROM ab)), {FLOAT_DECIMALS}) AS assortativity"""
+    return _materialized(_sql)
+
+
+def voterank_sql(rounds: int = 10) -> str:
+    """Unrolled VoteRank election (voterank.h:152-224) on the co-purchase
+    graph: per round, score = Σ out-neighbor weights (rounded to 8 decimals
+    — the EPS=1e-8 tie treatment), winner = max score / min id, winner's
+    out-neighbors lose 1/avg_degree."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             ",\nnv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+             ",\nne AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges)",
+             ",\ndelta AS (SELECT (SELECT n FROM nv) / (SELECT m FROM ne) AS d)",
+             ",\nw0 AS (SELECT id, 1.0 AS weight, 0 AS rank FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"w{k-1}"
+        parts.append(f""",
+s{k} AS (
+  SELECT e.src AS id, ROUND(SUM(w.weight), 8) AS score
+  FROM edges e JOIN {p} w ON e.dst = w.id GROUP BY e.src
+),
+win{k} AS (
+  SELECT c.id FROM {p} c LEFT JOIN s{k} s ON c.id = s.id
+  WHERE c.rank = 0 AND COALESCE(s.score, 0.0) >= 1e-8
+  ORDER BY COALESCE(s.score, 0.0) DESC, c.id ASC LIMIT 1
+),
+nb{k} AS (SELECT DISTINCT dst AS id FROM edges
+          WHERE src = (SELECT id FROM win{k})),
+w{k} AS (
+  SELECT w.id,
+         CASE WHEN w.id = (SELECT id FROM win{k}) THEN 0.0
+              WHEN nb.id IS NOT NULL
+                THEN GREATEST(w.weight - (SELECT d FROM delta), 0.0)
+              ELSE w.weight END AS weight,
+         CASE WHEN w.id = (SELECT id FROM win{k}) THEN {k}
+              ELSE w.rank END AS rank
+  FROM {p} w LEFT JOIN nb{k} nb ON w.id = nb.id
+)""")
+    parts.append(f"\nSELECT id, rank FROM w{rounds} ORDER BY id")
+    return _materialized("WITH " + "".join(parts))
+
+
+def all_simple_paths_sql(cutoff: int = 3, target_mod: int = 7) -> str:
+    """Unrolled simple-path enumeration from the min-id vertex to targets
+    (id % target_mod == 0), ≤ cutoff hops, path serialized as a->b->c."""
+    parts = [COPURCHASE_CTE.rstrip(), SOURCE_CTE, """,
+p1 AS (
+  SELECT [e.src, e.dst] AS pl, e.dst AS v, 1 AS hops
+  FROM edges e WHERE e.src = (SELECT sid FROM src)
+)"""]
+    for k in range(2, cutoff + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT list_append(p.pl, e.dst) AS pl, e.dst AS v, {k} AS hops
+  FROM p{k-1} p JOIN edges e ON e.src = p.v
+  WHERE NOT list_contains(p.pl, e.dst)
+)""")
+    un = "\nUNION ALL\n".join(
+        f"SELECT pl, v, hops FROM p{k}" for k in range(1, cutoff + 1)
+    )
+    parts.append(f""",
+allp AS ({un})
+SELECT array_to_string(pl, '->') AS path_str, hops
+FROM allp WHERE v % {target_mod} = 0""")
+    return _materialized("WITH " + "".join(parts))
+
+
+def bfs_parents_sql(rounds: int = WCC_ROUNDS) -> str:
+    """BFS tree in predecessors format: parent = min-id neighbor one level
+    closer, NULL at the source."""
+    parts = [COPURCHASE_CTE.rstrip(), SOURCE_CTE,
+             ",\nd0 AS (SELECT id, CASE WHEN id = (SELECT sid FROM src)"
+             " THEN 0 END AS dist FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"d{k-1}"
+        parts.append(f""",
+d{k} AS (
+  SELECT v.id,
+         CASE WHEN LEAST(COALESCE(v.dist, 1000000), COALESCE(m.c, 1000000))
+                   < 1000000
+              THEN LEAST(COALESCE(v.dist, 1000000), COALESCE(m.c, 1000000))
+         END AS dist
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.dist + 1) AS c
+    FROM edges e JOIN {p} p ON e.src = p.id AND p.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+)""")
+    parts.append(f""",
+lev AS (SELECT id, dist FROM d{rounds}),
+par AS (
+  SELECT e.dst AS id, MIN(e.src) AS parent
+  FROM edges e
+  JOIN lev ls ON e.src = ls.id
+  JOIN lev ld ON e.dst = ld.id
+  WHERE ld.dist = ls.dist + 1
+  GROUP BY e.dst
+)
+SELECT l.id, l.dist,
+       CASE WHEN l.id = (SELECT sid FROM src) THEN NULL ELSE p.parent END AS parent
+FROM lev l LEFT JOIN par p ON l.id = p.id ORDER BY l.id""")
+    return _materialized("WITH " + "".join(parts))

@@ -56,7 +56,8 @@ g.num_edges; g.degrees.count()  # materialize caches outside the timed loop
 
 t0 = time.monotonic()
 res = pagerank(g, alpha=0.85, max_iter=rounds)
-res.state.foreach(lambda r: None)
+# JVM-side noop sink: materializes every row without Python serialization
+res.state.write.format("noop").mode("overwrite").save()
 wall = time.monotonic() - t0
 print(json.dumps({{"cpus": cpus, "wall_s": wall,
                    "edge_updates_per_sec": n_edges * rounds / wall}}))

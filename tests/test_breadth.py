@@ -70,7 +70,10 @@ def test_sssp_predicates(g, graph_data):
     assert sssp_has_path(g, SOURCE, max(reached))
     assert not sssp_has_path(g, SOURCE, some_unreached)
     avg = sssp_average_length(g, SOURCE)
-    want_avg = np.mean([d for d in want.values() if d is not None])
+    # reference averages over ordered pairs excluding self
+    # (sssp_average_length.h:164) — the source's own dist=0 is excluded
+    want_avg = np.mean([d for v, d in want.items()
+                        if d is not None and v != SOURCE])
     assert abs(avg - want_avg) < 1e-9
 
 
