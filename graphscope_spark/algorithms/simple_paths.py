@@ -26,8 +26,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphscope_spark.algorithms.sssp import bfs
+from graphscope_spark.functions.hashing import hash64
 from graphscope_spark.graph import Graph
 from graphscope_spark.operators.traversal import path_expand
 
@@ -142,13 +144,36 @@ def sampling_path(
 
     Spark dataflow: one join per hop — start set filtered on v0, each hop
     filters the edge table on e_i and the destination on v_{i+1} (the
-    reference's per-level adjacency-list label filter, :59-67). ``limit``
-    bounds the result like the reference's sampling cap."""
+    reference's per-level adjacency-list label filter, :59-67).
+
+    ``limit`` is the reference's sampling cap (sampling_path.h:112-120),
+    but where the reference's cap is execution-order-dependent (workers
+    stop when the allreduced count passes the limit), here it is applied
+    *deterministically after every hop*: the frontier keeps the ``limit``
+    lowest paths ranked by a portable 60-bit hash of the path
+    (functions/hashing.py, replayable in SQL oracles). This is also the
+    scale story — the frontier is bounded by ``limit`` rows per hop
+    regardless of fan-out, so a high-degree labeled graph costs ``hops``
+    bounded joins, never a combinatorial path materialization. Catalyst
+    compiles the single-ordering window into a partial top-k (map-side
+    limit per partition, then one reduced sort of ≤ P·limit rows)."""
     if len(pattern) % 2 == 0 or len(pattern) < 1:
         raise ValueError("pattern must alternate v/e labels, odd length")
+
+    def prune(df: DataFrame) -> DataFrame:
+        if limit is None:
+            return df
+        key = hash64(F.concat_ws("-", F.col("path")))
+        w = Window.orderBy(key, F.col("path"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn")
+        )
+
     vlab = g.vertices.select("id", F.col(vertex_label_col).alias("_vl"))
     e = g.edges.select("src", "dst", F.col(edge_label_col).alias("_el"))
-    cur = (
+    cur = prune(
         vlab.filter(F.col("_vl") == pattern[0])
         .select(F.col("id").alias("v"), F.array(F.col("id")).alias("path"))
     )
@@ -161,7 +186,7 @@ def sampling_path(
         vh = vlab.filter(F.col("_vl") == vl).select(
             F.col("id").alias("_nxt")
         )
-        cur = (
+        cur = prune(
             cur.join(eh, "v")
             .join(vh, "_nxt", "left_semi")
             .select(
@@ -169,5 +194,4 @@ def sampling_path(
                 F.concat(F.col("path"), F.array(F.col("_nxt"))).alias("path"),
             )
         )
-    out = cur.select("path")
-    return out.limit(limit) if limit else out
+    return cur.select("path")

@@ -485,3 +485,12 @@ def test_sampling_path(spark):
     assert got == want
     with pytest.raises(ValueError):
         sampling_path(gg, ["user", "buys"])
+    # deterministic cap: limit=3 keeps the 3 lowest-hash complete paths,
+    # identical across repeated runs (no execution-order dependence)
+    capped1 = sorted(tuple(r["path"]) for r in sampling_path(
+        gg, ["user", "buys", "item", "rel", "item"], limit=3).collect())
+    capped2 = sorted(tuple(r["path"]) for r in sampling_path(
+        gg, ["user", "buys", "item", "rel", "item"], limit=3).collect())
+    assert capped1 == capped2
+    assert len(capped1) == 3
+    assert set(capped1) <= want
