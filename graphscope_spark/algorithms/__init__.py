@@ -12,7 +12,7 @@ from graphscope_spark.algorithms.sssp import (  # noqa: F401
 from graphscope_spark.algorithms.louvain import louvain  # noqa: F401
 from graphscope_spark.algorithms.paths import (  # noqa: F401
     all_pairs_shortest_path_length, betweenness_centrality,
-    closeness_centrality, multi_source_bfs,
+    closeness_centrality, harmonic_centrality, multi_source_bfs,
 )
 from graphscope_spark.algorithms.centrality import (  # noqa: F401
     degree_centrality, eigenvector_centrality, hits, katz_centrality,
@@ -20,7 +20,19 @@ from graphscope_spark.algorithms.centrality import (  # noqa: F401
 from graphscope_spark.algorithms.clustering import (  # noqa: F401
     average_clustering, clustering, lcc, transitivity,
 )
-from graphscope_spark.algorithms.cores import kcore, kcore_vertices, kshell  # noqa: F401
+from graphscope_spark.algorithms.cores import (  # noqa: F401
+    degeneracy_ordering, kcore, kcore_vertices, kshell, onion_layers,
+)
+from graphscope_spark.algorithms.matching import (  # noqa: F401
+    maximal_matching, min_dominating_set, min_edge_cover, min_vertex_cover,
+    mis,
+)
+from graphscope_spark.algorithms.measurement import (  # noqa: F401
+    diameter_approx, k_center, msf, msf_weight,
+)
+from graphscope_spark.algorithms.coloring import color  # noqa: F401
+from graphscope_spark.algorithms.fluid import fluid_community  # noqa: F401
+from graphscope_spark.algorithms.wcc import cc_log  # noqa: F401
 from graphscope_spark.algorithms.misc import (  # noqa: F401
     attribute_assortativity, average_degree_connectivity,
     degree_assortativity_coefficient, edge_boundary, node_boundary,

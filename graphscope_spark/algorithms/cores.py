@@ -130,3 +130,91 @@ def kshell(g: Graph, max_k: int = 100) -> DataFrame:
     for p in shell_parts:
         out = out.unionByName(p)
     return out
+
+
+def onion_layers(g: Graph, max_iter: int = 100_000) -> DataFrame:
+    """(id, layer, core) — onion-layer index per vertex
+    (flash/core/onion-layer-ordering.h:44-100): the round in which the
+    vertex is removed when each round strips every vertex whose residual
+    degree is ≤ the current core level. Same single peel loop as
+    :func:`kshell` with the round counter exposed; ``core`` rides along
+    (the reference computes both in one app)."""
+    edges = _sym_edges(g).persist()
+    alive = g.vertices.select("id").localCheckpoint(eager=True)
+    parts: list[DataFrame] = []
+    k = 0
+    layer = 0
+    while layer < max_iter:
+        if alive.count() == 0:
+            break
+        layer += 1
+        surv = (
+            edges.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        deg = surv.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        degall = (
+            alive.join(deg, "id", "left")
+            .select("id", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        mind = degall.agg(F.min("d")).first()[0]
+        k = max(k, int(mind))
+        peeled = degall.filter(F.col("d") <= k).select(
+            "id", F.lit(layer).alias("layer"), F.lit(k).alias("core")
+        ).localCheckpoint(eager=True)
+        parts.append(peeled)
+        alive = degall.filter(F.col("d") > k).select("id").localCheckpoint(
+            eager=True
+        )
+    edges.unpersist()
+    out = g.vertices.select(
+        "id", F.lit(0).alias("layer"), F.lit(0).alias("core")
+    ).limit(0)
+    for p in parts:
+        out = out.unionByName(p)
+    return out
+
+
+def degeneracy_ordering(g: Graph, max_iter: int = 100_000) -> DataFrame:
+    """(id, rank) — parallel degeneracy ordering
+    (flash/core/degeneracy-ordering.h:44-100): with dg = degeneracy
+    (max core number), repeatedly remove every vertex whose residual
+    degree is ≤ dg; ``rank`` is the removal round. Batched ranks (the
+    reference assigns the same ``i`` to a whole round, :91-93)."""
+    dg_row = kshell(g).agg(F.max("shell")).first()
+    dg = int(dg_row[0]) if dg_row[0] is not None else 0
+    edges = _sym_edges(g).persist()
+    alive = g.vertices.select("id").localCheckpoint(eager=True)
+    parts: list[DataFrame] = []
+    rank = 0
+    while rank < max_iter:
+        if alive.count() == 0:
+            break
+        surv = (
+            edges.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        deg = surv.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        degall = (
+            alive.join(deg, "id", "left")
+            .select("id", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        peeled = degall.filter(F.col("d") <= dg).select(
+            "id", F.lit(rank).alias("rank")
+        ).localCheckpoint(eager=True)
+        parts.append(peeled)
+        alive = degall.filter(F.col("d") > dg).select("id").localCheckpoint(
+            eager=True
+        )
+        rank += 1
+    edges.unpersist()
+    out = g.vertices.select("id", F.lit(0).alias("rank")).limit(0)
+    for p in parts:
+        out = out.unionByName(p)
+    return out

@@ -147,6 +147,27 @@ def closeness_centrality(
     )
 
 
+def harmonic_centrality(
+    g: Graph, sources: DataFrame | None = None
+) -> DataFrame:
+    """(id, harmonic) — H(v) = Σ_s 1/d(s, v) over incoming shortest paths
+    from ``sources`` (flash/centrality/harmonic.h:64-86 accumulates
+    d.val += 1/i the round a source's BFS bit first reaches v; exact when
+    sources=None, source-sampled otherwise — the reference samples 500
+    random sources, harmonic.h:48,62-66)."""
+    pairs = multi_source_bfs(g, sources)
+    into = (
+        pairs.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("_h"))
+    )
+    return (
+        g.vertices.select("id")
+        .join(into, "id", "left")
+        .select("id", F.coalesce(F.col("_h"), F.lit(0.0)).alias("harmonic"))
+    )
+
+
 def betweenness_centrality(
     g: Graph,
     sources: DataFrame | None = None,

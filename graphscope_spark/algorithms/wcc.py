@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.graph import Graph
+from graphscope_spark.graph import Graph, materialized_checkpoint
 from graphscope_spark.pregel import SuperstepRunner, SuperstepResult
 
 
@@ -96,3 +96,76 @@ def wcc(
                      should_stop=should_stop, resume=resume)
     both.unpersist()
     return res
+
+
+def cc_log(g: Graph, max_iter: int = 64) -> DataFrame:
+    """(id, comp) — connected components in O(log n) rounds via hooking +
+    pointer jumping (flash/connectivity/cc-log.h:57-135, the FLASH
+    Shiloach–Vishkin app: min-neighbor hook, then jump(A) shortcuts
+    ``v.p = GetV(v.p)->p`` until stars).
+
+    Identical output to :func:`wcc` (comp = min reachable vertex id), but
+    round count scales with log(diameter) instead of diameter: each round
+    is one hook (min neighbor-label exchange — the same one-shuffle message
+    pattern as a wcc round) followed by two pointer jumps (self-joins on
+    the vertex-sized label table). Use for high-diameter graphs — e.g. the
+    Tarjan–Vishkin auxiliary graph, whose path-like blocks make plain
+    min-label propagation take Θ(block length) rounds.
+
+    Invariant: comp(v) is always the id of a vertex in v's component and
+    only decreases; at the hook fixpoint comps are constant across every
+    edge, hence equal to the component minimum.
+    """
+    e = g.out_edges.select("src", "dst")
+    if g.directed:
+        both = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        both = e
+    both = both.repartition(g.num_partitions, "src").persist()
+
+    # the round state is SELF-joined (hook reads comp twice, each jump is a
+    # comp⋈comp) — materialized_checkpoint keeps stats bounded (see its
+    # docstring for the failure mode a bare localCheckpoint has here)
+    comp = materialized_checkpoint(
+        g.vertices.select("id", F.col("id").alias("comp"))
+    )
+    for _ in range(max_iter):
+        # hook: comp(v) ← min(comp(v), min over neighbors of comp(u))
+        mins = (
+            both.join(comp.select(F.col("id").alias("src"), "comp"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("cand"))
+        )
+        hooked = (
+            comp.join(mins, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("cand"), F.col("comp")))
+                .alias("comp"),
+                (F.coalesce(F.col("cand"), F.col("comp")) < F.col("comp"))
+                .alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = hooked.filter("_chg").limit(1).count()
+        prev = comp
+        comp = hooked.select("id", "comp")
+        if changed == 0:
+            break
+        # two pointer jumps: comp ← comp[comp] (cc-log.h jump(A))
+        for _ in range(2):
+            comp = (
+                comp.join(
+                    comp.select(F.col("id").alias("comp"),
+                                F.col("comp").alias("_cc")),
+                    "comp", "left",
+                )
+                .select("id", F.coalesce(F.col("_cc"), F.col("comp"))
+                        .alias("comp"))
+            )
+        comp = materialized_checkpoint(comp)
+        prev.unpersist()
+    both.unpersist()
+    return comp

@@ -36,6 +36,31 @@ from pyspark.storagelevel import StorageLevel
 _OFFSET_BITS = 40
 
 
+def materialized_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint + persist + materialize — the required round-state
+    truncation for iterative loops whose NEXT round references the result
+    more than once (self-joins: pointer doubling/jumping, hook steps,
+    alive-set semi-joins on both edge endpoints).
+
+    Why persist+count on top of the checkpoint: Spark's ``localCheckpoint``
+    truncates the plan TREE but copies the origin plan's *estimated*
+    statistics into the new ``LogicalRDD``
+    (``LogicalRDD.rewriteStatsAndConstraints``). A self-join's size
+    estimate is the product of its two sides, so iterating
+    checkpoint→self-join→checkpoint squares the stored ``sizeInBytes``
+    every round — the BigInt's digit count doubles per round and stats
+    arithmetic inside the next checkpoint call becomes the driver
+    bottleneck (measured: 3× slower per round, exponential blow-up).
+    A persisted-and-materialized ``InMemoryRelation`` instead reports its
+    REAL cached size to the next round's stats rewrite, keeping estimates
+    bounded forever. Callers should ``unpersist()`` the previous round's
+    result once the new one is materialized.
+    """
+    out = df.localCheckpoint(eager=True).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    return out
+
+
 def assign_dense_ids(
     df: DataFrame, key_col: str, num_partitions: int | None = None
 ) -> DataFrame:
@@ -85,6 +110,7 @@ class Graph:
         directed: bool = True,
         num_partitions: int | None = None,
         persist: bool = True,
+        assume_symmetric: bool = False,
     ):
         self.spark: SparkSession = edges.sparkSession
         if num_partitions is None:
@@ -94,6 +120,23 @@ class Graph:
         self.num_partitions = num_partitions
         self.directed = directed
         self._persist = persist
+
+        if not directed and not assume_symmetric:
+            # canonicalize: undirected Graphs ALWAYS store both directions
+            # (the reference's LoadStrategy::kBothOutIn CSR does the same).
+            # Every algorithm relies on this invariant (wcc/cdlp/paths skip
+            # re-symmetrizing per call); enforcing it here once at load is
+            # what makes that safe for caller-supplied one-direction edge
+            # lists. ``assume_symmetric=True`` skips the dedup shuffle when
+            # the caller already stores edges bidirectionally
+            # (to_undirected, copurchase_edges).
+            other = [c for c in edges.columns if c not in ("src", "dst")]
+            rev = edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *other
+            )
+            edges = edges.select("src", "dst", *other).unionByName(
+                rev
+            ).distinct()
 
         if vertices is None:
             vertices = (
@@ -105,11 +148,21 @@ class Graph:
         self.edges = edges
 
         # out-CSR / in-CSR analogs: one copy of the edge table per direction,
-        # pre-shuffled on the join key each direction's superstep uses, so a
-        # message exchange costs exactly one shuffle (of the message df, not
-        # the edges).
-        self.out_edges = edges.repartition(num_partitions, "src")
-        self.in_edges = edges.repartition(num_partitions, "dst")
+        # pre-shuffled AND pre-sorted on the join key each direction's
+        # superstep uses. The sortWithinPartitions is the CSR build step:
+        # the cached InMemoryRelation then reports both
+        # HashPartitioning(key) and an ordering on the key, so the per-round
+        # sort-merge join against the (much smaller) message/contribution
+        # table streams the edge cache with NO per-round exchange and NO
+        # per-round sort of the edges — only the vertex-sized side sorts.
+        # Paid once at load, exactly like the reference's CSR construction
+        # (docs/frag_intro.md).
+        self.out_edges = (
+            edges.repartition(num_partitions, "src").sortWithinPartitions("src")
+        )
+        self.in_edges = (
+            edges.repartition(num_partitions, "dst").sortWithinPartitions("dst")
+        )
         if persist:
             self.vertices = self.vertices.persist(StorageLevel.MEMORY_AND_DISK)
             self.out_edges = self.out_edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -138,7 +191,7 @@ class Graph:
             .distinct()
         )
         return Graph(sym, directed=False, num_partitions=self.num_partitions,
-                     persist=self._persist)
+                     persist=self._persist, assume_symmetric=True)
 
     def project(self, vertex_cols: list[str] | None = None,
                 edge_cols: list[str] | None = None) -> "Graph":
@@ -241,6 +294,40 @@ class Graph:
         v = self.vertices.join(ctx.select("id", col), "id", "left")
         return Graph(self.edges, v, self.directed, self.num_partitions,
                      self._persist)
+
+    # ------------------------------------------------------------------ #
+    # graph-level serialize / deserialize (SERIALIZE_GRAPH /
+    # DESERIALIZE_GRAPH, dag_utils.py:1085-1176; the GraphAr ARCHIVE_GRAPH
+    # surface, dag_utils.py save_to/load_from) — vertex and edge tables as
+    # parquet datasets plus a tiny JSON metadata table, all through the
+    # Spark writers so the same call works on local disk, HDFS, or S3.
+    # ------------------------------------------------------------------ #
+
+    def save(self, path: str, mode: str = "error") -> None:
+        """Archive this graph under ``path`` (three datasets:
+        ``vertices/``, ``edges/``, ``meta/``)."""
+        self.vertices.write.mode(mode).parquet(f"{path}/vertices")
+        self.edges.write.mode(mode).parquet(f"{path}/edges")
+        meta = self.spark.createDataFrame(
+            [(self.directed, self.num_partitions, 1)],
+            "directed boolean, num_partitions int, version int",
+        )
+        meta.coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             num_partitions: int | None = None) -> "Graph":
+        """Restore a graph archived by :meth:`save`. Edges were written
+        post-canonicalization, so the undirected both-directions invariant
+        already holds (``assume_symmetric=True`` skips the re-dedup)."""
+        meta = spark.read.json(f"{path}/meta").first()
+        return cls(
+            spark.read.parquet(f"{path}/edges"),
+            spark.read.parquet(f"{path}/vertices"),
+            directed=bool(meta["directed"]),
+            num_partitions=num_partitions or int(meta["num_partitions"]),
+            assume_symmetric=True,
+        )
 
     def unpersist(self) -> None:
         for df in (self.vertices, self.out_edges, self.in_edges, self._degrees):

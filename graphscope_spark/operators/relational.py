@@ -80,6 +80,20 @@ def dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(keys) if keys else df.distinct()
 
 
+def consolidate_columns(
+    df: DataFrame, columns: list[str], result_column: str
+) -> DataFrame:
+    """CONSOLIDATE_COLUMNS (dag_utils.py:232-275): merge several property
+    columns of one label into a single array-typed column (the reference's
+    vineyard consolidation packs them into one tensor chunk; the columnar
+    analog here is one ArrayType column, which parquet stores contiguously
+    per row group)."""
+    others = [c for c in df.columns if c not in columns]
+    return df.select(
+        *others, F.array(*[F.col(c) for c in columns]).alias(result_column)
+    )
+
+
 def limit(df: DataFrame, n: int) -> DataFrame:
     """Range/Limit (algebra.proto:178-192; pegasus concise/limit.rs with
     early-cancel — Spark's CollectLimit short-circuits the same way)."""

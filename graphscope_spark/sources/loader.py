@@ -30,9 +30,6 @@ on a real cluster.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -173,28 +170,18 @@ def graph_from_loaders(
     return Graph(e, v, directed=directed, num_partitions=num_partitions)
 
 
-def save_graph(g: Graph, path: str) -> None:
+def save_graph(g: Graph, path: str, mode: str = "overwrite") -> None:
     """SERIALIZE_GRAPH (dag_utils.py:1085-1176) — archive the graph as
-    parquet tables + a metadata sidecar (GraphAr-style vertex/edge
-    chunking is Spark's own parquet partitioning)."""
-    g.edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
-    g.vertices.write.mode("overwrite").parquet(os.path.join(path, "vertices"))
-    meta = {
-        "directed": g.directed,
-        "num_partitions": g.num_partitions,
-        "edge_schema": g.edges.schema.json(),
-        "vertex_schema": g.vertices.schema.json(),
-        "format_version": 1,
-    }
-    with open(os.path.join(path, "_graph_meta.json"), "w") as f:
-        json.dump(meta, f)
+    parquet tables + a JSON metadata dataset (GraphAr-style vertex/edge
+    chunking is Spark's own parquet partitioning). Delegates to
+    :meth:`Graph.save`, which writes the metadata through the Spark JSON
+    writer so the archive works on any Hadoop filesystem (local/HDFS/S3),
+    not just the driver's local disk."""
+    g.save(path, mode=mode)
 
 
 def load_graph(spark: SparkSession, path: str) -> Graph:
-    """DESERIALIZE_GRAPH — restore a save_graph archive."""
-    with open(os.path.join(path, "_graph_meta.json")) as f:
-        meta = json.load(f)
-    e = spark.read.parquet(os.path.join(path, "edges"))
-    v = spark.read.parquet(os.path.join(path, "vertices"))
-    return Graph(e, v, directed=meta["directed"],
-                 num_partitions=meta["num_partitions"])
+    """DESERIALIZE_GRAPH — restore a save_graph archive
+    (:meth:`Graph.load`; the undirected both-directions invariant was
+    already enforced at save time, so no re-dedup shuffle on load)."""
+    return Graph.load(spark, path)

@@ -64,10 +64,33 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-process memo of the derived test graphs. Each gate query runs in the
+#: same JVM and used to rebuild + re-persist the same graph (and every
+#: iterative round re-analyzed the lineitem self-join lineage). The memo
+#: hands every query the SAME Graph whose edges are localCheckpoint-ed —
+#: flat plans, one persist, paid once per gate run.
+_GRAPH_MEMO: dict[tuple, Graph] = {}
+
+
+def _memo_graph(kind: str, sf_dir: str, num_partitions, build) -> Graph:
+    key = (kind, sf_dir, num_partitions)
+    g = _GRAPH_MEMO.get(key)
+    if g is None:
+        g = build()
+        _GRAPH_MEMO[key] = g
+    return g
+
+
 def copurchase_graph(spark: SparkSession, sf_dir: str,
                      num_partitions: int | None = None) -> Graph:
-    return Graph(copurchase_edges(spark, sf_dir), directed=False,
-                 num_partitions=num_partitions)
+    return _memo_graph(
+        "copurchase", sf_dir, num_partitions,
+        lambda: Graph(
+            copurchase_edges(spark, sf_dir).localCheckpoint(eager=True),
+            directed=False, num_partitions=num_partitions,
+            assume_symmetric=True,
+        ),
+    )
 
 
 def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,8 +113,13 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def purchase_graph(spark: SparkSession, sf_dir: str,
                    num_partitions: int | None = None) -> Graph:
-    return Graph(purchase_edges(spark, sf_dir), directed=True,
-                 num_partitions=num_partitions)
+    return _memo_graph(
+        "purchase", sf_dir, num_partitions,
+        lambda: Graph(
+            purchase_edges(spark, sf_dir).localCheckpoint(eager=True),
+            directed=True, num_partitions=num_partitions,
+        ),
+    )
 
 
 # ---------------------------------------------------------------------- #
@@ -555,6 +583,21 @@ FROM verts v LEFT JOIN agg a ON v.id = a.id"""
     return _materialized(_sql)
 
 
+def harmonic_sql(mod: int = 20, rounds: int = WCC_ROUNDS) -> str:
+    """Harmonic centrality from sampled sources (id % mod == 0):
+    H(v) = Σ_s 1/d(s, v) — the SQL twin of
+    algorithms/paths.py::harmonic_centrality (flash/centrality/harmonic.h)."""
+    _sql = f"""WITH {COPURCHASE_CTE}{_msbfs_cte(rounds, f"WHERE id % {mod} = 0")},
+agg AS (
+  SELECT id, SUM(1.0 / dist) AS h
+  FROM d{rounds} WHERE dist > 0 GROUP BY id
+)
+SELECT v.id,
+       ROUND(COALESCE(a.h, 0.0), {FLOAT_DECIMALS}) AS harmonic
+FROM verts v LEFT JOIN agg a ON v.id = a.id"""
+    return _materialized(_sql)
+
+
 def apsp_sql(rounds: int = WCC_ROUNDS, mod: int | None = None) -> str:
     """(src, id, dist) for every reached pair; ``mod`` samples sources
     (id % mod == 0) to bound gate runtime."""
@@ -632,8 +675,13 @@ def partseq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def partseq_graph(spark: SparkSession, sf_dir: str,
                   num_partitions: int | None = None) -> Graph:
-    return Graph(partseq_edges(spark, sf_dir), directed=True,
-                 num_partitions=num_partitions)
+    return _memo_graph(
+        "partseq", sf_dir, num_partitions,
+        lambda: Graph(
+            partseq_edges(spark, sf_dir).localCheckpoint(eager=True),
+            directed=True, num_partitions=num_partitions,
+        ),
+    )
 
 
 def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,3 +939,112 @@ SELECT l.id, l.dist,
        CASE WHEN l.id = (SELECT sid FROM src) THEN NULL ELSE p.parent END AS parent
 FROM lev l LEFT JOIN par p ON l.id = p.id ORDER BY l.id""")
     return _materialized("WITH " + "".join(parts))
+
+
+# ---------------------------------------------------------------------- #
+# FLASH subgraph-counting oracles (apps/flash/subgraph/)
+# ---------------------------------------------------------------------- #
+
+
+def rectangle_sql() -> str:
+    """4-cycle count via the diagonal identity (rectangle.h):
+    rectangles = Σ_{x<y} C(cn(x,y), 2) / 2."""
+    _sql = f"""WITH {COPURCHASE_CTE},
+cn AS (
+  SELECT e1.dst AS x, e2.dst AS y, count(*) AS p
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst
+)
+SELECT CAST(COALESCE(SUM(p*(p-1)), 0) // 4 AS BIGINT) AS rectangles FROM cn"""
+    return _materialized(_sql)
+
+
+def diamond_sql() -> str:
+    """Diamond count = Σ_e C(t_e, 2) over per-edge triangle counts
+    (diamond.h)."""
+    _sql = f"""WITH {COPURCHASE_CTE}, {TRIANGLES_BODY},
+et AS (
+  SELECT LEAST(a,b) AS s, GREATEST(a,b) AS t FROM tri
+  UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tri
+  UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tri
+),
+etc AS (SELECT s, t, count(*) AS te FROM et GROUP BY s, t)
+SELECT CAST(COALESCE(SUM(te*(te-1)), 0) // 2 AS BIGINT) AS diamonds FROM etc"""
+    return _materialized(_sql)
+
+
+def tailed_triangle_sql() -> str:
+    """Tailed triangles = Σ_v t_v (d_v − 2) (tailed-triangle.h); deg/tri
+    come from TRIANGLES_BODY."""
+    _sql = f"""WITH {COPURCHASE_CTE}, {TRIANGLES_BODY},
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+pvt AS (SELECT id, count(*) AS tri FROM corners GROUP BY id)
+SELECT CAST(COALESCE(SUM(p.tri*(d.d-2)), 0) AS BIGINT) AS tailed
+FROM pvt p JOIN deg d ON p.id = d.id"""
+    return _materialized(_sql)
+
+
+def three_path_sql() -> str:
+    """3-edge path count = Σ_(u,v)∈E (d_u−1)(d_v−1) − 3·triangles
+    (3-path.h)."""
+    _sql = f"""WITH {COPURCHASE_CTE}, {TRIANGLES_BODY},
+w AS (SELECT COALESCE(SUM((d1.d-1)*(d2.d-1)), 0) AS w
+      FROM pairs p JOIN deg d1 ON p.u = d1.id JOIN deg d2 ON p.v = d2.id),
+t AS (SELECT count(*) AS t FROM tri)
+SELECT CAST(w.w - 3*t.t AS BIGINT) AS paths3 FROM w, t"""
+    return _materialized(_sql)
+
+
+def kclique4_sql() -> str:
+    """4-clique count: all six edges of c1<c2<c3<c4 in the (deg,id)
+    orientation order (k-clique.h; oe from TRIANGLES_BODY)."""
+    _sql = f"""WITH {COPURCHASE_CTE}, {TRIANGLES_BODY}
+SELECT count(*) AS cliques
+FROM oe e12
+JOIN oe e13 ON e13.u = e12.u
+JOIN oe e23 ON e23.u = e12.v AND e23.v = e13.v
+JOIN oe e14 ON e14.u = e12.u
+JOIN oe e24 ON e24.u = e12.v AND e24.v = e14.v
+JOIN oe e34 ON e34.u = e13.v AND e34.v = e14.v"""
+    return _materialized(_sql)
+
+
+def directed_census_sql(kind: str) -> str:
+    """Directed triangle census on the partseq graph
+    (acyclic-/cyclic-/in-/out-triangle.h)."""
+    mutual = """
+mutual AS (
+  SELECT e.src AS u, e.dst AS v
+  FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  WHERE e.src < e.dst
+)"""
+    if kind == "acyclic":
+        body = """
+SELECT count(*) AS acyclic
+FROM edges ab JOIN edges bc ON bc.src = ab.dst
+JOIN edges ac ON ac.src = ab.src AND ac.dst = bc.dst"""
+        return _materialized(f"WITH {PARTSEQ_CTE.rstrip()}{body}")
+    if kind == "cyclic":
+        body = """
+SELECT count(*) AS cyclic
+FROM edges ab JOIN edges bc ON bc.src = ab.dst
+JOIN edges ca ON ca.src = bc.dst AND ca.dst = ab.src
+WHERE ab.src < ab.dst AND ab.src < bc.dst"""
+        return _materialized(f"WITH {PARTSEQ_CTE.rstrip()}{body}")
+    if kind == "in":
+        body = f""",{mutual}
+SELECT count(*) AS in_triangles
+FROM mutual m JOIN edges ux ON ux.src = m.u
+JOIN edges vx ON vx.src = m.v AND vx.dst = ux.dst"""
+        return _materialized(f"WITH {PARTSEQ_CTE.rstrip()}{body}")
+    if kind == "out":
+        body = f""",{mutual}
+SELECT count(*) AS out_triangles
+FROM mutual m JOIN edges xu ON xu.dst = m.u
+JOIN edges xv ON xv.dst = m.v AND xv.src = xu.src"""
+        return _materialized(f"WITH {PARTSEQ_CTE.rstrip()}{body}")
+    raise ValueError(kind)

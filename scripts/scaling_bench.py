@@ -52,7 +52,7 @@ edges = base.select(
      .otherwise(F.pmod(h2, F.lit(n_vertices))).alias("dst"),
 )
 g = Graph(edges, directed=True)
-g.num_edges; g.degrees.count()  # materialize caches outside the timed loop
+g.num_edges; g.num_vertices; g.degrees.count()  # build caches (CSR sort) pre-timer
 
 t0 = time.monotonic()
 res = pagerank(g, alpha=0.85, max_iter=rounds)
@@ -65,15 +65,23 @@ spark.stop()
 """
 
 
-def run(cpus: int, n_edges: int, rounds: int, parts: int) -> dict:
+def run(cpus: int, n_edges: int, rounds: int, parts: int,
+        pin: bool = True) -> dict:
     code = WORKER.format(repo=REPO, cpus=cpus, n_edges=n_edges,
                          rounds=rounds, parts=parts)
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "16g")
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+    cmd = [sys.executable, "-c", code]
+    if pin:
+        # Pin the whole JVM (task threads + GC + shuffle/netty IO) to
+        # exactly `cpus` cores. Without this the local[N] leg's GC and IO
+        # threads spill onto the other idle cores, inflating small-leg
+        # throughput — an N-core cluster node has N cores for EVERYTHING,
+        # so the pinned run is the honest N vs 4N proxy.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        check=True, env=env,
+        cmd, capture_output=True, text=True, check=True, env=env,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
@@ -117,8 +125,11 @@ def main() -> None:
 North rule: throughput scaling efficiency ≥ 0.8 from N to 4N executors.
 Sandbox proxy (per BASELINE.md): same job, same input, local[{small}] vs
 local[{large}], separate JVMs, identical shuffle-partition count ({parts}),
-best of {args.trials} interleaved trials per leg (single-box runs carry
-large GC/page-cache variance; all trials recorded in the JSON line above),
+each JVM pinned with ``taskset`` to exactly its executor-thread count of
+cores (so the N leg's GC/shuffle-IO threads cannot borrow the idle 4N−N
+cores — an N-core cluster node has N cores for everything), best of
+{args.trials} interleaved trials per leg (single-box runs carry large
+GC/page-cache variance; all trials recorded in the JSON line above),
 shuffle dirs on tmpfs.
 
 Job: PageRank, {args.rounds} fixed rounds, {args.edges:,} directed edges

@@ -1,0 +1,81 @@
+"""fluid_community vs a sequential replay of the same synchronous update."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from graphscope_spark.algorithms.fluid import fluid_community
+from graphscope_spark.graph import Graph
+
+EPS = 1e-10
+
+
+def _random_graph(seed: int, n: int = 40, m: int = 90):
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    return list(range(n)), sorted(edges)
+
+
+def seq_fluid(vertices, edge_list, seed_ids, max_iter=100):
+    adj = {v: set() for v in vertices}
+    for u, v in edge_list:
+        adj[u].add(v)
+        adj[v].add(u)
+    lab = {v: -1 for v in vertices}
+    for i, s in enumerate(sorted(seed_ids)):
+        lab[s] = i
+    l1 = {v: -2 for v in vertices}
+    l2 = {v: -2 for v in vertices}
+    for _ in range(max_iter):
+        cnt = {}
+        for v in vertices:
+            if lab[v] >= 0:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+        new = {}
+        for v in vertices:
+            d = {}
+            for u in adj[v] | {v}:
+                if lab[u] >= 0:
+                    d[lab[u]] = d.get(lab[u], 0.0) + 1.0 / cnt[lab[u]]
+            if not d:
+                new[v] = lab[v]
+                continue
+            bd = max(d.values())
+            bl = min(i for i, w in d.items() if w == bd)
+            cur = d.get(lab[v], 0.0)
+            if lab[v] < 0 or bd > cur + EPS:
+                new[v] = bl
+            else:
+                new[v] = lab[v]
+        l2, l1 = l1, dict(lab)
+        lab = new
+        if all(lab[v] == l1[v] or lab[v] == l2[v] for v in vertices):
+            break
+    return lab
+
+
+def test_fluid_matches_sequential(spark):
+    vertices, edges = _random_graph(21)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    g = Graph(e, v, directed=False, num_partitions=4)
+    got = {r["id"]: r["lab"] for r in fluid_community(g, k=4, seed=7).collect()}
+
+    # replicate the seed choice (xxhash64 ordering) via Spark itself — the
+    # seed *selection* is not the algorithm under test
+    seed_ids = [
+        r["id"]
+        for r in v.orderBy(F.xxhash64(F.col("id"), F.lit(7)), F.col("id"))
+        .limit(4).collect()
+    ]
+    want = seq_fluid(vertices, edges, seed_ids)
+    assert got == want
+    # structural: ≤ k communities, every labeled vertex reachable
+    labs = {x for x in got.values() if x >= 0}
+    assert len(labs) <= 4

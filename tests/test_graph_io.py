@@ -1,0 +1,64 @@
+"""Graph-level serialize/deserialize + consolidate_columns."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from graphscope_spark.algorithms import pagerank, wcc
+from graphscope_spark.graph import Graph
+from graphscope_spark.operators.relational import consolidate_columns
+
+
+def test_graph_save_load_roundtrip(spark, tmp_path):
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph(e, directed=False, num_partitions=4)
+    path = str(tmp_path / "archive")
+    g.save(path)
+
+    g2 = Graph.load(spark, path)
+    assert g2.directed is False
+    assert g2.num_partitions == 4
+    assert g2.num_vertices == g.num_vertices
+    assert g2.num_edges == g.num_edges  # both directions persisted
+
+    # algorithm parity across the roundtrip
+    pr1 = {r["id"]: r["rank"] for r in pagerank(g, max_iter=5).state.collect()}
+    pr2 = {r["id"]: r["rank"] for r in pagerank(g2, max_iter=5).state.collect()}
+    assert set(pr1) == set(pr2)
+    for k in pr1:
+        assert math.isclose(pr1[k], pr2[k], rel_tol=1e-12)
+    c1 = {(r["id"], r["comp"]) for r in wcc(g).state.collect()}
+    c2 = {(r["id"], r["comp"]) for r in wcc(g2).state.collect()}
+    assert c1 == c2
+
+
+def test_graph_save_preserves_properties_and_direction(spark, tmp_path):
+    e = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 3, 1.5)], "src long, dst long, w double"
+    )
+    v = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                              "id long, name string")
+    g = Graph(e, v, directed=True, num_partitions=2)
+    path = str(tmp_path / "archive_props")
+    g.save(path)
+    g2 = Graph.load(spark, path)
+    assert g2.directed is True
+    assert {tuple(r) for r in g2.edges.collect()} == {
+        (1, 2, 0.5), (2, 3, 1.5)
+    }
+    assert {tuple(r) for r in g2.vertices.collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+
+def test_consolidate_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0, "x")], "id long, a double, b double, tag string"
+    )
+    out = consolidate_columns(df, ["a", "b"], "ab")
+    assert out.columns == ["id", "tag", "ab"]
+    row = out.first()
+    assert row["ab"] == [10.0, 20.0]
