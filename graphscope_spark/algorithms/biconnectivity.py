@@ -92,9 +92,13 @@ def bfs_forest(g: Graph, max_iter: int = 10_000) -> DataFrame:
             break
         visited = visited.union(frontier)
         if depth % 8 == 0:
-            visited = visited.localCheckpoint(eager=True)
+            # coalesce before the snapshot: union concatenates partitions,
+            # so 8 accumulated levels × P parts would otherwise give every
+            # downstream stage ~8P tasks of near-empty work
+            visited = visited.coalesce(g.num_partitions) \
+                .localCheckpoint(eager=True)
     edges.unpersist()
-    return visited.localCheckpoint(eager=True)
+    return visited.coalesce(g.num_partitions).localCheckpoint(eager=True)
 
 
 def _euler_tour_positions(forest: DataFrame) -> DataFrame:

@@ -110,8 +110,10 @@ def multi_source_bfs(
     # snapshot, then release every level cache — callers iterate over the
     # result many times (closeness agg, betweenness backward levels) and
     # the per-level caches would otherwise pile up across calls until the
-    # driver JVM OOMs.
-    result = result.localCheckpoint(eager=True)
+    # driver JVM OOMs. Coalesce first: the union concatenates one partition
+    # set per BFS level, and diameter × P near-empty tasks per downstream
+    # stage is pure scheduler overhead.
+    result = result.coalesce(g.num_partitions).localCheckpoint(eager=True)
     for fdf in frontiers:
         fdf.unpersist()
     edges.unpersist()

@@ -65,10 +65,38 @@ spark.stop()
 """
 
 
+
+#: pure-compute control job: same harness, no shuffle — isolates "does the
+#: box scale at all" (CPU-bound sha2 chain) from the pagerank number
+#: (shuffle/memory-bandwidth-bound). On one box the memory bus is shared
+#: by all 32 cores, so pagerank's ceiling is bandwidth, not plan shape;
+#: the control's efficiency shows the harness+scheduler overhead alone.
+CONTROL_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from graphscope_spark.session import get_spark
+cpus = {cpus}
+n = {n_edges}
+spark = get_spark("scaling_control", cpus=cpus, shuffle_partitions={parts},
+                  extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp"}})
+df = spark.range(n).select(F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("h"))
+for _ in range(4):
+    df = df.select("id", F.sha2(F.concat("h", F.col("id").cast("string")), 256).alias("h"))
+t0 = time.monotonic()
+df.select(F.max("h")).collect()
+wall = time.monotonic() - t0
+print(json.dumps({{"cpus": cpus, "wall_s": wall,
+                   "edge_updates_per_sec": n * 5 / wall}}))
+spark.stop()
+"""
+
+
 def run(cpus: int, n_edges: int, rounds: int, parts: int,
-        pin: bool = True) -> dict:
-    code = WORKER.format(repo=REPO, cpus=cpus, n_edges=n_edges,
-                         rounds=rounds, parts=parts)
+        pin: bool = True, job: str = "pagerank") -> dict:
+    tmpl = WORKER if job == "pagerank" else CONTROL_WORKER
+    code = tmpl.format(repo=REPO, cpus=cpus, n_edges=n_edges,
+                       rounds=rounds, parts=parts)
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "16g")
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
@@ -95,6 +123,10 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=2,
                     help="runs per leg; best throughput kept (single-box "
                     "runs show large GC/page-cache variance)")
+    ap.add_argument("--job", default="pagerank",
+                    choices=["pagerank", "control"],
+                    help="control = shuffle-free CPU-bound sha2 chain "
+                    "(isolates box/harness scaling from memory-bandwidth)")
     args = ap.parse_args()
     small, large = args.small, args.small * 4
     # identical partition count both runs: the PLAN is identical, only
@@ -103,12 +135,15 @@ def main() -> None:
 
     trials = {"small": [], "large": []}
     for _ in range(args.trials):  # interleave legs to spread noise evenly
-        trials["small"].append(run(small, args.edges, args.rounds, parts))
-        trials["large"].append(run(large, args.edges, args.rounds, parts))
+        trials["small"].append(
+            run(small, args.edges, args.rounds, parts, job=args.job))
+        trials["large"].append(
+            run(large, args.edges, args.rounds, parts, job=args.job))
     r_small = max(trials["small"], key=lambda r: r["edge_updates_per_sec"])
     r_large = max(trials["large"], key=lambda r: r["edge_updates_per_sec"])
     eff = r_large["edge_updates_per_sec"] / (4 * r_small["edge_updates_per_sec"])
     result = {
+        "job": args.job,
         "edges": args.edges,
         "rounds": args.rounds,
         "trials": trials,
@@ -118,6 +153,8 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    if args.job != "pagerank":
+        return  # control runs report on stdout only
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence

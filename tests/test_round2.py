@@ -426,7 +426,9 @@ def test_loader_options(spark, tmp_path):
 def test_graph_archive_roundtrip(spark, g, tmp_path):
     path = str(tmp_path / "gar")
     save_graph(g, path)
-    assert os.path.exists(os.path.join(path, "_graph_meta.json"))
+    # metadata is a Spark-written JSON dataset (FS-agnostic), not a
+    # driver-local file
+    assert os.path.isdir(os.path.join(path, "meta"))
     g2 = load_graph(spark, path)
     assert g2.directed == g.directed
     assert (
