@@ -271,6 +271,15 @@ def _q_scc(spark, sf_dir):
     return _scc(g).select("id", "comp")
 
 
+def _q_dfs(spark, sf_dir):
+    # rows-only: DFS preorder is order-dependent sequential recursion, not
+    # SQL-expressible; exact recursive-python oracle in tests/test_dfs.py.
+    from graphscope_spark.algorithms.dfs import dfs as _dfs
+    g = tg.partseq_graph(spark, sf_dir)
+    src = g.vertices.agg(F.min("id")).first()[0]
+    return _dfs(g, src).select("id", "rank", "parent")
+
+
 def _q_rectangle(spark, sf_dir):
     from graphscope_spark.algorithms.subgraph import rectangle_count
     return rectangle_count(tg.copurchase_graph(spark, sf_dir))
@@ -649,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voterank": _q_voterank,
         "all_simple_paths": _q_all_simple_paths,
         "bfs_parents": _q_bfs_parents,
+        "dfs": _q_dfs,
         # FLASH subgraph-counting family
         "rectangle": _q_rectangle,
         "diamond": _q_diamond,

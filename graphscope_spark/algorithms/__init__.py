@@ -42,6 +42,7 @@ from graphscope_spark.algorithms.ranking import (  # noqa: F401
     articlerank, ppr, voterank,
 )
 from graphscope_spark.algorithms.scc import scc  # noqa: F401
+from graphscope_spark.algorithms.dfs import dfs  # noqa: F401
 from graphscope_spark.algorithms.lpa import lpa_u2i  # noqa: F401
 from graphscope_spark.algorithms.simple_paths import (  # noqa: F401
     all_simple_paths, bfs_edges, bfs_parents, bfs_successors, is_simple_path,
