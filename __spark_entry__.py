@@ -92,6 +92,14 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_pagerank_push(spark, sf_dir):
+    from graphscope_spark.algorithms.pagerank import pagerank_push
+    g = tg.copurchase_graph(spark, sf_dir)
+    return pagerank_push(g, alpha=0.85, max_iter=10).state.select(
+        "id", F.round("rank", RD).alias("pr")
+    )
+
+
 def _q_pagerank_directed(spark, sf_dir):
     g = tg.purchase_graph(spark, sf_dir)
     return pagerank(g, alpha=0.85, max_iter=10).state.select(
@@ -276,7 +284,10 @@ def _q_dfs(spark, sf_dir):
     # SQL-expressible; exact recursive-python oracle in tests/test_dfs.py.
     from graphscope_spark.algorithms.dfs import dfs as _dfs
     g = tg.partseq_graph(spark, sf_dir)
-    src = g.vertices.agg(F.min("id")).first()[0]
+    # deterministic source with a non-trivial reachable set: max out-degree,
+    # min id among ties
+    src = (g.degrees.orderBy(F.desc("out_deg"), F.asc("id"))
+           .select("id").first()[0])
     return _dfs(g, src).select("id", "rank", "parent")
 
 
@@ -622,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
+        "pagerank_push": _q_pagerank_push,
         "pagerank_directed": _q_pagerank_directed,
         "pagerank_tol": _q_pagerank_tol,
         "wcc": _q_wcc,
@@ -713,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_edges": tg.edges_sql(),
         "graph_degrees": tg.degrees_sql(),
         "pagerank": tg.pagerank_sql(rounds=10, directed=False),
+        "pagerank_push": tg.pagerank_push_sql(rounds=10, directed=False),
         "pagerank_directed": tg.pagerank_sql(rounds=10, directed=True),
         # pagerank_tol intentionally omitted: data-dependent round count
         "wcc": tg.wcc_sql(),

@@ -138,3 +138,87 @@ def pagerank(
     )
     return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
                       should_stop=should_stop, resume=resume)
+
+
+def pagerank_push(
+    g: Graph,
+    alpha: float = 0.85,
+    max_iter: int = 10,
+    eps: float = 0.0,
+) -> SuperstepResult:
+    """Push-style (residual/delta) PageRank — the registry's
+    `pagerank_push` / `pagerank_push_opt` apps
+    (coordinator/gscoordinator/builtin/app/.gs_conf.yaml:10,18; the
+    implementations live in the external public libgrape-lite). Push
+    engines send mass forward from ACTIVE vertices instead of gathering
+    over in-edges, so the per-round shuffle is proportional to the
+    frontier, not the graph.
+
+    Synchronous forward-push recurrence (converges to the same fixed point
+    as :func:`pagerank` — the power series (1-α)/N · Σ_k (αPᵀ)^k 1):
+
+      res₀ = (1-α)/N  everywhere; rank₀ = 0
+      active_k = res_k > eps              (eps=0 ⇒ everyone, exact series)
+      rank_{k+1} = rank_k + res_k·[active]          (absorb when pushing)
+      res_{k+1}(v) = res_k(v)·[¬active]             (retained mass)
+                   + α·Σ_{active u→v} res_k(u)/outdeg(u)
+                   + α·dang_k/N     (dangling active mass, redistributed)
+
+    After R rounds with eps=0, rank_R = the R-term partial series —
+    deterministic and SQL-unrollable (tpch_graphs.pagerank_push_sql);
+    the tail shrinks by α per round, so rank converges to pagerank().
+    Returns state ``(id, rank, res, out_deg)``.
+    """
+    spark = g.spark
+    n = g.num_vertices
+    if n == 0:
+        empty = spark.createDataFrame([], "id long, rank double")
+        return SuperstepResult(state=empty, rounds=0, metrics=[])
+
+    edges = g.out_edges.select("src", "dst")
+    init = (
+        g.vertices.select("id")
+        .join(g.degrees.select("id", "out_deg"), "id", "left")
+        .select(
+            "id",
+            F.lit(0.0).alias("rank"),
+            F.lit((1.0 - alpha) / n).alias("res"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+        )
+    )
+
+    def step(state: DataFrame, rnd: int) -> DataFrame:
+        active = F.col("res") > eps
+        # dangling active mass — scalar allreduce, broadcast into the update
+        dang = state.filter(active & (F.col("out_deg") == 0)).agg(
+            F.coalesce(F.sum("res"), F.lit(0.0)).alias("_dang")
+        )
+        # frontier-proportional message exchange: only active vertices with
+        # out-edges push (the point of the push variant)
+        pushes = state.filter(active & (F.col("out_deg") > 0)).select(
+            F.col("id").alias("src"),
+            (F.lit(alpha) * F.col("res") / F.col("out_deg")).alias("m"),
+        )
+        msgs = (
+            edges.join(pushes, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("m").alias("pushed"))
+        )
+        return (
+            state.join(msgs, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                F.when(active, F.col("rank") + F.col("res"))
+                .otherwise(F.col("rank")).alias("rank"),
+                (
+                    F.when(active, F.lit(0.0)).otherwise(F.col("res"))
+                    + F.coalesce(F.col("pushed"), F.lit(0.0))
+                    + F.lit(alpha) * F.col("_dang") / n
+                ).alias("res"),
+                "out_deg",
+            )
+        )
+
+    runner = SuperstepRunner(spark, name="pagerank_push")
+    return runner.run(init, step, max_iter)

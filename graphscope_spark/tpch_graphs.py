@@ -210,6 +210,47 @@ r{k} AS (
     return _materialized("WITH " + "".join(parts))
 
 
+def pagerank_push_sql(rounds: int = 10, alpha: float = 0.85,
+                      directed: bool = False) -> str:
+    """Unrolled synchronous forward-push PageRank (eps=0): rank_R is the
+    R-term partial power series — the exact output of
+    algorithms.pagerank.pagerank_push after ``rounds`` supersteps."""
+    cte = PURCHASE_CTE if directed else COPURCHASE_CTE
+    parts = [
+        cte.rstrip(),
+        ",\nnv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        ",\ndeg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg"
+        " FROM edges GROUP BY src)",
+        ",\ns0 AS (SELECT id, 0.0 AS rank,"
+        f" (1.0 - {alpha}) / (SELECT n FROM nv) AS res FROM verts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f""",
+dang{k} AS (
+  SELECT COALESCE(SUM(p.res), 0.0) AS s
+  FROM {p} p LEFT JOIN deg d ON p.id = d.id WHERE d.id IS NULL
+),
+s{k} AS (
+  SELECT p.id, p.rank + p.res AS rank,
+         {alpha} * (COALESCE(m.s, 0.0)
+                    + (SELECT s FROM dang{k}) / (SELECT n FROM nv)) AS res
+  FROM {p} p
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(q.res / d.outdeg) AS s
+    FROM edges e JOIN {p} q ON e.src = q.id JOIN deg d ON q.id = d.id
+    GROUP BY e.dst
+  ) m ON p.id = m.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, ROUND(rank, {FLOAT_DECIMALS}) AS pr "
+        f"FROM s{rounds} ORDER BY id"
+    )
+    return _materialized("WITH " + "".join(parts))
+
+
 def wcc_sql(rounds: int = WCC_ROUNDS) -> str:
     """Unrolled min-label propagation; ``rounds`` must exceed the label-
     propagation diameter of the sf0.01 co-purchase graph (16)."""

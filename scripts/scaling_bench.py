@@ -38,7 +38,9 @@ n_edges = {n_edges}
 n_vertices = n_edges // 8
 rounds = {rounds}
 spark = get_spark("scaling_bench", cpus=cpus, shuffle_partitions={parts},
-                  extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp"}})
+                  extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp",
+                               "spark.ui.enabled": "true",
+                               "spark.ui.port": "0"}})
 
 # deterministic uniform edges + a 1% hub set absorbing 20% of endpoints —
 # the skew shape of real link graphs (AQE skew-join handles the hot keys).
@@ -54,12 +56,31 @@ edges = base.select(
 g = Graph(edges, directed=True)
 g.num_edges; g.num_vertices; g.degrees.count()  # build caches (CSR sort) pre-timer
 
+def stage_task_seconds():
+    # sum of completed-stage executorRunTime (ms) via the UI REST API —
+    # the per-task time a cluster would bill. Comparing this total across
+    # parallelism widths separates "tasks got slower" (shared memory
+    # bus / CPU contention — a single-box artifact a real N vs 4N cluster
+    # does not have) from "executors sat idle" (plan/scheduler problem).
+    import urllib.request
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{{base}}/api/v1/applications/{{app_id}}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return sum(s.get("executorRunTime", 0) for s in stages) / 1000.0
+
+task_s_before = stage_task_seconds()
 t0 = time.monotonic()
 res = pagerank(g, alpha=0.85, max_iter=rounds)
 # JVM-side noop sink: materializes every row without Python serialization
 res.state.write.format("noop").mode("overwrite").save()
 wall = time.monotonic() - t0
+task_s = stage_task_seconds() - task_s_before
 print(json.dumps({{"cpus": cpus, "wall_s": wall,
+                   "task_seconds": task_s,
+                   "busy_frac": task_s / (wall * cpus),
                    "edge_updates_per_sec": n_edges * rounds / wall}}))
 spark.stop()
 """
@@ -80,7 +101,10 @@ cpus = {cpus}
 n = {n_edges}
 spark = get_spark("scaling_control", cpus=cpus, shuffle_partitions={parts},
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp"}})
-df = spark.range(n).select(F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("h"))
+# force `parts` parallel input partitions so both legs run the identical
+# task layout (spark.range would otherwise default to `cpus` slices)
+df = spark.range(0, n, 1, {parts}).select(
+    F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("h"))
 for _ in range(4):
     df = df.select("id", F.sha2(F.concat("h", F.col("id").cast("string")), 256).alias("h"))
 t0 = time.monotonic()
@@ -123,6 +147,8 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=2,
                     help="runs per leg; best throughput kept (single-box "
                     "runs show large GC/page-cache variance)")
+    ap.add_argument("--no-md", action="store_true",
+                    help="print JSON only; don't overwrite BENCH/BASELINE.md")
     ap.add_argument("--job", default="pagerank",
                     choices=["pagerank", "control"],
                     help="control = shuffle-free CPU-bound sha2 chain "
@@ -153,8 +179,8 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    if args.job != "pagerank":
-        return  # control runs report on stdout only
+    if args.job != "pagerank" or args.no_md:
+        return  # control / exploratory runs report on stdout only
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
