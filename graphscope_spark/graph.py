@@ -300,6 +300,75 @@ class Graph:
                      self._persist)
 
     # ------------------------------------------------------------------ #
+    # batch mutation (MODIFY_VERTICES / MODIFY_EDGES, dag_utils.py:359-411)
+    #
+    # The reference mutates a DynamicFragment in place (NetworkX API,
+    # grape_instance.cc:365-441). DataFrames are immutable, so the Spark
+    # re-expression is BATCH mutation: each call returns a new Graph built
+    # from a union / anti-join — the modeling decision recorded in
+    # SURVEY.md §1.6 ("batch union instead"). Fine-grained per-call
+    # add_node loops are an anti-pattern at any scale; callers accumulate
+    # a mutation batch DataFrame and apply it once.
+    # ------------------------------------------------------------------ #
+
+    def add_vertices(self, new_vertices: DataFrame) -> "Graph":
+        """NX_ADD_NODES — union new ``(id, props…)`` rows; existing ids keep
+        their current row (first-writer-wins, like DynamicFragment which
+        ignores re-adds of an existing oid)."""
+        add = new_vertices.join(self.vertices.select("id"), "id", "left_anti")
+        v = self.vertices.unionByName(add, allowMissingColumns=True)
+        return Graph(self.edges, v, self.directed, self.num_partitions,
+                     self._persist, assume_symmetric=not self.directed)
+
+    def remove_vertices(self, ids: DataFrame) -> "Graph":
+        """NX_DEL_NODES — drop the vertices AND their incident edges
+        (DynamicFragment deletes adjacency rows with the vertex)."""
+        ids = ids.select("id")
+        v = self.vertices.join(ids, "id", "left_anti")
+        e = (
+            self.out_edges
+            .join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select(self.edges.columns)
+        )
+        return Graph(e, v, self.directed, self.num_partitions,
+                     self._persist, assume_symmetric=not self.directed)
+
+    def add_edges(self, new_edges: DataFrame) -> "Graph":
+        """NX_ADD_EDGES — union new ``(src, dst, props…)`` rows; endpoints
+        missing from the vertex table are added (NetworkX add_edge
+        semantics). Undirected graphs re-canonicalize so the
+        both-directions invariant holds for the merged table."""
+        e = self.edges.unionByName(new_edges, allowMissingColumns=True)
+        ends = (
+            new_edges.select(F.col("src").alias("id"))
+            .union(new_edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .join(self.vertices.select("id"), "id", "left_anti")
+        )
+        v = self.vertices.unionByName(ends, allowMissingColumns=True)
+        # assume_symmetric=False: the constructor symmetrizes + dedups the
+        # merged edge table for undirected graphs (also dedups re-added
+        # existing edges, matching DynamicFragment upsert semantics for
+        # prop-less edges)
+        return Graph(e, v, self.directed, self.num_partitions, self._persist)
+
+    def remove_edges(self, pairs: DataFrame) -> "Graph":
+        """NX_DEL_EDGES — anti-join on (src, dst); for undirected graphs
+        both orientations of each pair are removed."""
+        pairs = pairs.select("src", "dst")
+        if not self.directed:
+            pairs = pairs.union(
+                pairs.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))
+            )
+        e = self.out_edges.join(pairs, ["src", "dst"], "left_anti").select(
+            self.edges.columns
+        )
+        return Graph(e, self.vertices, self.directed, self.num_partitions,
+                     self._persist, assume_symmetric=not self.directed)
+
+    # ------------------------------------------------------------------ #
     # graph-level serialize / deserialize (SERIALIZE_GRAPH /
     # DESERIALIZE_GRAPH, dag_utils.py:1085-1176; the GraphAr ARCHIVE_GRAPH
     # surface, dag_utils.py save_to/load_from) — vertex and edge tables as
