@@ -33,7 +33,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench", cpus=cpus)
+    # partition count sized to the DATA, not the core count: at sf0.1 the
+    # co-purchase graph is 47k edges — 32 near-empty tasks per superstep is
+    # pure scheduler overhead (measured ~30% of wall). Same principle that
+    # sizes partitions to ~128MB at 100TB, applied at the small end; capped
+    # at the core count so big inputs still use the whole box.
+    try:
+        parts = max(8, min(cpus, int(64 * float(sf))))
+    except ValueError:
+        parts = cpus
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=parts)
 
     g = tg.copurchase_graph(spark, sf_dir)
     n_edges = g.num_edges  # also warms the persisted edge tables
