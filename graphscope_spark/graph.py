@@ -61,6 +61,32 @@ def materialized_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def persist_partitioned(df: DataFrame) -> DataFrame:
+    """persist() with AQE disabled at cache-registration time.
+
+    Under AQE the InMemoryRelation captures an AdaptiveSparkPlan child,
+    whose output partitioning is unknown until execution — so EVERY
+    consumer join re-exchanges the cached side, even though it was
+    repartition()+sortWithinPartitions()'d on the join key. For the edge
+    tables that means re-shuffling the BIG side of the message join every
+    superstep (measured: the Exchange shows up above InMemoryTableScan in
+    the per-round plan). Registering the cache with AQE momentarily off
+    captures a static plan that reports HashPartitioning(key), and the
+    per-round sort-merge join then streams the cache with no exchange and
+    no sort on that side — the CSR-stays-put property the reference gets
+    from pinned fragments. AQE is restored immediately; consumer queries
+    still get AQE (skew joins, runtime coalescing) — only the cached
+    plan's own registration is non-adaptive.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def assign_dense_ids(
     df: DataFrame, key_col: str, num_partitions: int | None = None
 ) -> DataFrame:
@@ -165,8 +191,8 @@ class Graph:
         )
         if persist:
             self.vertices = self.vertices.persist(StorageLevel.MEMORY_AND_DISK)
-            self.out_edges = self.out_edges.persist(StorageLevel.MEMORY_AND_DISK)
-            self.in_edges = self.in_edges.persist(StorageLevel.MEMORY_AND_DISK)
+            self.out_edges = persist_partitioned(self.out_edges)
+            self.in_edges = persist_partitioned(self.in_edges)
 
         self._degrees: DataFrame | None = None
         self._nv: int | None = None
@@ -240,7 +266,7 @@ class Graph:
                 .repartition(self.num_partitions, "id")
             )
             if self._persist:
-                deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+                deg = persist_partitioned(deg)
             self._degrees = deg
         return self._degrees
 

@@ -47,7 +47,10 @@ def test_dfs_matches_recursive_oracle(spark):
 
 
 def test_dfs_guard(spark, monkeypatch):
-    import graphscope_spark.algorithms.dfs as m
+    # `algorithms.dfs` the ATTRIBUTE is the function (re-exported in
+    # __init__); import_module returns the module itself
+    import importlib
+    m = importlib.import_module("graphscope_spark.algorithms.dfs")
 
     e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     g = Graph(e, directed=True, num_partitions=2)
