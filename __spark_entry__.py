@@ -249,9 +249,9 @@ def _q_louvain(spark, sf_dir):
 
 
 def _q_sssp_path(spark, sf_dir):
-    """Rows-only: (id, dist, parent); min-parent tie-break documented in
-    algorithms/sssp.py (the reference excludes sssp_path from exact golden
-    match for the same diamond-tie reason, app_tests.sh:349-356)."""
+    """(id, dist, parent); unit weights — the min-parent tie-break is
+    SQL-expressible (tpch_graphs.sssp_path_sql), unlike the reference's
+    nondeterministic diamond ties (app_tests.sh:349-356)."""
     from graphscope_spark.algorithms import sssp_path
     g = tg.copurchase_graph(spark, sf_dir)
     return sssp_path(g, _min_id(g)).state.select("id", "dist", "parent")
@@ -734,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": tg.triangle_count_sql(),
         "bfs": tg.bfs_sql(),
         "sssp": tg.sssp_sql(),
+        "sssp_path": tg.sssp_path_sql(),
         "degree_centrality": tg.degree_centrality_sql(),
         "clustering": tg.clustering_sql(),
         "transitivity": tg.transitivity_sql(),

@@ -371,6 +371,46 @@ d{k} AS (
     return _materialized("WITH " + "".join(parts))
 
 
+def sssp_path_sql(rounds: int = WCC_ROUNDS) -> str:
+    """Unrolled unit-weight BFS dist + min-parent derivation.
+
+    With unit weights every vertex's dist settles in the round equal to its
+    hop count, so the engine's min-(dist, parent) struct tie-break reduces
+    to parent(v) = MIN{u : edge(u,v) AND dist(u) = dist(v) - 1} — exactly
+    expressible once the dist fixpoint is unrolled (algorithms/sssp.py
+    sssp_path; the reference excludes sssp_path from byte-exact goldens for
+    the diamond-tie reason, app_tests.sh:349-356 — the min-id pin makes it
+    deterministic on both sides)."""
+    parts = [COPURCHASE_CTE.rstrip(), SOURCE_CTE,
+             ",\nd0 AS (SELECT id, CASE WHEN id = (SELECT sid FROM src)"
+             " THEN 0.0 END AS dist FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"d{k-1}"
+        parts.append(f""",
+d{k} AS (
+  SELECT v.id,
+         CASE WHEN LEAST(COALESCE(v.dist, 1e18), COALESCE(m.c, 1e18)) < 1e18
+              THEN LEAST(COALESCE(v.dist, 1e18), COALESCE(m.c, 1e18)) END AS dist
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.dist + 1.0) AS c
+    FROM edges e JOIN {p} p ON e.src = p.id AND p.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+)""")
+    parts.append(f""",
+par AS (
+  SELECT d.id, MIN(e.src) AS parent
+  FROM d{rounds} d
+  JOIN edges e ON e.dst = d.id
+  JOIN d{rounds} u ON u.id = e.src AND u.dist = d.dist - 1.0
+  WHERE d.dist IS NOT NULL AND d.dist > 0
+  GROUP BY d.id
+)
+SELECT d.id, d.dist, p.parent
+FROM d{rounds} d LEFT JOIN par p ON d.id = p.id ORDER BY d.id""")
+    return _materialized("WITH " + "".join(parts))
+
+
 def sssp_sql(rounds: int = SSSP_ROUNDS) -> str:
     """Unrolled Bellman-Ford with the deterministic (src+dst)%10+1 weight."""
     parts = [COPURCHASE_CTE.rstrip(), SOURCE_CTE,
