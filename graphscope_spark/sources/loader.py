@@ -114,6 +114,25 @@ def load_table(
     return df
 
 
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """Reference Loader accepts a pandas DataFrame directly
+    (python/graphscope/framework/loader.py:105-115); on Spark this is
+    createDataFrame over the Arrow fast path (enabled in session.py)."""
+    return spark.createDataFrame(pdf)
+
+
+def from_numpy_coo(spark: SparkSession, src, dst, weights=None) -> DataFrame:
+    """Reference Loader accepts numpy COO arrays for an edge list
+    (loader.py:116-127: a sequence of 1-D arrays, first two = endpoints).
+    Arrow-batched via an intermediate pandas frame — no per-row Python."""
+    import pandas as pd
+
+    data = {"src": src, "dst": dst}
+    if weights is not None:
+        data["w"] = weights
+    return spark.createDataFrame(pd.DataFrame(data))
+
+
 def graph_from_loaders(
     spark: SparkSession,
     edges: Loader | DataFrame,

@@ -62,3 +62,22 @@ def test_consolidate_columns(spark):
     assert out.columns == ["id", "tag", "ab"]
     row = out.first()
     assert row["ab"] == [10.0, 20.0]
+
+
+def test_pandas_and_numpy_coo_ingestion(spark):
+    import numpy as np
+    import pandas as pd
+
+    from graphscope_spark.sources.loader import from_numpy_coo, from_pandas
+
+    pdf = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    e1 = from_pandas(spark, pdf)
+    e2 = from_numpy_coo(spark, np.array([0, 1, 2]), np.array([1, 2, 0]),
+                         weights=np.array([1.0, 2.0, 3.0]))
+    assert {tuple(r) for r in e1.collect()} == {(0, 1), (1, 2), (2, 0)}
+    rows = {(r["src"], r["dst"], r["w"]) for r in e2.collect()}
+    assert rows == {(0, 1, 1.0), (1, 2, 2.0), (2, 0, 3.0)}
+
+    from graphscope_spark.sources.loader import graph_from_loaders
+    g = graph_from_loaders(spark, e2, directed=True, num_partitions=2)
+    assert g.num_edges == 3 and g.num_vertices == 3
