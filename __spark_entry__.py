@@ -11,9 +11,11 @@ different orders.
 Queries WITHOUT an oracle entry (rows-only check, reasons inline):
 pagerank_tol (data-dependent round count), kshell (nested data-dependent
 peel loops), simhash* (Python-UDF bit votes, not SQL-expressible),
-ann_lsh / embedding near-dup (random-hyperplane buckets use numpy RNG),
-repo_* (corpus synthesized by vectorized UDF extraction, no SQL twin —
-pytest checks a pure-python oracle instead, tests/test_corpus.py).
+ann_lsh / embedding near-dup (random-hyperplane buckets use numpy RNG).
+The repo_* corpus queries DO have twins (corpus_oracles.py re-derives the
+synthetic corpus with range()+printf+sha256 and the import edges with the
+same regex via regexp_extract_all, so synthesis → sha256 invariant →
+extraction → PageRank is value-hash-checked end-to-end).
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graphscope_spark import corpus as corpus_mod  # noqa: E402
+from graphscope_spark import corpus_oracles as cor  # noqa: E402
 from graphscope_spark import doc_oracles as do  # noqa: E402
 from graphscope_spark import tpch_graphs as tg  # noqa: E402
 from graphscope_spark.algorithms import (  # noqa: E402
@@ -538,26 +541,28 @@ def _q_path_expand(spark, sf_dir):
 
 
 def _corpus_scale(sf_dir: str) -> tuple[int, int]:
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        f = float(sf)
-    except ValueError:
-        f = 0.01
-    n_repos = max(60, int(2000 * f))
-    return n_repos, 12
+    # FIXED gate scale (sf-independent): the DuckDB twin synthesizes the
+    # same corpus from range() so its text bakes the scale in; keeping one
+    # scale on both sides makes these value-hash queries instead of the
+    # round-1 rows-only checks. Scale behaviour is pytest/bench territory.
+    return cor.GATE_N_REPOS, cor.GATE_FILES
 
 
 def _q_repo_edges(spark, sf_dir):
+    """String-keyed edge list (dense-id encoding is partitioning-dependent
+    and therefore not oracle-comparable; it stays covered by pytest)."""
     n_repos, files = _corpus_scale(sf_dir)
-    g, vertices, repos = corpus_mod.repo_graph(spark, n_repos, files)
-    return g.edges.select("src", "dst")
+    repos = corpus_mod.synthesize_repos(spark, n_repos, files)
+    return corpus_mod.extract_edges(repos)
 
 
 def _q_repo_pagerank(spark, sf_dir):
     n_repos, files = _corpus_scale(sf_dir)
     g, vertices, repos = corpus_mod.repo_graph(spark, n_repos, files)
-    return pagerank(g, alpha=0.85, max_iter=10).state.select(
-        "id", F.round("rank", RD).alias("pr")
+    return (
+        pagerank(g, alpha=0.85, max_iter=10).state
+        .join(vertices, "id")
+        .select("repo", F.round("rank", RD).alias("pr"))
     )
 
 
@@ -782,7 +787,12 @@ def oracle_sql() -> dict[str, str]:
         # peel loops) have no bounded SQL unroll — each has an exact
         # sequential Python oracle in tests/test_matching.py and
         # tests/test_measurement.py
-        # repo_* omitted: pandas-UDF extraction has no SQL twin
+        # corpus north-star path: the synthesis is pure column arithmetic
+        # and the extraction a per-language regex, so DuckDB twins exist
+        # (corpus_oracles.py) — upgraded from round-1 rows-only
+        "repo_edges": cor.repo_edges_sql(),
+        "repo_sha256": cor.repo_sha256_sql(),
+        "repo_pagerank": cor.repo_pagerank_sql(rounds=10),
         "doc_stats": do.doc_stats_sql(),
         "quality_score": do.quality_score_sql(),
         "lang_id": do.lang_id_sql(),
