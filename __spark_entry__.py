@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graphscope_spark import corpus as corpus_mod  # noqa: E402
 from graphscope_spark import corpus_oracles as cor  # noqa: E402
+from graphscope_spark import flash_oracles as fo  # noqa: E402
 from graphscope_spark import doc_oracles as do  # noqa: E402
 from graphscope_spark import tpch_graphs as tg  # noqa: E402
 from graphscope_spark.algorithms import (  # noqa: E402
@@ -745,7 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "transitivity": tg.transitivity_sql(),
         "avg_clustering": tg.avg_clustering_sql(),
         "kcore": tg.kcore_sql(k=2),
-        # kshell omitted: nested data-dependent peel loops
+        "kshell": tg.kshell_sql(kmax=6, rounds=20),
         "assortativity": tg.assortativity_sql(),
         "avg_degree_connectivity": tg.avg_degree_connectivity_sql(),
         "eigenvector": tg.eigenvector_sql(rounds=5),
@@ -753,7 +754,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": tg.hits_sql(rounds=3),
         "closeness": tg.closeness_sql(mod=20),
         "apsp": tg.apsp_sql(mod=10),
-        # betweenness omitted: per-level backward joins, data-dependent depth
+        "betweenness": tg.betweenness_sql(mod=20),
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "path_expand": tg.path_expand_sql(mod=50),
         "ppr": tg.ppr_sql(rounds=10),
@@ -781,12 +782,17 @@ def oracle_sql() -> dict[str, str]:
         # unrolled oracle (log-round hook+jump vs diameter-round
         # propagation is a physical-plan difference only)
         "cc_log": tg.wcc_sql(),
-        # mis/maximal_matching/min_*_cover/min_dominating_set/msf/color/
-        # diameter_approx/k_center/onion_layers/degeneracy_ordering omitted:
-        # data-dependent round counts (greedy fixpoints / Borůvka hooking /
-        # peel loops) have no bounded SQL unroll — each has an exact
-        # sequential Python oracle in tests/test_matching.py and
-        # tests/test_measurement.py
+        # matching family: deterministic fixpoints are idempotent, so a
+        # generous fixed unroll IS the fixpoint (flash_oracles.py; round
+        # budgets sized to measured sf0.01 convergence with ~2x margin)
+        "mis": fo.mis_sql(),
+        "maximal_matching": fo.mm_sql(),
+        "min_vertex_cover": fo.mvc_sql(),
+        "min_edge_cover": fo.mec_sql(),
+        "min_dominating_set": fo.mds_sql(),
+        # msf/color/diameter_approx/k_center/onion_layers/
+        # degeneracy_ordering: see below / rows-only with exact sequential
+        # Python oracles in tests/test_matching.py, tests/test_measurement.py
         # corpus north-star path: the synthesis is pure column arithmetic
         # and the extraction a per-language regex, so DuckDB twins exist
         # (corpus_oracles.py) — upgraded from round-1 rows-only

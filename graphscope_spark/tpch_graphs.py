@@ -504,6 +504,41 @@ a{i} AS (
     return _materialized("WITH " + "".join(parts))
 
 
+def kshell_sql(kmax: int = 6, rounds: int = 20) -> str:
+    """Shell index (core number) twin for algorithms.cores.kshell: for each
+    k = 1..kmax run the k-peel to fixpoint (peeling is idempotent, so a
+    generous fixed unroll IS the fixpoint — same argument as kcore_sql),
+    seeding each level from the previous core since (k+1)-core ⊆ k-core;
+    shell(v) = the largest k whose core retains v (0 if none). kmax/rounds
+    are sized to the sf0.01 gate graph (max core 5, deepest wavefront 16 —
+    measured) with margin; an insufficient kmax would show up as a hash
+    mismatch, not silently."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             ",\nc1_0 AS (SELECT id FROM verts)"]
+    for k in range(1, kmax + 1):
+        if k > 1:
+            parts.append(f",\nc{k}_0 AS (SELECT id FROM c{k-1}_{rounds})")
+        for i in range(1, rounds + 1):
+            p = f"c{k}_{i-1}"
+            parts.append(f""",
+c{k}_{i} AS (
+  SELECT e.src AS id FROM edges e
+  JOIN {p} s ON e.src = s.id JOIN {p} d ON e.dst = d.id
+  GROUP BY e.src HAVING count(*) >= {k}
+)""")
+    shells = "\nUNION ALL ".join(
+        f"SELECT id, {k} AS k FROM c{k}_{rounds}" for k in range(1, kmax + 1)
+    )
+    parts.append(f""",
+shells AS (
+{shells}
+)
+SELECT v.id, COALESCE(MAX(s.k), 0) AS shell
+FROM verts v LEFT JOIN shells s ON v.id = s.id
+GROUP BY v.id ORDER BY v.id""")
+    return _materialized("WITH " + "".join(parts))
+
+
 def assortativity_sql() -> str:
     _sql = f"""WITH {COPURCHASE_CTE},
 od AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
@@ -677,6 +712,64 @@ SELECT v.id,
        ROUND(COALESCE(a.h, 0.0), {FLOAT_DECIMALS}) AS harmonic
 FROM verts v LEFT JOIN agg a ON v.id = a.id"""
     return _materialized(_sql)
+
+
+def betweenness_sql(mod: int = 20, rounds: int = WCC_ROUNDS) -> str:
+    """Brandes betweenness from sampled sources (id % mod == 0) — the SQL
+    twin of algorithms/paths.py::betweenness_centrality. Fully unrolled:
+    (1) multi-source BFS distances, (2) per-level forward σ accumulation
+    (σ_lev(v) = Σ σ over predecessor pairs one level up the BFS DAG),
+    (3) per-level backward dependency δ_lev(v) = σ_v·Σ_{v→w} (1+δ_w)/σ_w,
+    from the deepest level in. ``rounds`` (24) bounds the BFS depth — the
+    sf0.01 graph's sampled eccentricity is 19 (measured); levels past the
+    true depth are empty CTEs. Scaling mirrors the Spark side exactly:
+    source-sampling extrapolation n/|S|, ×0.5 undirected, normalized by
+    (n−1)(n−2)/2."""
+    filt = f"WHERE id % {mod} = 0"
+    parts = [COPURCHASE_CTE.rstrip(), _msbfs_cte(rounds, filt), f""",
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts {filt}),
+sg0 AS (SELECT src, id, CAST(1 AS DOUBLE) AS sigma
+        FROM d{rounds} WHERE dist = 0)"""]
+    for lev in range(1, rounds + 1):
+        parts.append(f""",
+sg{lev} AS (
+  SELECT p.src, d.id, SUM(p.sigma) AS sigma
+  FROM sg{lev-1} p
+  JOIN edges e ON e.src = p.id
+  JOIN d{rounds} d ON d.src = p.src AND d.id = e.dst AND d.dist = {lev}
+  GROUP BY p.src, d.id
+)""")
+    parts.append(f""",
+dl{rounds} AS (SELECT src, id, sigma, 0.0 AS delta FROM sg{rounds})""")
+    for lev in range(rounds - 1, 0, -1):
+        parts.append(f""",
+dl{lev} AS (
+  SELECT v.src, v.id, v.sigma,
+         v.sigma * COALESCE(c.part, 0.0) AS delta
+  FROM sg{lev} v
+  LEFT JOIN (
+    SELECT w.src, e.src AS id, SUM((1.0 + w.delta) / w.sigma) AS part
+    FROM dl{lev+1} w JOIN edges e ON e.dst = w.id
+    GROUP BY w.src, e.src
+  ) c ON c.src = v.src AND c.id = v.id
+)""")
+    alldel = "\nUNION ALL ".join(
+        f"SELECT id, delta FROM dl{lev}" for lev in range(1, rounds + 1)
+    )
+    parts.append(f""",
+bc AS (
+  SELECT id, SUM(delta) AS b FROM (
+{alldel}
+  ) u GROUP BY id
+)
+SELECT v.id,
+       ROUND(COALESCE(bc.b, 0.0)
+             * ((((SELECT n FROM nv) / (SELECT c FROM ns)) * 0.5)
+                / (((SELECT n FROM nv) - 1) * ((SELECT n FROM nv) - 2) / 2.0)),
+             {FLOAT_DECIMALS}) AS betweenness
+FROM verts v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id""")
+    return _materialized("WITH " + "".join(parts))
 
 
 def apsp_sql(rounds: int = WCC_ROUNDS, mod: int | None = None) -> str:
