@@ -790,9 +790,12 @@ def oracle_sql() -> dict[str, str]:
         "min_vertex_cover": fo.mvc_sql(),
         "min_edge_cover": fo.mec_sql(),
         "min_dominating_set": fo.mds_sql(),
-        # msf/color/diameter_approx/k_center/onion_layers/
-        # degeneracy_ordering: see below / rows-only with exact sequential
-        # Python oracles in tests/test_matching.py, tests/test_measurement.py
+        "onion_layers": fo.onion_sql(),
+        "degeneracy_ordering": fo.degeneracy_sql(),
+        "color": fo.color_sql(),
+        "msf": fo.msf_sql(),
+        "diameter_approx": fo.diameter_sql(k=8, seed=42),
+        "k_center": fo.k_center_sql(k=4),
         # corpus north-star path: the synthesis is pure column arithmetic
         # and the extraction a per-language regex, so DuckDB twins exist
         # (corpus_oracles.py) — upgraded from round-1 rows-only

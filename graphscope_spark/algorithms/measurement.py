@@ -18,7 +18,8 @@ Reference semantics (analytical_engine/apps/flash/measurement/):
   vertices with the largest bounds seed a second sweep; diameter = max
   ecc, radius = min nonzero ecc (diameter-approx.h:103-105). The
   reference seeds with rand_r(time(NULL)) (:53); we derive sources from
-  xxhash64(id, seed) so runs are reproducible.
+  the portable 60-bit md5 hash (functions/hashing.py) so runs are
+  reproducible AND the DuckDB gate twin can select the same sources.
 * ``k-center.h:41-77`` — greedy farthest-point: start from the max-degree
   vertex (:48-54), then k−1 times add the vertex farthest from the
   current centers (:66-75) and relax distances with a BFS from it. Ties
@@ -35,6 +36,7 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.graph import Graph, materialized_checkpoint
 from graphscope_spark.algorithms.paths import multi_source_bfs
+from graphscope_spark.functions.hashing import hash64
 
 _MEM_DISK = StorageLevel.MEMORY_AND_DISK
 
@@ -166,7 +168,10 @@ def diameter_approx(g: Graph, k: int = 16, seed: int = 42) -> DataFrame:
     spark = g.spark
     first = (
         g.vertices.select("id")
-        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .orderBy(
+            hash64(F.concat(F.col("id").cast("string"), F.lit(f":{seed}"))),
+            F.col("id"),
+        )
         .limit(k)
     )
     d1 = multi_source_bfs(g, first)

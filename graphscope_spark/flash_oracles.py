@@ -15,6 +15,7 @@ self-loop-free edges), mirroring the Spark gate queries.
 
 from __future__ import annotations
 
+from graphscope_spark.functions.hashing import hash64_sql
 from graphscope_spark.tpch_graphs import COPURCHASE_CTE, _materialized
 
 #: struct (cnt, id) encoded as one BIGINT: cnt*ENC + id. Lexicographic
@@ -191,6 +192,278 @@ SELECT DISTINCT src, dst FROM (
   SELECT id AS src, mate AS dst FROM matched WHERE id < mate
   UNION ALL SELECT src, dst FROM pend
 ) u ORDER BY src, dst""")
+    return _materialized("WITH " + "".join(parts))
+
+
+def _msbfs_from(src_cte: str, rounds: int, pfx: str) -> str:
+    """Unrolled multi-source BFS seeded from a computed source CTE —
+    the per-sweep building block for diameter_approx / k_center (same
+    relaxation as tpch_graphs._msbfs_cte)."""
+    parts = [f",\n{pfx}0 AS (SELECT id AS src, id, 0 AS dist FROM {src_cte})"]
+    for k in range(1, rounds + 1):
+        p = f"{pfx}{k-1}"
+        parts.append(f""",
+{pfx}{k} AS (
+  SELECT src, id, MIN(dist) AS dist FROM (
+    SELECT src, id, dist FROM {p}
+    UNION ALL
+    SELECT p.src, e.dst AS id, p.dist + 1 AS dist
+    FROM edges e JOIN {p} p ON e.src = p.id
+  ) u GROUP BY src, id
+)""")
+    return "".join(parts)
+
+
+def diameter_sql(k: int = 8, seed: int = 42, rounds: int = 40) -> str:
+    """Double-sweep diameter/radius approximation (measurement.py::
+    diameter_approx / flash/measurement/diameter-approx.h:43-108): BFS from
+    k portable-hash-pseudo-random sources, then from the k largest-ecc
+    vertices; ecc accumulates across sweeps. 40 unrolled rounds ≫ the
+    sf0.01 eccentricities (≤ ~20)."""
+    h = hash64_sql(f"CAST(id AS VARCHAR) || ':{seed}'")
+    parts = [COPURCHASE_CTE.rstrip(), f""",
+src1 AS (SELECT id FROM verts ORDER BY {h}, id LIMIT {k})""",
+             _msbfs_from("src1", rounds, "b"), f""",
+ecc1 AS (SELECT id, MAX(dist) AS ecc FROM b{rounds} GROUP BY id),
+src2 AS (SELECT id FROM ecc1 ORDER BY ecc DESC, id DESC LIMIT {k})""",
+             _msbfs_from("src2", rounds, "c"), f""",
+eccs AS (
+  SELECT id, MAX(ecc) AS ecc FROM (
+    SELECT id, ecc FROM ecc1
+    UNION ALL SELECT id, MAX(dist) AS ecc FROM c{rounds} GROUP BY id
+  ) u GROUP BY id
+)
+SELECT CAST(MAX(ecc) AS INTEGER) AS diameter,
+       CAST(MIN(CASE WHEN ecc > 0 THEN ecc END) AS INTEGER) AS radius
+FROM eccs"""]
+    return _materialized("WITH " + "".join(parts))
+
+
+def k_center_sql(k: int = 4, rounds: int = 40) -> str:
+    """Greedy farthest-point k-center (measurement.py::k_center /
+    flash/measurement/k-center.h:41-77): start at the max-(degree, id)
+    vertex, then k−1 times BFS from the farthest vertex (ties → larger id)
+    and relax. dis = 2^31−1 for vertices unreachable from every center."""
+    inf = (1 << 31) - 1
+    parts = [COPURCHASE_CTE.rstrip(), """,
+degs AS (
+  SELECT v.id, COALESCE(od.c, 0) + COALESCE(idg.c, 0) AS d
+  FROM verts v
+  LEFT JOIN (SELECT src AS id, count(*) AS c FROM edges GROUP BY src) od
+    ON v.id = od.id
+  LEFT JOIN (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst) idg
+    ON v.id = idg.id
+),
+ctr1 AS (SELECT id FROM degs ORDER BY d DESC, id DESC LIMIT 1)""",
+             _msbfs_from("ctr1", rounds, "e1_"), f""",
+dis1 AS (
+  SELECT v.id, COALESCE(m.nd, {inf}) AS dis
+  FROM verts v
+  LEFT JOIN (SELECT id, MIN(dist) AS nd FROM e1_{rounds} GROUP BY id) m
+    ON v.id = m.id
+)"""]
+    for j in range(2, k + 1):
+        parts.append(f""",
+ctr{j} AS (SELECT id FROM dis{j-1} ORDER BY dis DESC, id DESC LIMIT 1)""")
+        parts.append(_msbfs_from(f"ctr{j}", rounds, f"e{j}_"))
+        parts.append(f""",
+dis{j} AS (
+  SELECT d.id, LEAST(d.dis, COALESCE(m.nd, {inf})) AS dis
+  FROM dis{j-1} d
+  LEFT JOIN (SELECT id, MIN(dist) AS nd FROM e{j}_{rounds} GROUP BY id) m
+    ON d.id = m.id
+)""")
+    parts.append(f"\nSELECT id, dis FROM dis{k} ORDER BY id")
+    return _materialized("WITH " + "".join(parts))
+
+
+def msf_sql(phases: int = 7, label_rounds: int = 14) -> str:
+    """Minimum spanning forest (measurement.py::msf, Borůvka re-expression
+    of flash/measurement/msf.h): per phase each component picks its
+    min-(w, u, v) crossing edge; chosen clusters contract to their min
+    component label via unrolled min-label propagation (cluster diameters
+    ≤ 8 at sf0.01, 5 phases — measured). With the composite (w, u, v) key
+    totally ordering the edges, the forest is the UNIQUE minimum forest of
+    the keyed graph, so the contraction schedule (full-cluster here,
+    hook-tree pointer doubling in Spark) cannot change the edge set.
+    Weights mirror the gate query: w = (src*7 + dst) % 97 + 1 per directed
+    row, canonical (u, v) keeps the min."""
+    parts = [COPURCHASE_CTE.rstrip(), """,
+canon AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+         MIN(CAST((src*7 + dst) % 97 + 1 AS DOUBLE)) AS w
+  FROM edges GROUP BY 1, 2
+),
+cp0 AS (SELECT id, id AS comp FROM verts)"""]
+    for p in range(1, phases + 1):
+        parts.append(f""",
+ce{p} AS (
+  SELECT c.u, c.v, c.w, a.comp AS cu, b.comp AS cv
+  FROM canon c
+  JOIN cp{p-1} a ON c.u = a.id JOIN cp{p-1} b ON c.v = b.id
+  WHERE a.comp <> b.comp
+),
+ch{p} AS (
+  SELECT DISTINCT u, v, w FROM (
+    SELECT u, v, w,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+    FROM (
+      SELECT cu AS c, u, v, w FROM ce{p}
+      UNION ALL SELECT cv AS c, u, v, w FROM ce{p}
+    ) t
+  ) s WHERE rn = 1
+),
+cgs{p} AS (
+  SELECT x, y FROM (
+    SELECT a.comp AS x, b.comp AS y
+    FROM ch{p} ch JOIN cp{p-1} a ON ch.u = a.id JOIN cp{p-1} b ON ch.v = b.id
+  ) g
+  UNION SELECT y, x FROM (
+    SELECT a.comp AS x, b.comp AS y
+    FROM ch{p} ch JOIN cp{p-1} a ON ch.u = a.id JOIN cp{p-1} b ON ch.v = b.id
+  ) g2
+),
+lb{p}_0 AS (SELECT DISTINCT comp AS c, comp AS l FROM cp{p-1})""")
+        for i in range(1, label_rounds + 1):
+            parts.append(f""",
+lb{p}_{i} AS (
+  SELECT c, MIN(l) AS l FROM (
+    SELECT c, l FROM lb{p}_{i-1}
+    UNION ALL
+    SELECT g.x AS c, l1.l FROM cgs{p} g JOIN lb{p}_{i-1} l1 ON g.y = l1.c
+  ) t GROUP BY c
+)""")
+        parts.append(f""",
+cp{p} AS (
+  SELECT cm.id, lb.l AS comp
+  FROM cp{p-1} cm JOIN lb{p}_{label_rounds} lb ON cm.comp = lb.c
+)""")
+    un = "\nUNION ".join(f"SELECT u, v, w FROM ch{p}" for p in range(1, phases + 1))
+    parts.append(f""",
+forest AS (
+{un}
+)
+SELECT u AS src, v AS dst, w AS weight FROM forest ORDER BY src, dst""")
+    return _materialized("WITH " + "".join(parts))
+
+
+def _onion_chain(rounds: int) -> list[str]:
+    """Shared unroll of the min-degree wavefront peel (cores.py::
+    onion_layers / kshell): per round, surviving degrees, the peel level
+    k_r = max(k_{r-1}, min surviving degree), peel d ≤ k_r. Produces CTEs
+    al{r} (alive), pl{r} (peeled: id, layer=r, core=k) and scalar kk{r}."""
+    parts = [""",
+al0 AS (SELECT id FROM verts),
+kk0 AS (SELECT 0 AS k)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+dg{r} AS (
+  SELECT a.id, COALESCE(d.c, 0) AS d
+  FROM al{r-1} a
+  LEFT JOIN (
+    SELECT e.src AS id, count(*) AS c
+    FROM edges e
+    JOIN al{r-1} s ON e.src = s.id JOIN al{r-1} t ON e.dst = t.id
+    GROUP BY e.src
+  ) d ON a.id = d.id
+),
+kk{r} AS (
+  SELECT GREATEST((SELECT k FROM kk{r-1}),
+                  COALESCE((SELECT MIN(d) FROM dg{r}),
+                           (SELECT k FROM kk{r-1}))) AS k
+),
+pl{r} AS (
+  SELECT id, {r} AS layer, (SELECT k FROM kk{r}) AS core
+  FROM dg{r} WHERE d <= (SELECT k FROM kk{r})
+),
+al{r} AS (
+  SELECT id FROM dg{r} WHERE d > (SELECT k FROM kk{r})
+)""")
+    return parts
+
+
+def onion_sql(rounds: int = 32) -> str:
+    """Onion-layer decomposition (cores.py::onion_layers /
+    flash/core/onion-layer-ordering.h:44-100): layer = removal wave, core =
+    peel level at removal. sf0.01 completes in 26 waves."""
+    parts = [COPURCHASE_CTE.rstrip()] + _onion_chain(rounds)
+    un = "\nUNION ALL ".join(
+        f"SELECT id, layer, core FROM pl{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"\nSELECT id, layer, core FROM (\n{un}\n) u ORDER BY id")
+    return _materialized("WITH " + "".join(parts))
+
+
+def degeneracy_sql(rounds: int = 32, peel_rounds: int = 6) -> str:
+    """Degeneracy ordering (cores.py::degeneracy_ordering /
+    flash/core/degeneracy-ordering.h:44-100): dg = degeneracy (final peel
+    level of the onion chain), then repeatedly remove every vertex with
+    residual degree ≤ dg; rank = removal round (0-based). sf0.01: dg=5,
+    2 waves."""
+    parts = [COPURCHASE_CTE.rstrip()] + _onion_chain(rounds)
+    parts.append(f""",
+dgv AS (SELECT (SELECT k FROM kk{rounds}) AS dg),
+pa0 AS (SELECT id FROM verts)""")
+    for r in range(1, peel_rounds + 1):
+        parts.append(f""",
+pd{r} AS (
+  SELECT a.id, COALESCE(d.c, 0) AS d
+  FROM pa{r-1} a
+  LEFT JOIN (
+    SELECT e.src AS id, count(*) AS c
+    FROM edges e
+    JOIN pa{r-1} s ON e.src = s.id JOIN pa{r-1} t ON e.dst = t.id
+    GROUP BY e.src
+  ) d ON a.id = d.id
+),
+pr{r} AS (
+  SELECT id, {r - 1} AS rank FROM pd{r}
+  WHERE d <= (SELECT dg FROM dgv)
+),
+pa{r} AS (
+  SELECT id FROM pd{r} WHERE d > (SELECT dg FROM dgv)
+)""")
+    un = "\nUNION ALL ".join(
+        f"SELECT id, rank FROM pr{r}" for r in range(1, peel_rounds + 1)
+    )
+    parts.append(f"\nSELECT id, rank FROM (\n{un}\n) u ORDER BY id")
+    return _materialized("WITH " + "".join(parts))
+
+
+def color_sql(rounds: int = 12) -> str:
+    """Jones–Plassmann greedy coloring fixpoint (coloring.py::color /
+    flash/clustering/color.h:43-86): each round every vertex takes the mex
+    of its higher-(deg, id)-priority neighbors' current colors. The mex is
+    computed relationally: min candidate from {0} ∪ {c+1 : c forbidden}
+    not itself forbidden. sf0.01 reaches the fixpoint in 8 rounds."""
+    parts = [COPURCHASE_CTE.rstrip(), """,
+degm AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+down AS (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN degm ds ON e.src = ds.id JOIN degm dd ON e.dst = dd.id
+  WHERE ds.d > dd.d OR (ds.d = dd.d AND e.src > e.dst)
+),
+col0 AS (SELECT id, 0 AS color FROM verts)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+fb{r} AS (
+  SELECT DISTINCT d.dst AS id, c.color AS c
+  FROM down d JOIN col{r-1} c ON d.src = c.id
+),
+mex{r} AS (
+  SELECT id, MIN(cand) AS mex FROM (
+    SELECT id, 0 AS cand FROM verts
+    UNION ALL SELECT id, c + 1 FROM fb{r}
+  ) t
+  WHERE NOT EXISTS (SELECT 1 FROM fb{r} f WHERE f.id = t.id AND f.c = t.cand)
+  GROUP BY id
+),
+col{r} AS (
+  SELECT v.id, COALESCE(m.mex, 0) AS color
+  FROM verts v LEFT JOIN mex{r} m ON v.id = m.id
+)""")
+    parts.append(f"\nSELECT id, color FROM col{rounds} ORDER BY id")
     return _materialized("WITH " + "".join(parts))
 
 
