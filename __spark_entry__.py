@@ -9,13 +9,15 @@ identically on both sides because Spark/DuckDB sum partial aggregates in
 different orders.
 
 Queries WITHOUT an oracle entry (rows-only check, reasons inline):
-pagerank_tol (data-dependent round count), kshell (nested data-dependent
-peel loops), simhash* (Python-UDF bit votes, not SQL-expressible),
-ann_lsh / embedding near-dup (random-hyperplane buckets use numpy RNG).
-The repo_* corpus queries DO have twins (corpus_oracles.py re-derives the
-synthetic corpus with range()+printf+sha256 and the import edges with the
-same regex via regexp_extract_all, so synthesis → sha256 invariant →
-extraction → PageRank is value-hash-checked end-to-end).
+ann_lsh (random-hyperplane buckets use numpy RNG), dfs (sequential
+preorder), bcc / bridges / articulation_points (BFS-forest-dependent
+labels; exact Tarjan oracle in pytest), louvain / fluid_community
+(multi-pass heuristics; planted-structure pytest oracles). Everything
+else — including every deterministic fixpoint (matching family, peels,
+coloring, MSF, tolerance PageRank: idempotent loops unroll to generous
+fixed depth, flash_oracles.py) and the full corpus path (corpus_oracles.py
+re-derives the synthetic corpus with range()+printf+sha256 and the import
+edges with the same regex via regexp_extract_all) — is value-hash-checked.
 """
 
 from __future__ import annotations
@@ -733,7 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": tg.pagerank_sql(rounds=10, directed=False),
         "pagerank_push": tg.pagerank_push_sql(rounds=10, directed=False),
         "pagerank_directed": tg.pagerank_sql(rounds=10, directed=True),
-        # pagerank_tol intentionally omitted: data-dependent round count
+        "pagerank_tol": tg.pagerank_tol_sql(max_rounds=24),
         "wcc": tg.wcc_sql(),
         "cdlp": tg.cdlp_sql(rounds=10),
         "triangles": tg.triangles_sql(),
@@ -774,9 +776,10 @@ def oracle_sql() -> dict[str, str]:
         "cyclic_triangle": tg.directed_census_sql("cyclic"),
         "in_triangle": tg.directed_census_sql("in"),
         "out_triangle": tg.directed_census_sql("out"),
-        # bcc/bridges/articulation_points/densest_subgraph omitted:
-        # BFS-forest-dependent labels / peel loop — exact Tarjan oracle in
-        # tests/test_biconnectivity.py, kshell pytest covers the peel
+        "densest_subgraph": fo.densest_sql(),
+        # bcc/bridges/articulation_points omitted: BFS-forest-dependent
+        # labels need a DFS the SQL side cannot express — exact Tarjan
+        # oracle in tests/test_biconnectivity.py
         "harmonic": tg.harmonic_sql(mod=20),
         # cc_log converges to the same min-id components as wcc — same
         # unrolled oracle (log-round hook+jump vs diameter-round
@@ -810,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash": do.minhash_sql(num_hashes=16),
         "ngram_jaccard": do.ngram_jaccard_sql(threshold=0.2),
         "ann_topk": do.ann_topk_sql(k=5, n_queries=10),
-        # ann_lsh / simhash omitted: numpy-RNG buckets / Python bit votes
+        "simhash": do.simhash_sql(),
+        # ann_lsh omitted: random-hyperplane buckets use numpy RNG
         "multimodal_meta": do.multimodal_meta_sql(),
     }

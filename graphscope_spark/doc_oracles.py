@@ -159,6 +159,40 @@ SELECT query_id, neighbor_id, score FROM (
 ) WHERE rn <= {k}"""
 
 
+def simhash_sql() -> str:
+    """Twin of functions/dedup.py::simhash64: token hash = first 8 bytes of
+    md5 big-endian (== first 16 hex chars as UBIGINT), one ±1 vote per
+    TOKEN OCCURRENCE (not per distinct token) per bit, bit set iff votes
+    > 0. Bit 63 contributes −2^63 so the sum lands directly in the int64
+    two's-complement value the numpy path produces; empty docs → 0."""
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN
+                CASE WHEN bit = 63 THEN -9223372036854775808
+                     ELSE (CAST(1 AS BIGINT) << bit) END
+              ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id"""
+
+
 def multimodal_meta_sql() -> str:
     return """
 SELECT doc_id AS media_id,

@@ -430,6 +430,35 @@ pa{r} AS (
     return _materialized("WITH " + "".join(parts))
 
 
+def densest_sql(rounds: int = 32) -> str:
+    """Charikar 2-approx densest subgraph (subgraph.py::
+    densest_subgraph_2approx): the max-core subgraph. Reuses the onion
+    peel chain — a peeled vertex's ``core`` IS its shell index, so
+    keep = vertices whose core equals the final peel level."""
+    parts = [COPURCHASE_CTE.rstrip()] + _onion_chain(rounds)
+    un = "\nUNION ALL ".join(
+        f"SELECT id, core FROM pl{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f""",
+shellv AS (
+{un}
+),
+keep AS (SELECT id FROM shellv WHERE core = (SELECT k FROM kk{rounds})),
+canon AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+sub AS (
+  SELECT c.u, c.v FROM canon c
+  JOIN keep a ON c.u = a.id JOIN keep b ON c.v = b.id
+)
+SELECT CAST((SELECT count(*) FROM sub) AS DOUBLE)
+         / (SELECT count(*) FROM keep) AS density,
+       (SELECT count(*) FROM keep) AS vertices,
+       (SELECT count(*) FROM sub) AS edges""")
+    return _materialized("WITH " + "".join(parts))
+
+
 def color_sql(rounds: int = 12) -> str:
     """Jones–Plassmann greedy coloring fixpoint (coloring.py::color /
     flash/clustering/color.h:43-86): each round every vertex takes the mex

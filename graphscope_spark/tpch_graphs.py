@@ -210,6 +210,67 @@ r{k} AS (
     return _materialized("WITH " + "".join(parts))
 
 
+def pagerank_tol_sql(max_rounds: int = 24, alpha: float = 0.85,
+                     tol: float = 1e-6) -> str:
+    """L1-tolerance PageRank (pagerank_networkx.h:147 semantics, the
+    `pagerank_tol` gate query): unroll ``max_rounds`` fixed rounds, compute
+    the per-round L1 delta, and emit the FIRST round whose delta drops
+    below tol·N — exactly the state the Spark loop stops at. Safe to twin
+    because the decision margins are wide (sf0.01: the last two deltas sit
+    3.2% above and 17.5% below threshold — measured — vs ~1e-12 relative
+    cross-engine float divergence); convergence is at round 19 < 24."""
+    parts = [
+        COPURCHASE_CTE.rstrip(),
+        ",\nnv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        ",\ndeg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg"
+        " FROM edges GROUP BY src)",
+        ",\nr0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS r FROM verts)",
+    ]
+    for k in range(1, max_rounds + 1):
+        p = f"r{k-1}"
+        parts.append(
+            f""",
+dang{k} AS (
+  SELECT COALESCE(SUM(p.r), 0.0) AS s
+  FROM {p} p LEFT JOIN deg d ON p.id = d.id WHERE d.id IS NULL
+),
+r{k} AS (
+  SELECT v.id,
+         (1.0 - {alpha}) / (SELECT n FROM nv)
+         + {alpha} * ((SELECT s FROM dang{k}) / (SELECT n FROM nv)
+                      + COALESCE(m.s, 0.0)) AS r
+  FROM verts v
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r / d.outdeg) AS s
+    FROM edges e JOIN {p} p ON e.src = p.id JOIN deg d ON p.id = d.id
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+),
+l{k} AS (
+  SELECT {k} AS k, SUM(ABS(a.r - b.r)) AS l1
+  FROM r{k} a JOIN {p} b ON a.id = b.id
+)"""
+        )
+    ls = "\nUNION ALL ".join(f"SELECT k, l1 FROM l{k}" for k in range(1, max_rounds + 1))
+    allr = "\nUNION ALL ".join(
+        f"SELECT {k} AS k, id, r FROM r{k}" for k in range(1, max_rounds + 1)
+    )
+    parts.append(f""",
+ls AS (
+{ls}
+),
+mpick AS (
+  SELECT COALESCE(MIN(k), {max_rounds}) AS m FROM ls
+  WHERE l1 < {tol} * (SELECT n FROM nv)
+),
+allr AS (
+{allr}
+)
+SELECT id, ROUND(r, {FLOAT_DECIMALS}) AS pr FROM allr
+WHERE k = (SELECT m FROM mpick) ORDER BY id""")
+    return _materialized("WITH " + "".join(parts))
+
+
 def pagerank_push_sql(rounds: int = 10, alpha: float = 0.85,
                       directed: bool = False) -> str:
     """Unrolled synchronous forward-push PageRank (eps=0): rank_R is the
