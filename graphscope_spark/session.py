@@ -41,13 +41,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Iterative supersteps join state⋈edges every round; sort-merge
-        # re-sorts both sides per round, shuffled-hash builds a hash table
-        # on the smaller (state) side instead. Measured on the 8M-edge
-        # uniform+hub graph, 3 PR rounds, local[32]: 18.4s SHJ vs 23.9s
-        # SMJ (−23%). Spark ≥3.2 SHJ spills, so the skew backstop is AQE
-        # skew-join (above), not SMJ's sort.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
