@@ -63,8 +63,10 @@ def kcore_vertices(g: Graph, k: int, max_iter: int = 1000) -> DataFrame:
         return {"removed": int(removed)}
 
     runner = SuperstepRunner(spark, name=f"kcore{k}")
+    # peeling is monotone (removed stays removed) — vote every 2 rounds;
+    # "no removals across the 2-round window" still implies the fixpoint
     res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
-                     should_stop=lambda m: m["removed"] == 0)
+                     should_stop=lambda m: m["removed"] == 0, check_every=2)
     out = res.state.filter("alive").select("id")
     edges.unpersist()
     return out

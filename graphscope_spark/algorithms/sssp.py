@@ -43,11 +43,10 @@ def sssp(
     """
     spark = g.spark
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    # undirected Graphs ALWAYS store both directions (graph.py canonicalizes
+    # at construction) — re-symmetrizing here would double per-round message
+    # volume (min-agg keeps it correct but wastes half the shuffle).
     edges = g.out_edges.select("src", "dst", w.alias("w"))
-    if not g.directed:
-        edges = edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-        )
 
     init = g.vertices.select(
         "id",
@@ -91,8 +90,11 @@ def sssp(
         spark, name="sssp", checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every, run_id=run_id,
     )
+    # distance relaxation is monotone — rounds past convergence are no-ops,
+    # so the termination vote runs every 2 rounds (pregel.py check_every)
     return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
-                      should_stop=lambda m: m["frontier"] == 0, resume=resume)
+                      should_stop=lambda m: m["frontier"] == 0, resume=resume,
+                      check_every=2)
 
 
 def bfs(g: Graph, source: int, **kw) -> SuperstepResult:
@@ -136,11 +138,9 @@ def sssp_path(
     ``parent`` (driver-side or via iterative self-join)."""
     spark = g.spark
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    # undirected Graphs already store both directions (graph.py
+    # canonicalizes at construction) — no re-symmetrization needed.
     edges = g.out_edges.select("src", "dst", w.alias("w"))
-    if not g.directed:
-        edges = edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-        )
 
     init = g.vertices.select(
         "id",

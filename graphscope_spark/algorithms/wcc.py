@@ -92,8 +92,10 @@ def wcc(
         checkpoint_every=checkpoint_every,
         run_id=run_id,
     )
+    # min-label propagation is monotone — rounds past convergence are
+    # no-ops, so the termination vote runs every 2 rounds (check_every)
     res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
-                     should_stop=should_stop, resume=resume)
+                     should_stop=should_stop, resume=resume, check_every=2)
     both.unpersist()
     return res
 

@@ -147,6 +147,7 @@ class SuperstepRunner:
         metrics_fn: Callable[[DataFrame, DataFrame, int], dict] | None = None,
         should_stop: Callable[[dict], bool] | None = None,
         resume: bool = False,
+        check_every: int = 1,
     ) -> SuperstepResult:
         """PEval = ``init_state`` (already computed), IncEval = ``step``.
 
@@ -157,7 +158,17 @@ class SuperstepRunner:
         the loop ends (ToTerminate vote). With ``resume=True`` and a
         checkpoint present, restarts from the newest durable round instead
         of ``init_state``.
-        """
+
+        ``check_every > 1`` runs the termination vote only every k rounds —
+        correct ONLY for monotone fixpoints (min-label, distance
+        relaxation, peeling) where rounds past convergence are no-ops; the
+        result may include up to k−1 extra no-op rounds. Between votes the
+        rounds carry no driver action at all, so Spark fuses them into one
+        job — the same driver-critical-path win the fixed-round PageRank
+        path gets from truncate_every. Convergence metrics that compare
+        CONSECUTIVE states (e.g. an L1 delta) must keep check_every=1;
+        with k > 1 ``metrics_fn`` receives the state from the previous
+        vote, k rounds back."""
         start_round = 0
         state = init_state
         if resume and self.checkpoint_dir:
@@ -178,9 +189,11 @@ class SuperstepRunner:
             else:
                 new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
 
-            metrics = (
-                metrics_fn(state, new_state, rnd) if metrics_fn is not None else {}
+            vote_now = (
+                metrics_fn is not None
+                and (rnd % max(check_every, 1) == 0 or rnd == max_rounds)
             )
+            metrics = metrics_fn(state, new_state, rnd) if vote_now else {}
             wall_ms = (time.monotonic() - t0) * 1000.0
             metrics = {"superstep": rnd, "wall_ms": wall_ms, **metrics}
             all_metrics.append(metrics)
@@ -192,7 +205,7 @@ class SuperstepRunner:
 
             state.unpersist()
             state = new_state
-            if should_stop is not None and should_stop(metrics):
+            if vote_now and should_stop is not None and should_stop(metrics):
                 break
         return SuperstepResult(state=state, rounds=rnd, metrics=all_metrics,
                                run_id=self.run_id)
