@@ -48,6 +48,7 @@ from graphscope_spark.functions import (  # noqa: E402
     fingerprint, lang_id, media_metadata, minhash_signatures,
     ngram_jaccard_pairs, quality_score, simhash64,
 )
+from graphscope_spark import gremlin  # noqa: E402
 from graphscope_spark.graph import Graph  # noqa: E402
 from graphscope_spark.operators import path_expand  # noqa: E402
 
@@ -539,6 +540,44 @@ def _q_path_expand(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Gremlin DSL (graphscope_spark/gremlin.py) — whole chains compile to one
+# Catalyst plan; oracles are the relational lowerings in tpch_graphs.py
+# --------------------------------------------------------------------- #
+
+
+def _q_gremlin_khop(spark, sf_dir):
+    t = gremlin.traversal(tg.copurchase_graph(spark, sf_dir))
+    return (
+        t.V().where(lambda c: c % 50 == 0).as_("a").out().out()
+        .group_count(by_tag="a").withColumnRenamed("count", "cnt")
+    )
+
+
+def _q_gremlin_topk(spark, sf_dir):
+    t = gremlin.traversal(tg.copurchase_graph(spark, sf_dir))
+    return (
+        t.V().out().group_count().withColumnRenamed("count", "cnt")
+        .orderBy(F.col("cnt").desc(), "key").limit(20)
+    )
+
+
+def _q_gremlin_nbr_size(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), "p_size"
+    )
+    t = gremlin.traversal(tg.copurchase_graph(spark, sf_dir), vertex_props=part)
+    return (
+        t.V().has("p_size", gremlin.P.gte(25)).as_("a").out().values("p_size")
+        .group("a", F.sum("val").alias("nbr_size_sum"))
+    )
+
+
+def _q_gremlin_no_out(spark, sf_dir):
+    t = gremlin.traversal(tg.purchase_graph(spark, sf_dir))
+    return t.V().not_(lambda x: x.out()).to_df().select("v")
+
+
+# --------------------------------------------------------------------- #
 # corpus (north-star input path) — pytest-verified, rows-only at the gate
 # --------------------------------------------------------------------- #
 
@@ -669,6 +708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": _q_louvain,
         "sssp_path": _q_sssp_path,
         "path_expand": _q_path_expand,
+        "gremlin_khop": _q_gremlin_khop,
+        "gremlin_topk": _q_gremlin_topk,
+        "gremlin_nbr_size": _q_gremlin_nbr_size,
+        "gremlin_no_out": _q_gremlin_no_out,
         # round-2 additions
         "ppr": _q_ppr,
         "articlerank": _q_articlerank,
@@ -759,6 +802,10 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": tg.betweenness_sql(mod=20),
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "path_expand": tg.path_expand_sql(mod=50),
+        "gremlin_khop": tg.gremlin_khop_sql(mod=50),
+        "gremlin_topk": tg.gremlin_topk_sql(k=20),
+        "gremlin_nbr_size": tg.gremlin_nbr_size_sql(min_size=25),
+        "gremlin_no_out": tg.gremlin_no_out_sql(),
         "ppr": tg.ppr_sql(rounds=10),
         "articlerank": tg.articlerank_sql(rounds=10),
         "scc": tg.scc_sql(),

@@ -1,0 +1,458 @@
+"""Gremlin-subset traversal front end compiling to DataFrame operators.
+
+The reference's interactive engine accepts Gremlin; its compiler lowers
+each step to the GIE algebra (docs/interactive_engine/tinkerpop/
+supported_gremlin_steps.md — the supported-step inventory this module
+mirrors; lowering rules in
+interactive_engine/compiler/src/main/java/com/alibaba/graphscope/gremlin).
+This module is the Spark-native analog: a fluent ``Traversal`` whose every
+step is a *lazy* DataFrame transformation, so one Gremlin chain compiles to
+ONE Catalyst plan — filter/projection pushdown, join reordering and top-k
+fusion happen exactly as they do for the reference's optimizer rules
+(FilterIntoJoinRule / TopKPushDownRule, SURVEY.md §4.2).
+
+Supported steps (reference doc → method here):
+  source      V() E()
+  expand      out() in_() both() outE() inE() bothE() outV() inV()
+              otherV() bothV()
+  filter      hasId() has() hasNot() is_() where() not_() dedup()
+  project     id_() label() constant() values() valueMap() select()
+  aggregate   count() sum() min() max() mean() fold() group() groupCount()
+  order       order().by()
+  statistics  limit() coin() sample()
+  union       union()
+  sugar       repeat().times() / simplePath() — PathExpand
+              (supported_gremlin_steps.md:578-709) via operators/traversal.py
+
+Frame layout (the "traversal record" of the Rust runtime): column ``v``
+holds the head vertex id; an edge head is (``src``, ``dst``); a scalar head
+(after values/id_/count-by-key) is ``val``. ``as_(tag)`` snapshots the head
+into column ``t_<tag>`` — tags are just carried columns, the same
+record-with-tags encoding the reference uses (algebra.proto:280).
+
+Scale notes: nothing here collects; every step stays a DataFrame op. The
+edge table joined per expand hop is the Graph's persisted, pre-partitioned
+out/in table (graph.py), so chained out().out() reuses the same build side;
+vertex-property filters broadcast when the property table is small and
+hash-join otherwise — Catalyst's choice, driven by AQE statistics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+
+__all__ = ["traversal", "GraphTraversalSource", "Traversal", "P"]
+
+
+class P:
+    """Gremlin predicate namespace (supported_gremlin_steps.md has-step
+    forms: eq/neq/lt/lte/gt/gte/within/without) — each returns a fn
+    Column→Column so steps can apply it to whatever column is the head."""
+
+    @staticmethod
+    def eq(v):
+        return lambda c: c == F.lit(v)
+
+    @staticmethod
+    def neq(v):
+        return lambda c: c != F.lit(v)
+
+    @staticmethod
+    def lt(v):
+        return lambda c: c < F.lit(v)
+
+    @staticmethod
+    def lte(v):
+        return lambda c: c <= F.lit(v)
+
+    @staticmethod
+    def gt(v):
+        return lambda c: c > F.lit(v)
+
+    @staticmethod
+    def gte(v):
+        return lambda c: c >= F.lit(v)
+
+    @staticmethod
+    def within(*vs):
+        return lambda c: c.isin(list(vs))
+
+    @staticmethod
+    def without(*vs):
+        return lambda c: ~c.isin(list(vs))
+
+    @staticmethod
+    def inside(lo, hi):
+        return lambda c: (c > F.lit(lo)) & (c < F.lit(hi))
+
+
+def _as_pred(value) -> Callable[[Column], Column]:
+    return value if callable(value) else P.eq(value)
+
+
+class GraphTraversalSource:
+    """``g`` — per docs/interactive_engine/tinkerpop (the reference binds
+    one source per loaded graph)."""
+
+    def __init__(self, graph: Graph, vertex_props: DataFrame | None = None):
+        self.graph = graph
+        # property table keyed by ``id`` for has()/values(); defaults to the
+        # graph's own vertices table (which may be id-only).
+        self.vertex_props = vertex_props if vertex_props is not None else graph.vertices
+
+    def V(self, *ids) -> "Traversal":
+        """V() source (supported_gremlin_steps.md:26-35): all vertices or
+        V(id…) — the id form stays a pushed-down IN filter, the analog of
+        the reference's IndexPredicate fast path."""
+        df = self.graph.vertices.select(F.col("id").alias("v"))
+        if ids:
+            df = df.filter(F.col("v").isin(list(ids)))
+        return Traversal(self, df, head="v")
+
+    def E(self) -> "Traversal":
+        """E() source (supported_gremlin_steps.md:36-45)."""
+        return Traversal(self, self.graph.edges.select("src", "dst"), head="e")
+
+
+def traversal(graph: Graph, vertex_props: DataFrame | None = None) -> GraphTraversalSource:
+    return GraphTraversalSource(graph, vertex_props)
+
+
+def _tag_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c.startswith("t_")]
+
+
+class Traversal:
+    def __init__(self, source: GraphTraversalSource, df: DataFrame, head: str):
+        self._s = source
+        self.df = df
+        self.head = head  # 'v' | 'e' | 'val'
+
+    # ------------------------------------------------------------- core
+    def _new(self, df: DataFrame, head: str | None = None) -> "Traversal":
+        return Traversal(self._s, df, head or self.head)
+
+    def _require(self, *heads: str) -> None:
+        if self.head not in heads:
+            raise TypeError(f"step needs head in {heads}, have {self.head!r}")
+
+    def _head_col(self) -> Column:
+        return F.col({"v": "v", "val": "val"}.get(self.head, "v"))
+
+    def _edges(self, direction: str) -> DataFrame:
+        g = self._s.graph
+        e = g.edges.select("src", "dst")
+        if direction == "out":
+            return e
+        if direction == "in":
+            return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    # ----------------------------------------------------------- expand
+    def _expand_v(self, direction: str) -> "Traversal":
+        """ExpandV — the fused ExpandE+GetV (ExpandGetVFusionRule)."""
+        self._require("v")
+        e = self._edges(direction)
+        keep = [c for c in self.df.columns if c != "v"]
+        out = (
+            self.df.join(e, self.df["v"] == e["src"])
+            .select(*keep, F.col("dst").alias("v"))
+        )
+        return self._new(out, "v")
+
+    def out(self) -> "Traversal":
+        return self._expand_v("out")
+
+    def in_(self) -> "Traversal":
+        return self._expand_v("in")
+
+    def both(self) -> "Traversal":
+        return self._expand_v("both")
+
+    def _expand_e(self, direction: str) -> "Traversal":
+        self._require("v")
+        e = self._edges(direction)
+        keep = [c for c in self.df.columns if c != "v"]
+        # keep the entry endpoint as t__enter so otherV() can resolve it
+        out = (
+            self.df.join(e, self.df["v"] == e["src"])
+            .select(*keep, self.df["v"].alias("t__enter"), "src", "dst")
+        )
+        return self._new(out, "e")
+
+    def outE(self) -> "Traversal":
+        return self._expand_e("out")
+
+    def inE(self) -> "Traversal":
+        # edge kept in storage orientation: src/dst as stored, entry = dst
+        self._require("v")
+        e = self._s.graph.edges.select("src", "dst")
+        keep = [c for c in self.df.columns if c != "v"]
+        out = (
+            self.df.join(e, self.df["v"] == e["dst"])
+            .select(*keep, self.df["v"].alias("t__enter"), "src", "dst")
+        )
+        return self._new(out, "e")
+
+    def bothE(self) -> "Traversal":
+        self._require("v")
+        e = self._s.graph.edges.select("src", "dst")
+        keep = [c for c in self.df.columns if c != "v"]
+        o = self.df.join(e, self.df["v"] == e["src"]).select(
+            *keep, self.df["v"].alias("t__enter"), "src", "dst"
+        )
+        i = self.df.join(e, self.df["v"] == e["dst"]).select(
+            *keep, self.df["v"].alias("t__enter"), "src", "dst"
+        )
+        return self._new(o.unionByName(i), "e")
+
+    def _get_v(self, which: str) -> "Traversal":
+        """GetV (algebra.proto:257-284)."""
+        self._require("e")
+        if which == "start":
+            col = F.col("src")
+        elif which == "end":
+            col = F.col("dst")
+        elif which == "other":
+            col = F.when(F.col("t__enter") == F.col("src"), F.col("dst")).otherwise(
+                F.col("src")
+            )
+        else:
+            raise ValueError(which)
+        keep = [c for c in self.df.columns if c not in ("src", "dst", "t__enter")]
+        return self._new(self.df.select(*keep, col.alias("v")), "v")
+
+    def outV(self) -> "Traversal":
+        return self._get_v("start")
+
+    def inV(self) -> "Traversal":
+        return self._get_v("end")
+
+    def otherV(self) -> "Traversal":
+        return self._get_v("other")
+
+    def bothV(self) -> "Traversal":
+        self._require("e")
+        return self._new(
+            self._get_v("start").df.unionByName(self._get_v("end").df), "v"
+        )
+
+    # ----------------------------------------------------------- filter
+    def hasId(self, *ids) -> "Traversal":
+        self._require("v")
+        return self._new(self.df.filter(F.col("v").isin(list(ids))))
+
+    def has(self, prop: str, value=None) -> "Traversal":
+        """has(key[, value|P]) — vertex-property filter via semi-join
+        against the property table (the reference scans the property
+        column in place; the columnar analog is a semi-join that Catalyst
+        turns into a broadcast when the filtered prop table is small)."""
+        self._require("v")
+        props = self._s.vertex_props
+        if prop not in props.columns:
+            raise KeyError(prop)
+        cond = props[prop].isNotNull() if value is None else _as_pred(value)(props[prop])
+        keep = props.filter(cond).select(F.col("id").alias("v"))
+        return self._new(self.df.join(keep, "v", "left_semi"))
+
+    def hasNot(self, prop: str) -> "Traversal":
+        self._require("v")
+        props = self._s.vertex_props
+        keep = props.filter(props[prop].isNotNull()).select(F.col("id").alias("v"))
+        return self._new(self.df.join(keep, "v", "left_anti"))
+
+    def is_(self, value) -> "Traversal":
+        self._require("val")
+        return self._new(self.df.filter(_as_pred(value)(F.col("val"))))
+
+    def where(self, pred) -> "Traversal":
+        """where(P.eq('a')) — compare head to a tag — or where(Column)."""
+        if isinstance(pred, Column):
+            return self._new(self.df.filter(pred))
+        if callable(pred):
+            return self._new(self.df.filter(pred(self._head_col())))
+        raise TypeError(pred)
+
+    def where_tag(self, cmp: str, tag: str) -> "Traversal":
+        """where(P.eq('a')) — head vs the tagged column
+        (supported_gremlin_steps.md:211-240). cmp ∈ TAG_CMP ('eq','neq',
+        'lt','gt') or a callable (head, tag) → Column."""
+        fn = TAG_CMP[cmp] if isinstance(cmp, str) else cmp
+        return self._new(self.df.filter(fn(self._head_col(), F.col(f"t_{tag}"))))
+
+    def not_(self, sub: Callable[["Traversal"], "Traversal"]) -> "Traversal":
+        """not(traversal): keep records whose subtraversal is EMPTY —
+        Apply with an anti-join (algebra.proto:387-406). Correlation is an
+        explicit carried column (the reference's Apply keys the subtask by
+        the parent record the same way)."""
+        if self.head == "e":
+            corr = F.struct(F.col("src"), F.col("dst"))
+        else:
+            corr = self._head_col()
+        base = self.df.withColumn("__corr", corr)
+        inner = sub(self._new(base))
+        hit = inner.df.select("__corr").distinct()
+        return self._new(base.join(hit, "__corr", "left_anti").drop("__corr"))
+
+    def dedup(self) -> "Traversal":
+        return self._new(self.df.distinct())
+
+    # ---------------------------------------------------------- project
+    def as_(self, tag: str) -> "Traversal":
+        self._require("v", "val")
+        col = "v" if self.head == "v" else "val"
+        return self._new(self.df.withColumn(f"t_{tag}", F.col(col)))
+
+    def id_(self) -> "Traversal":
+        self._require("v")
+        return self._new(self.df.withColumnRenamed("v", "val"), "val")
+
+    def label(self) -> "Traversal":
+        # single-label simple graphs (the projected-fragment contract)
+        self._require("v", "e")
+        lbl = F.lit("vertex" if self.head == "v" else "edge")
+        return self._new(self.df.select(*_tag_cols(self.df), lbl.alias("val")), "val")
+
+    def constant(self, v) -> "Traversal":
+        return self._new(self.df.select(*_tag_cols(self.df), F.lit(v).alias("val")), "val")
+
+    def values(self, prop: str) -> "Traversal":
+        self._require("v")
+        props = self._s.vertex_props.select(F.col("id").alias("v"), F.col(prop).alias("val"))
+        keep = [c for c in self.df.columns if c != "v"]
+        return self._new(self.df.join(props, "v").select(*keep, "val"), "val")
+
+    def valueMap(self, *props: str) -> "Traversal":
+        self._require("v")
+        p = self._s.vertex_props
+        cols = list(props) or [c for c in p.columns if c != "id"]
+        m = p.select(
+            F.col("id").alias("v"),
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cols]),
+                F.array(*[F.col(c).cast("string") for c in cols]),
+            ).alias("val"),
+        )
+        keep = [c for c in self.df.columns if c != "v"]
+        return self._new(self.df.join(m, "v").select(*keep, "v", "val"), "val")
+
+    def select(self, *tags: str) -> DataFrame:
+        """select('a','b') — project tags out as the result
+        (supported_gremlin_steps.md:335-366). Terminal: returns a DataFrame
+        with one column per tag."""
+        return self.df.select(*[F.col(f"t_{t}").alias(t) for t in tags])
+
+    # -------------------------------------------------------- aggregate
+    def count(self) -> DataFrame:
+        return self.df.agg(F.count(F.lit(1)).alias("count"))
+
+    def _scalar_agg(self, fn, name: str) -> DataFrame:
+        self._require("val")
+        return self.df.agg(fn(F.col("val")).alias(name))
+
+    def sum(self) -> DataFrame:
+        return self._scalar_agg(F.sum, "sum")
+
+    def min(self) -> DataFrame:
+        return self._scalar_agg(F.min, "min")
+
+    def max(self) -> DataFrame:
+        return self._scalar_agg(F.max, "max")
+
+    def mean(self) -> DataFrame:
+        return self._scalar_agg(F.avg, "mean")
+
+    def fold(self) -> DataFrame:
+        """fold() — TO_LIST accumulation (accum/accum.rs:30-46); sorted for
+        determinism (the reference's list order is arrival order, which a
+        parallel engine doesn't fix either)."""
+        col = "val" if self.head == "val" else "v"
+        return self.df.agg(F.sort_array(F.collect_list(F.col(col))).alias("folded"))
+
+    def group_count(self, by_tag: str | None = None) -> DataFrame:
+        """groupCount() (supported_gremlin_steps.md:445-461): count per
+        current head (or per tag). One hash-agg with map-side partials."""
+        key = F.col(f"t_{by_tag}").alias(by_tag) if by_tag else self._head_col().alias(
+            "key"
+        )
+        return self.df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
+
+    def group(self, by_tag: str, agg: Column) -> DataFrame:
+        """group().by(tag).by(agg) (supported_gremlin_steps.md:399-444)."""
+        return self.df.groupBy(F.col(f"t_{by_tag}").alias(by_tag)).agg(agg)
+
+    # ------------------------------------------------------ order/range
+    def order(self, *by, limit_n: int | None = None) -> "Traversal":
+        """order().by(...)[.limit(n)] — with a limit Spark plans
+        TakeOrderedAndProject (the reference's top-k heap)."""
+        cols = list(by) or [self._head_col()]
+        out = self.df.orderBy(*cols)
+        if limit_n is not None:
+            out = out.limit(limit_n)
+        return self._new(out)
+
+    def limit(self, n: int) -> "Traversal":
+        return self._new(self.df.limit(n))
+
+    def coin(self, prob: float, seed: int = 42) -> "Traversal":
+        return self._new(self.df.sample(fraction=prob, seed=seed))
+
+    def sample(self, n: int, seed: int = 42) -> "Traversal":
+        return self._new(self.df.orderBy(F.xxhash64(*self.df.columns, F.lit(seed))).limit(n))
+
+    # ------------------------------------------------------------ union
+    def union(self, *subs: Callable[["Traversal"], "Traversal"]) -> "Traversal":
+        branches = [sub(self._new(self.df)) for sub in subs]
+        heads = {b.head for b in branches}
+        if len(heads) != 1:
+            raise TypeError(f"union branches must agree on head, got {heads}")
+        out = branches[0].df
+        for b in branches[1:]:
+            out = out.unionByName(b.df)
+        return self._new(out, branches[0].head)
+
+    # ------------------------------------------------------------ sugar
+    def repeat_times(
+        self, n: int, direction: str = "out", simple: bool = False
+    ) -> "Traversal":
+        """repeat(out()).times(n) — the PathExpand sugar
+        (supported_gremlin_steps.md:578-709). simple=True adds the
+        simplePath() filter (no revisited vertex on the path)."""
+        from graphscope_spark.operators.traversal import path_expand
+
+        self._require("v")
+        ends = path_expand(
+            self.df.select("v"),
+            self._s.graph,
+            min_hops=n,
+            max_hops=n,
+            direction=direction,
+            path_opt="simple" if simple else "arbitrary",
+        )
+        keep = [c for c in self.df.columns if c != "v"]
+        if keep:
+            out = (
+                self.df.withColumnRenamed("v", "_start")
+                .join(ends, F.col("_start") == ends["start"])
+                .select(*keep, ends["v"].alias("v"))
+            )
+            return self._new(out, "v")
+        return self._new(ends.select("v"), "v")
+
+    # --------------------------------------------------------- terminal
+    def to_df(self) -> DataFrame:
+        return self.df
+
+
+#: two-column comparators for where_tag (head, tag) → Column
+TAG_CMP = {
+    "eq": lambda h, t: h == t,
+    "neq": lambda h, t: h != t,
+    "lt": lambda h, t: h < t,
+    "gt": lambda h, t: h > t,
+}

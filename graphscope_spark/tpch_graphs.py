@@ -1283,3 +1283,51 @@ FROM mutual m JOIN edges xu ON xu.dst = m.u
 JOIN edges xv ON xv.dst = m.v AND xv.src = xu.src"""
         return _materialized(f"WITH {PARTSEQ_CTE.rstrip()}{body}")
     raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------- #
+# Gremlin DSL oracles (graphscope_spark/gremlin.py — the traversal chains
+# lower to exactly these relational twins, the same lowering the
+# reference's compiler performs: supported_gremlin_steps.md)
+# ---------------------------------------------------------------------- #
+
+
+def gremlin_khop_sql(mod: int = 50) -> str:
+    """g.V().where(id%mod==0).as('a').out().out().groupCount(by 'a')."""
+    _sql = f"""WITH {COPURCHASE_CTE},
+starts AS (SELECT id FROM verts WHERE id % {mod} = 0)
+SELECT s.id AS a, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM starts s
+JOIN edges e1 ON e1.src = s.id
+JOIN edges e2 ON e2.src = e1.dst
+GROUP BY s.id ORDER BY a"""
+    return _materialized(_sql)
+
+
+def gremlin_topk_sql(k: int = 20) -> str:
+    """g.V().out().groupCount().order().by(count desc, key asc).limit(k) —
+    top in-degree; total order on (cnt, key) so the cut is deterministic."""
+    _sql = f"""WITH {COPURCHASE_CTE}
+SELECT dst AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM edges GROUP BY dst ORDER BY cnt DESC, key LIMIT {k}"""
+    return _materialized(_sql)
+
+
+def gremlin_nbr_size_sql(min_size: int = 25) -> str:
+    """g.V().has('p_size', gte(min_size)).as('a').out().values('p_size')
+    .group().by('a').by(sum) — property filter + property projection."""
+    _sql = f"""WITH {COPURCHASE_CTE}
+SELECT e.src AS a, CAST(SUM(p2.p_size) AS BIGINT) AS nbr_size_sum
+FROM edges e
+JOIN part p ON p.p_partkey = e.src AND p.p_size >= {min_size}
+JOIN part p2 ON p2.p_partkey = e.dst
+GROUP BY e.src ORDER BY a"""
+    return _materialized(_sql)
+
+
+def gremlin_no_out_sql() -> str:
+    """g.V().not(out()) on the directed purchase graph — the sink side of
+    the bipartite cust→supp edges (every supplier, no customer)."""
+    _sql = f"""WITH {PURCHASE_CTE}
+SELECT id AS v FROM verts WHERE id NOT IN (SELECT src FROM edges) ORDER BY v"""
+    return _materialized(_sql)
