@@ -577,6 +577,21 @@ def _q_gremlin_no_out(spark, sf_dir):
     return t.V().not_(lambda x: x.out()).to_df().select("v")
 
 
+def _q_stream_wcc(spark, sf_dir):
+    """Incremental WCC (streaming/incremental.py): fold the edge table in
+    4 deterministic micro-batches through merge_components — the converged
+    assignment must equal one-shot batch WCC (same min-label fixpoint)."""
+    from graphscope_spark.streaming import merge_components
+
+    g = tg.copurchase_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    comps = None
+    for i in range(4):
+        chunk = e.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(4)) == i)
+        comps = merge_components(comps, chunk)
+    return comps.select("id", "comp")
+
+
 # --------------------------------------------------------------------- #
 # corpus (north-star input path) — pytest-verified, rows-only at the gate
 # --------------------------------------------------------------------- #
@@ -712,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_topk": _q_gremlin_topk,
         "gremlin_nbr_size": _q_gremlin_nbr_size,
         "gremlin_no_out": _q_gremlin_no_out,
+        "stream_wcc": _q_stream_wcc,
         # round-2 additions
         "ppr": _q_ppr,
         "articlerank": _q_articlerank,
@@ -806,6 +822,8 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_topk": tg.gremlin_topk_sql(k=20),
         "gremlin_nbr_size": tg.gremlin_nbr_size_sql(min_size=25),
         "gremlin_no_out": tg.gremlin_no_out_sql(),
+        # incremental merge converges to the same min-label components
+        "stream_wcc": tg.wcc_sql(),
         "ppr": tg.ppr_sql(rounds=10),
         "articlerank": tg.articlerank_sql(rounds=10),
         "scc": tg.scc_sql(),

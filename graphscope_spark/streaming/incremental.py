@@ -1,0 +1,210 @@
+"""Structured-Streaming graph maintenance.
+
+The reference engine is batch-only (SURVEY.md §2.9: no streaming surface);
+its incremental story is GRAPE's PIE IncEval — re-evaluate from the
+previous fixpoint when the graph changes (the paper's core contribution:
+"Parallelizing Sequential Graph Computations", SIGMOD'17). This module is
+the Spark-native extension of that idea to continuous ingestion:
+
+  * ``edge_stream``         — file-source readStream of edge batches
+  * ``merge_components``    — IncEval for WCC: fold a batch of NEW edges
+                              into an existing component assignment by
+                              contracting to the component graph first
+  * ``IncrementalWCC``      — foreachBatch driver holding the assignment
+  * ``windowed_degree``     — event-time windowed degree (watermark + late
+                              data handled by the built-in state store)
+  * ``running_degree_stateful`` — custom stateful operator via
+                              applyInPandasWithState (Arrow-batched)
+
+Scale notes. merge_components never re-touches settled structure: the
+per-batch work is O(|batch|) to map endpoints (one join against the
+hash-partitioned assignment) + a min-label fixpoint on the CONTRACTED
+graph, whose size is #(components bridged this batch), not #vertices —
+the IncEval work-proportional-to-change property. State (the assignment)
+is localCheckpoint'd per batch so lineage never grows across batches; on
+a cluster the same call writes to the checkpoint FS.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from graphscope_spark.graph import Graph
+
+
+def edge_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType = "src long, dst long, ts timestamp",
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source edge stream: each file dropped into ``path`` becomes
+    (part of) a micro-batch. The schema must be supplied — streaming
+    sources do not infer (Spark structured-streaming contract)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def merge_components(
+    comps: DataFrame | None, new_edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Fold a batch of new edges into a component assignment (id, comp).
+
+    Invariant: ``comp`` = min vertex id of the component (the same label
+    WCC converges to — wcc_projected.h:76-81 init + min-exchange). Merging
+    preserves it: the contracted fixpoint takes mins of mins.
+
+    Plan shape per batch:
+      1. endpoints → current comp (left join; unseen vertex = own id)
+      2. contracted edges (comp_src ≠ comp_dst), distinct — size is the
+         number of component-bridging pairs, NOT the batch size
+      3. min-label fixpoint over the contracted graph (wcc on a Graph of
+         component ids — frontier-proportional shuffles)
+      4. remap: assignment rows whose comp was relabeled + new vertices
+    """
+    from graphscope_spark.algorithms.wcc import wcc
+
+    verts = (
+        new_edges.select(F.col("src").alias("id"))
+        .union(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if comps is None:
+        comps = verts.select("id", F.col("id").alias("comp")).limit(0)
+
+    # 1-2. map endpoints through the current assignment, contract
+    cmap = comps.select("id", "comp")
+    e = (
+        new_edges.select("src", "dst")
+        .join(cmap.withColumnRenamed("id", "src").withColumnRenamed("comp", "csrc"),
+              "src", "left")
+        .join(cmap.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cdst"),
+              "dst", "left")
+        .select(
+            F.coalesce("csrc", "src").alias("src"),
+            F.coalesce("cdst", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    # new vertices enter with their own id as component
+    newv = verts.join(cmap, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    base = cmap.unionByName(newv)
+
+    if e.isEmpty():
+        merged = base
+    else:
+        # 3. fixpoint on the contracted graph
+        spark = new_edges.sparkSession
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cg = Graph(e, directed=True, num_partitions=parts)
+        relabel = (
+            wcc(cg, max_iter=max_iter).state
+            .select(F.col("id").alias("comp"), F.col("comp").alias("new_comp"))
+        )
+        cg.unpersist()
+        # 4. remap the full assignment through the (small) relabel table
+        merged = (
+            base.join(relabel, "comp", "left")
+            .select("id", F.coalesce("new_comp", "comp").alias("comp"))
+        )
+    # truncate lineage so batch k+1 doesn't re-analyze batches 1..k
+    return merged.localCheckpoint(eager=True)
+
+
+class IncrementalWCC:
+    """foreachBatch driver maintaining a WCC assignment across micro-batches.
+
+    Usage::
+
+        inc = IncrementalWCC()
+        q = (edge_stream(spark, dir).writeStream
+             .foreachBatch(inc)                # callable (df, batch_id)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(); inc.components  # (id, comp)
+    """
+
+    def __init__(self, max_iter: int = 50):
+        self.components: DataFrame | None = None
+        self.max_iter = max_iter
+        self.batches = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        prev = self.components
+        self.components = merge_components(
+            prev, batch_df.select("src", "dst"), self.max_iter
+        )
+        if prev is not None:
+            prev.unpersist()
+        self.batches += 1
+
+
+def windowed_degree(
+    stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed degree per vertex: both endpoints count, late
+    rows beyond the watermark are dropped by the state store (the
+    standard watermark + windowed-agg pattern). Output mode `update` or
+    `append` (after watermark close)."""
+    ends = stream.select(F.col("src").alias("id"), ts_col).union(
+        stream.select(F.col("dst").alias("id"), ts_col)
+    )
+    return (
+        ends.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), "id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("w.start").alias("window_start"), "id", "degree")
+    )
+
+
+_DEG_STATE = "total long"
+_DEG_OUT = "id long, total long"
+
+
+def _running_degree_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update fn: accumulate per-vertex degree
+    across batches. Arrow-batched — the whole group's rows arrive as
+    pandas frames, no per-row Python."""
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"id": [key[0]], "total": [total]})
+
+
+def running_degree_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running degree per vertex via
+    applyInPandasWithState (GroupState + Arrow batches) — the template for
+    reference-style custom incremental operators that windowed aggs can't
+    express (e.g. per-vertex monotone fixpoints over a stream)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ends = stream.select(F.col("src").alias("id")).union(
+        stream.select(F.col("dst").alias("id"))
+    )
+    return ends.groupBy("id").applyInPandasWithState(
+        _running_degree_fn,
+        outputStructType=_DEG_OUT,
+        stateStructType=_DEG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

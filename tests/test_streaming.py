@@ -1,0 +1,140 @@
+"""Structured-Streaming module tests: incremental WCC (batch-fold + real
+file-source stream), event-time windowed degree, applyInPandasWithState
+running degree — each against batch/python oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.streaming import (
+    IncrementalWCC,
+    edge_stream,
+    merge_components,
+    running_degree_stateful,
+    windowed_degree,
+)
+from tests.oracles import make_test_graph, oracle_wcc
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_test_graph()
+
+
+def _chunks(edges, k):
+    return [edges[i::k] for i in range(k)]
+
+
+def test_merge_components_incremental_equals_batch(spark, data):
+    vertices, edges = data
+    want = oracle_wcc(edges, vertices)
+    comps = None
+    for chunk in _chunks(edges, 4):
+        batch = spark.createDataFrame(chunk, "src long, dst long")
+        comps = merge_components(comps, batch)
+    got = {r["id"]: r["comp"] for r in comps.collect()}
+    # isolated vertices never appear in an edge stream; compare edge-touched
+    touched = {v for e in edges for v in e}
+    assert got == {v: want[v] for v in touched}
+
+
+def test_merge_components_batch_order_invariant(spark, data):
+    vertices, edges = data
+    outs = []
+    for k in (2, 7):
+        comps = None
+        for chunk in _chunks(edges, k):
+            comps = merge_components(
+                comps, spark.createDataFrame(chunk, "src long, dst long")
+            )
+        outs.append({r["id"]: r["comp"] for r in comps.collect()})
+    assert outs[0] == outs[1]
+
+
+def test_incremental_wcc_file_stream(spark, data, tmp_path):
+    vertices, edges = data
+    want = oracle_wcc(edges, vertices)
+    src_dir = str(tmp_path / "edges")
+    os.makedirs(src_dir)
+    base = dt.datetime(2026, 1, 1)
+    for i, chunk in enumerate(_chunks(edges, 3)):
+        rows = [(s, d, base + dt.timedelta(minutes=i)) for s, d in chunk]
+        spark.createDataFrame(rows, "src long, dst long, ts timestamp").coalesce(
+            1
+        ).write.parquet(f"{src_dir}/batch={i}")
+    stream = edge_stream(spark, f"{src_dir}/batch=*")
+    inc = IncrementalWCC()
+    q = (
+        stream.writeStream.foreachBatch(inc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert inc.batches >= 1
+    got = {r["id"]: r["comp"] for r in inc.components.collect()}
+    touched = {v for e in edges for v in e}
+    assert got == {v: want[v] for v in touched}
+
+
+def test_windowed_degree(spark, tmp_path):
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 2, base),
+        (1, 3, base + dt.timedelta(seconds=30)),
+        (2, 3, base + dt.timedelta(minutes=1, seconds=10)),
+    ]
+    src_dir = str(tmp_path / "e")
+    spark.createDataFrame(rows, "src long, dst long, ts timestamp").write.parquet(
+        src_dir
+    )
+    stream = edge_stream(spark, src_dir)
+    q = (
+        windowed_degree(stream, "1 minute", "2 minutes")
+        .writeStream.format("memory")
+        .queryName("wdeg")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["id"]): r["degree"]
+        for r in spark.sql("select * from wdeg").collect()
+    }
+    w0, w1 = base, base + dt.timedelta(minutes=1)
+    assert got == {
+        (w0, 1): 2, (w0, 2): 1, (w0, 3): 1,
+        (w1, 2): 1, (w1, 3): 1,
+    }
+
+
+def test_running_degree_stateful(spark, data, tmp_path):
+    _, edges = data
+    src_dir = str(tmp_path / "e")
+    for i, chunk in enumerate(_chunks(edges, 2)):
+        spark.createDataFrame(chunk, "src long, dst long").coalesce(1).write.parquet(
+            f"{src_dir}/batch={i}"
+        )
+    stream = edge_stream(spark, f"{src_dir}/batch=*", schema="src long, dst long")
+    q = (
+        running_degree_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("rdeg")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # memory sink in update mode appends every update; last one per id wins
+    pdf = spark.sql("select * from rdeg").toPandas()
+    got = pdf.groupby("id")["total"].max().to_dict()
+    want = {}
+    for s, d in edges:
+        want[s] = want.get(s, 0) + 1
+        want[d] = want.get(d, 0) + 1
+    assert got == want
