@@ -323,6 +323,11 @@ def _q_kclique4(spark, sf_dir):
     return k_clique_count(tg.copurchase_graph(spark, sf_dir), k=4)
 
 
+def _q_cycle_plus_triangle(spark, sf_dir):
+    from graphscope_spark.algorithms.subgraph import cycle_plus_triangle_count
+    return cycle_plus_triangle_count(tg.partseq_graph(spark, sf_dir))
+
+
 def _q_acyclic_triangle(spark, sf_dir):
     from graphscope_spark.algorithms.subgraph import acyclic_triangle_count
     return acyclic_triangle_count(tg.partseq_graph(spark, sf_dir))
@@ -746,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kclique4": _q_kclique4,
         "acyclic_triangle": _q_acyclic_triangle,
         "cyclic_triangle": _q_cyclic_triangle,
+        "cycle_plus_triangle": _q_cycle_plus_triangle,
         "in_triangle": _q_in_triangle,
         "out_triangle": _q_out_triangle,
         # biconnectivity (rows-only; exact Tarjan oracle in pytest)
@@ -838,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "three_path": tg.three_path_sql(),
         "kclique4": tg.kclique4_sql(),
         "acyclic_triangle": tg.directed_census_sql("acyclic"),
+        "cycle_plus_triangle": tg.cycle_plus_sql(),
         "cyclic_triangle": tg.directed_census_sql("cyclic"),
         "in_triangle": tg.directed_census_sql("in"),
         "out_triangle": tg.directed_census_sql("out"),

@@ -369,3 +369,28 @@ def out_triangle_count(g: Graph) -> DataFrame:
         .filter((F.col("x") != F.col("u")) & (F.col("x") != F.col("v")))
         .agg(F.count(F.lit(1)).alias("out_triangles"))
     )
+
+
+def cycle_plus_triangle_count(g: Graph) -> DataFrame:
+    """Cycle+ triangles: directed 3-cycles d→x→s→d whose closing pair is
+    MUTUAL (s→d and d→s both present) — counted per (s→d mutual-ordered
+    edge, x), exactly the reference's per-vertex accumulation summed:
+    flash/subgraph/cycle-plus-triangle.h:60-77 (update2: for edge s→d with
+    d∈s.in, count x ∈ s.in ∩ d.out). ``(cycle_plus: long)``.
+
+    Plan: mutual-pair semi-join, then one join on s (x→s) and one semi-join
+    on (d, x) (d→x) — all equi-joins on the deduped directed edge table,
+    no driver loop."""
+    e = _directed_simple_edges(g)
+    mutual = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    ).select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    xs = e.select(F.col("dst").alias("s"), F.col("src").alias("x"))  # x→s
+    dx = e.select(F.col("src").alias("d"), F.col("dst").alias("x"))  # d→x
+    return (
+        mutual.join(xs, "s")
+        .join(dx, ["d", "x"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("cycle_plus"))
+    )

@@ -1331,3 +1331,15 @@ def gremlin_no_out_sql() -> str:
     _sql = f"""WITH {PURCHASE_CTE}
 SELECT id AS v FROM verts WHERE id NOT IN (SELECT src FROM edges) ORDER BY v"""
     return _materialized(_sql)
+
+
+def cycle_plus_sql() -> str:
+    """Twin of algorithms/subgraph.py::cycle_plus_triangle_count on the
+    directed part-sequence graph."""
+    _sql = f"""WITH {PARTSEQ_CTE.rstrip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS cycle_plus
+FROM edges sd
+JOIN edges ds ON ds.src = sd.dst AND ds.dst = sd.src
+JOIN edges xs ON xs.dst = sd.src
+JOIN edges dx ON dx.src = sd.dst AND dx.dst = xs.src"""
+    return _materialized(_sql)

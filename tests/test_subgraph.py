@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.algorithms.subgraph import (
     acyclic_triangle_count,
+    cycle_plus_triangle_count,
     cyclic_triangle_count,
     diamond_count,
     densest_subgraph_2approx,
@@ -228,6 +229,16 @@ def test_directed_census_random(spark):
     assert cyclic_triangle_count(g).first()["cyclic"] == cyc
     assert in_triangle_count(g).first()["in_triangles"] == intri
     assert out_triangle_count(g).first()["out_triangles"] == outtri
+    # cycle+ triangle (cycle-plus-triangle.h update2): per directed edge
+    # s→d with d→s present, count x with x→s and d→x
+    cplus = sum(
+        1
+        for (s, d) in es
+        if (d, s) in es
+        for x in nodes
+        if (x, s) in es and (d, x) in es
+    )
+    assert cycle_plus_triangle_count(g).first()["cycle_plus"] == cplus
 
 
 def test_densest_subgraph(spark):
