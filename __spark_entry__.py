@@ -153,6 +153,18 @@ def _q_sssp(spark, sf_dir):
     return sssp(g, _min_id(g), weight_col="w").state.select("id", "dist")
 
 
+def _q_sssp_delta(spark, sf_dir):
+    """Delta-stepping: same distances as sssp (bucketed scheduling only),
+    so it shares the unrolled Bellman-Ford oracle."""
+    from graphscope_spark.algorithms.sssp import sssp_delta_stepping
+
+    e = tg.copurchase_edges(spark, sf_dir).withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 10 + 1).cast("double")
+    )
+    g = Graph(e, directed=True)  # symmetric edge list already
+    return sssp_delta_stepping(g, _min_id(g), delta=4.0, weight_col="w")
+
+
 def _q_degree_centrality(spark, sf_dir):
     g = tg.copurchase_graph(spark, sf_dir)
     return degree_centrality(g, "both").select("id", F.round("dc", RD).alias("dc"))
@@ -710,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # breadth algorithms
         "bfs": _q_bfs,
         "sssp": _q_sssp,
+        "sssp_delta": _q_sssp_delta,
         "degree_centrality": _q_degree_centrality,
         "clustering": _q_clustering,
         "transitivity": _q_transitivity,
@@ -807,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": tg.triangle_count_sql(),
         "bfs": tg.bfs_sql(),
         "sssp": tg.sssp_sql(),
+        "sssp_delta": tg.sssp_sql(),
         "sssp_path": tg.sssp_path_sql(),
         "degree_centrality": tg.degree_centrality_sql(),
         "clustering": tg.clustering_sql(),

@@ -185,3 +185,110 @@ def sssp_path(
     runner = SuperstepRunner(spark, name="sssp_path")
     return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
                       should_stop=lambda m: m["frontier"] == 0)
+
+
+def sssp_delta_stepping(
+    g: Graph,
+    source: int,
+    delta: float | None = None,
+    weight_col: str | None = None,
+    max_buckets: int = 10_000,
+    max_inner: int = 200,
+) -> DataFrame:
+    """Delta-stepping SSSP (flash/traversal/sssp-dlt-step.h — Meyer &
+    Sanders' Δ-stepping): process vertices in distance buckets of width Δ;
+    relax LIGHT edges (w ≤ Δ) out of the active bucket to a fixpoint, then
+    relax HEAVY edges once and advance to the next non-empty bucket.
+
+    Converges to exactly the distances of :func:`sssp` (scheduling
+    strategy, not different semantics). The scale property it buys: each
+    superstep's frontier is ONE bucket, so shuffle volume per round is
+    bounded by the bucket population instead of the whole changed set —
+    the right trade when weights are heterogeneous and the plain frontier
+    explodes. Returns ``(id, dist)`` with NULL for unreachable.
+
+    Correctness of settling (why settled vertices are never re-relaxed):
+    a vertex settled in bucket j has dist < (j+1)Δ ≤ kΔ for every later
+    bucket k; any relaxation out of bucket k yields ≥ kΔ + w > kΔ, so it
+    cannot improve — positive weights required, as in the reference.
+    """
+    from graphscope_spark.graph import materialized_checkpoint
+
+    inf = float("inf")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    edges = g.out_edges.select("src", "dst", w.alias("w")).persist()
+    if delta is None:
+        delta = float(edges.agg(F.avg("w")).first()[0] or 1.0)
+    light = edges.filter(F.col("w") <= delta).persist()
+    heavy = edges.filter(F.col("w") > delta).persist()
+
+    state = materialized_checkpoint(
+        g.vertices.select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0.0)).alias("dist"),
+            F.lit(False).alias("settled"),
+        )
+    )
+
+    def relax(frontier: DataFrame, etab: DataFrame, st: DataFrame) -> DataFrame:
+        cand = (
+            etab.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        return (
+            st.join(cand, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("cand") < F.coalesce(F.col("dist"), F.lit(inf)),
+                    F.col("cand"),
+                )
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+                "settled",
+                (
+                    F.col("cand").isNotNull()
+                    & (F.col("cand") < F.coalesce(F.col("dist"), F.lit(inf)))
+                ).alias("improved"),
+            )
+        )
+
+    bucket = F.floor(F.col("dist") / F.lit(delta))
+    for _ in range(max_buckets):
+        nxt = (
+            state.filter(~F.col("settled") & F.col("dist").isNotNull())
+            .agg(F.min(bucket))
+            .first()[0]
+        )
+        if nxt is None:
+            break
+        k = int(nxt)
+        active = ~F.col("settled") & F.col("dist").isNotNull() & (bucket == k)
+        frontier = state.filter(active).select("id", "dist")
+        # light-edge fixpoint inside bucket k
+        for _ in range(max_inner):
+            prev = state
+            state = materialized_checkpoint(relax(frontier, light, state))
+            prev.unpersist()
+            re_front = state.filter(F.col("improved") & (bucket == k)).select(
+                "id", "dist"
+            )
+            if re_front.isEmpty():
+                break
+            frontier = re_front
+        # heavy edges once from the whole (now final) bucket, settle bucket
+        bucket_members = state.filter(active).select("id", "dist")
+        prev = state
+        state = materialized_checkpoint(
+            relax(bucket_members, heavy, state).select(
+                "id",
+                "dist",
+                (F.col("settled") | (F.col("dist").isNotNull() & (bucket == k)))
+                .alias("settled"),
+            )
+        )
+        prev.unpersist()
+    for t in (edges, light, heavy):
+        t.unpersist()
+    return state.select("id", "dist")

@@ -445,6 +445,21 @@ class Traversal:
         return self._new(ends.select("v"), "v")
 
     # --------------------------------------------------------- terminal
+    def subgraph(self) -> Graph:
+        """subgraph() (supported_gremlin_steps.md:549-557): materialize the
+        edges visited by an edge-head traversal as a NEW Graph — the
+        GREMLIN_TO_SUBGRAPH / SinkVineyard path of the reference
+        (dag_utils.py gremlin_to_subgraph; the reference sinks to vineyard,
+        we return a Graph over the deduped edge DataFrame, persisted and
+        re-partitioned like any loaded graph)."""
+        self._require("e")
+        e = self.df.select("src", "dst").distinct()
+        return Graph(
+            e,
+            directed=self._s.graph.directed,
+            num_partitions=self._s.graph.num_partitions,
+        )
+
     def to_df(self) -> DataFrame:
         return self.df
 

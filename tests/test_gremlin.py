@@ -191,3 +191,14 @@ def test_sample_coin_deterministic(g):
     assert a == b
     frac = g.V().coin(0.5, seed=3).count().first()["count"]
     assert 0 < frac < 251
+
+
+def test_subgraph_step(g, adj, data):
+    out, _ = adj
+    sub = g.V().has("grp", 2).outE().subgraph()
+    vertices, edges = data
+    want_edges = sorted((s, d) for s, d in edges if s % 7 == 2)
+    got_edges = sorted((r["src"], r["dst"]) for r in sub.edges.collect())
+    assert got_edges == want_edges
+    want_v = sorted({x for e in want_edges for x in e})
+    assert sorted(r["id"] for r in sub.vertices.collect()) == want_v

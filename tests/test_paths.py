@@ -142,3 +142,32 @@ def test_flash_cc_matches_wcc(g, graph_data):
     vertices, edges = graph_data
     got = {r["id"]: r["comp"] for r in flash_cc(g).collect()}
     assert got == oracle_wcc(edges, vertices)
+
+
+def test_sssp_delta_stepping_matches_sssp(spark):
+    from graphscope_spark.algorithms.sssp import sssp, sssp_delta_stepping
+    from graphscope_spark.graph import Graph
+    from tests.oracles import make_test_graph
+
+    vertices, edges = make_test_graph()
+    e = spark.createDataFrame(edges, "src long, dst long").withColumn(
+        "w", ((F.col("src") * 7 + F.col("dst")) % 9 + 1).cast("double")
+    )
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    g = Graph(e, v, directed=True, num_partitions=8)
+    src = vertices[0]
+    base = {
+        r["id"]: r["dist"]
+        for r in sssp(g, src, weight_col="w").state.collect()
+    }
+    for delta in (2.0, 5.0, None):
+        got = {
+            r["id"]: r["dist"]
+            for r in sssp_delta_stepping(g, src, delta=delta, weight_col="w").collect()
+        }
+        assert set(got) == set(base)
+        for k in base:
+            if base[k] is None:
+                assert got[k] is None
+            else:
+                assert abs(got[k] - base[k]) < 1e-9, (k, got[k], base[k])
