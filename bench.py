@@ -103,6 +103,19 @@ def main() -> None:
     t0 = time.monotonic()
     sink(pagerank(gl, alpha=0.85, max_iter=lrounds).state)
     large_sec = round(time.monotonic() - t0, 3)
+
+    # North-star corpus-path probe: synthesize repos(content) → vectorized
+    # pandas-UDF import extraction → dense-id encode → 10-round PageRank.
+    # Guards the round-1 gate-killer (plan growth through the derived edge
+    # lineage): this stays seconds iff repo_graph truncates lineage before
+    # the iterative loop (corpus.py localCheckpoint discipline).
+    from graphscope_spark.corpus import repo_graph  # noqa: E402
+    n_repos = int(os.environ.get("SPARK_GRAFT_BENCH_REPOS", "2000"))
+    t0 = time.monotonic()
+    gr, _, _ = repo_graph(spark, n_repos=n_repos, files_per_repo=12)
+    sink(pagerank(gr, alpha=0.85, max_iter=PR_ROUNDS).state)
+    corpus_sec = round(time.monotonic() - t0, 3)
+
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
@@ -117,6 +130,8 @@ def main() -> None:
         "large_rounds": lrounds,
         "large_sec": large_sec,
         "pagerank_eups_large": round(n_le * lrounds / large_sec, 1),
+        "corpus_repos": n_repos,
+        "corpus_end_to_end_pagerank_sec": corpus_sec,
     }))
     spark.stop()
 
