@@ -594,6 +594,28 @@ def _q_gremlin_no_out(spark, sf_dir):
     return t.V().not_(lambda x: x.out()).to_df().select("v")
 
 
+def _q_property_project(spark, sf_dir):
+    """Multi-label property graph → ArrowProjectedFragment-style simple
+    view → out-degree (property_graph.py)."""
+    from graphscope_spark.property_graph import PropertyGraph
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = cust.select(F.col("c_custkey").alias("id"), "c_acctbal")
+    c2 = cust.select(F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nk"))
+    knows = (
+        c2.alias("a")
+        .join(c2.alias("b"),
+              (F.col("a.nk") == F.col("b.nk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .filter(F.col("src") % 7 == 0)
+    )
+    pg = PropertyGraph(directed=True)
+    pg.add_vertices(c, "customer")
+    pg.add_edges(knows, "knows", "customer", "customer")
+    g = pg.project("customer", "knows", vertex_prop="c_acctbal")
+    return g.degrees.filter(F.col("out_deg") > 0).select("id", "out_deg")
+
+
 def _q_stream_wcc(spark, sf_dir):
     """Incremental WCC (streaming/incremental.py): fold the edge table in
     4 deterministic micro-batches through merge_components — the converged
@@ -746,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_nbr_size": _q_gremlin_nbr_size,
         "gremlin_no_out": _q_gremlin_no_out,
         "stream_wcc": _q_stream_wcc,
+        "property_project": _q_property_project,
         # round-2 additions
         "ppr": _q_ppr,
         "articlerank": _q_articlerank,
@@ -844,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_no_out": tg.gremlin_no_out_sql(),
         # incremental merge converges to the same min-label components
         "stream_wcc": tg.wcc_sql(),
+        "property_project": tg.property_project_sql(),
         "ppr": tg.ppr_sql(rounds=10),
         "articlerank": tg.articlerank_sql(rounds=10),
         "scc": tg.scc_sql(),

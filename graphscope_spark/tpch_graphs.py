@@ -1343,3 +1343,18 @@ JOIN edges ds ON ds.src = sd.dst AND ds.dst = sd.src
 JOIN edges xs ON xs.dst = sd.src
 JOIN edges dx ON dx.src = sd.dst AND dx.dst = xs.src"""
     return _materialized(_sql)
+
+
+def property_project_sql() -> str:
+    """Twin of the PropertyGraph customer--knows-->customer projection's
+    out-degree (tests/test_property_graph.py fixture shape: same-nation
+    pairs, a < b, src % 7 = 0)."""
+    _sql = """WITH knows AS (
+  SELECT a.c_custkey AS src, b.c_custkey AS dst
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE a.c_custkey % 7 = 0
+)
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_deg
+FROM knows GROUP BY src ORDER BY id"""
+    return _materialized(_sql)
