@@ -594,6 +594,12 @@ def _q_gremlin_no_out(spark, sf_dir):
     return t.V().not_(lambda x: x.out()).to_df().select("v")
 
 
+def _q_gremlin_match(spark, sf_dir):
+    t = gremlin.traversal(tg.partseq_graph(spark, sf_dir))
+    m = t.match([("a", "out", "b"), ("b", "out", "c"), ("c", "out", "a")])
+    return m.agg(F.count(F.lit(1)).alias("bindings"))
+
+
 def _q_property_project(spark, sf_dir):
     """Multi-label property graph → ArrowProjectedFragment-style simple
     view → out-degree (property_graph.py)."""
@@ -767,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_topk": _q_gremlin_topk,
         "gremlin_nbr_size": _q_gremlin_nbr_size,
         "gremlin_no_out": _q_gremlin_no_out,
+        "gremlin_match": _q_gremlin_match,
         "stream_wcc": _q_stream_wcc,
         "property_project": _q_property_project,
         # round-2 additions
@@ -865,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_topk": tg.gremlin_topk_sql(k=20),
         "gremlin_nbr_size": tg.gremlin_nbr_size_sql(min_size=25),
         "gremlin_no_out": tg.gremlin_no_out_sql(),
+        "gremlin_match": tg.gremlin_match_sql(),
         # incremental merge converges to the same min-label components
         "stream_wcc": tg.wcc_sql(),
         "property_project": tg.property_project_sql(),

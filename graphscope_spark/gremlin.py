@@ -118,6 +118,37 @@ class GraphTraversalSource:
         """E() source (supported_gremlin_steps.md:36-45)."""
         return Traversal(self, self.graph.edges.select("src", "dst"), head="e")
 
+    def match(self, patterns: list[tuple[str, str, str]]) -> DataFrame:
+        """match() (supported_gremlin_steps.md:532-547): conjunctive
+        pattern matching. ``patterns`` is a list of sentences
+        ``(tag_a, direction, tag_b)`` — "tag_a's <direction>-neighbor is
+        tag_b". Returns one row per distinct binding (columns = tags).
+
+        Lowering (the reference's compiler turns match into a join tree —
+        ExtendIntersectRule / worst-case-optimal intersect, SURVEY §4.2):
+        sentences whose endpoints are both already bound become existence
+        SEMI-joins; sentences introducing a new tag extend the binding via
+        an equi-join against the edge table. Catalyst reorders/broadcasts
+        as statistics dictate."""
+        bind: DataFrame | None = None
+        bound: set[str] = set()
+        for a, direction, b in patterns:
+            e = self.V()._edges(direction).select(
+                F.col("src").alias(a), F.col("dst").alias(b)
+            )
+            if bind is None:
+                bind, bound = e, {a, b}
+            elif a in bound and b in bound:
+                bind = bind.join(e, [a, b], "left_semi")
+            elif a in bound or b in bound:
+                on = a if a in bound else b
+                bind = bind.join(e, on)
+                bound |= {a, b}
+            else:
+                bind = bind.crossJoin(e)
+                bound |= {a, b}
+        return bind.select(*sorted(bound)).distinct()
+
 
 def traversal(graph: Graph, vertex_props: DataFrame | None = None) -> GraphTraversalSource:
     return GraphTraversalSource(graph, vertex_props)

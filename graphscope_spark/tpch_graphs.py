@@ -1358,3 +1358,16 @@ def property_project_sql() -> str:
 SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_deg
 FROM knows GROUP BY src ORDER BY id"""
     return _materialized(_sql)
+
+
+def gremlin_match_sql() -> str:
+    """Twin of g.match(a→b, b→c, c→a) binding count on the directed
+    part-sequence graph (distinct bindings; 3 rotations per 3-cycle)."""
+    _sql = f"""WITH {PARTSEQ_CTE.rstrip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS bindings FROM (
+  SELECT DISTINCT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM edges ab
+  JOIN edges bc ON bc.src = ab.dst
+  JOIN edges ca ON ca.src = bc.dst AND ca.dst = ab.src
+) t"""
+    return _materialized(_sql)

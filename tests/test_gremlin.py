@@ -202,3 +202,35 @@ def test_subgraph_step(g, adj, data):
     assert got_edges == want_edges
     want_v = sorted({x for e in want_edges for x in e})
     assert sorted(r["id"] for r in sub.vertices.collect()) == want_v
+
+
+def test_match_triangles(g, data):
+    _, edges = data
+    es = set(edges)
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in g.match([("a", "out", "b"), ("b", "out", "c"), ("a", "out", "c")])
+        .collect()
+    )
+    nodes = {v for e in edges for v in e}
+    want = sorted(
+        (a, b, c)
+        for a in nodes
+        for b in (d for s, d in es if s == a)
+        for c in (d for s, d in es if s == b)
+        if (a, c) in es
+    )
+    assert got == want
+
+
+def test_match_two_hop_existence(g, adj):
+    out, _ = adj
+    # a→b with a 2-cycle between them: a→b and b→a
+    got = sorted(
+        (r["a"], r["b"])
+        for r in g.match([("a", "out", "b"), ("b", "out", "a")]).collect()
+    )
+    want = sorted(
+        (a, b) for a in out for b in out[a] if a in out.get(b, set())
+    )
+    assert got == want
