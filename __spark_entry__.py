@@ -724,6 +724,17 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN — rows-only at the gate (the k-means
+    quantizer is not SQL-expressible); recall + exhaustive-equals-exact
+    oracles in tests/test_functions.py."""
+    from graphscope_spark.functions.similarity import ann_ivf
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf(emb, queries, k=5, nlist=8, nprobe=3)
+
+
 def _q_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
@@ -831,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
     }

@@ -190,3 +190,29 @@ def test_decode_stub_raises():
     from graphscope_spark.functions.multimodal import decode_image
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ann_ivf_recall_and_exhaustive(emb):
+    from graphscope_spark.functions.similarity import ann_ivf
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = ann_brute_force(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # probing some lists: partial recall
+    approx = ann_ivf(emb, queries, k=5, nlist=8, nprobe=3)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.4
+    # probing every list: identical to brute force (same tie-breaking)
+    full = ann_ivf(emb, queries, k=5, nlist=8, nprobe=8)
+    f = {(r["query_id"], r["neighbor_id"], r["score"]) for r in full.collect()}
+    ee = {(r["query_id"], r["neighbor_id"], r["score"]) for r in exact.collect()}
+    assert f == ee
+
+
+def test_ann_ivf_deterministic(emb):
+    from graphscope_spark.functions.similarity import ann_ivf
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = sorted(map(tuple, ann_ivf(emb, queries, k=3, nlist=8, nprobe=2).collect()))
+    r2 = sorted(map(tuple, ann_ivf(emb, queries, k=3, nlist=8, nprobe=2).collect()))
+    assert r1 == r2
