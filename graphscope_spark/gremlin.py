@@ -173,7 +173,9 @@ class Traversal:
             raise TypeError(f"step needs head in {heads}, have {self.head!r}")
 
     def _head_col(self) -> Column:
-        return F.col({"v": "v", "val": "val"}.get(self.head, "v"))
+        if self.head == "e":
+            return F.struct(F.col("src"), F.col("dst"))
+        return F.col("v" if self.head == "v" else "val")
 
     def _edges(self, direction: str) -> DataFrame:
         g = self._s.graph
