@@ -14,8 +14,13 @@ Layout:
   algorithms  — PageRank, WCC, CDLP/LPA, triangles, SSSP, BFS, centralities…
   operators   — GIE-style relational/dataflow operator surface on DataFrames
   functions   — corpus pipeline ops: dedup (exact/MinHash/SimHash), ANN
-                similarity, text analysis, multimodal plumbing
+                similarity (brute force / sign-LSH / IVF), text analysis,
+                multimodal plumbing
   corpus      — deterministic synthetic source-repo corpus + edge extraction
+  gremlin     — Gremlin-subset fluent traversal DSL → single Catalyst plans
+  property_graph — multi-label property graph: project/flatten/bipartite
+  streaming   — Structured-Streaming incremental WCC, windowed degrees,
+                applyInPandasWithState stateful operators
 """
 
 __version__ = "0.1.0"
