@@ -18,3 +18,8 @@ from graphscope_spark.operators.relational import (  # noqa: F401
     apply_subquery, dedup, group_by, join, limit, order_by, project, sample,
     scan, select, union, unfold,
 )
+from graphscope_spark.operators.skew import (  # noqa: F401
+    salted_join,
+    skew_isolated_join,
+    top_degree_keys,
+)

@@ -140,3 +140,22 @@ def test_relational_wrappers(spark):
     arr = spark.createDataFrame([(1, [1, 2, 3])], "id long, xs array<long>")
     assert unfold(arr, "xs").count() == 3
     assert sample(df, 0.5, seed=1).count() <= 4
+
+
+def test_salted_join_parity_and_hub_isolation(spark, g, graph_data):
+    from graphscope_spark.operators.skew import (
+        salted_join, skew_isolated_join, top_degree_keys,
+    )
+
+    _, edges = graph_data
+    e = g.edges.select("src", "dst")
+    msgs = g.vertices.select(F.col("id").alias("src"), (F.col("id") % 97).alias("m"))
+    plain = e.join(msgs, "src")
+    want = sorted(map(tuple, plain.collect()))
+    salted = salted_join(e, msgs, "src", n_salts=8)
+    assert sorted(map(tuple, salted.collect())) == want
+    hubs = top_degree_keys(e, "src", top_n=4)
+    hub_rows = hubs.collect()
+    assert len(hub_rows) == 4 and hub_rows[0]["deg"] >= hub_rows[-1]["deg"]
+    isolated = skew_isolated_join(e, msgs, "src", hubs)
+    assert sorted(map(tuple, isolated.collect())) == want
