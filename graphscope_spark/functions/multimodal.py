@@ -108,3 +108,49 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+def fake_resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """(media_id, width, height, out_width, out_height, scale) — resize
+    PLAN over the decoded dims: aspect-preserving fit into max_side².
+    Pure column arithmetic over fake_decode_meta (JVM-side, no Python);
+    the real pipeline would feed (media_id, out dims) into a resample UDF
+    exactly like fake_feature_extract below consumes payloads."""
+    meta = fake_decode_meta(media)
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return meta.select(
+        "media_id", "width", "height",
+        F.greatest(F.lit(1), F.round(F.col("width") * scale).cast("int"))
+        .alias("out_width"),
+        F.greatest(F.lit(1), F.round(F.col("height") * scale).cast("int"))
+        .alias("out_height"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def fake_feature_extract(media: DataFrame, dim: int = 16) -> DataFrame:
+    """(media_id, embedding: array<double>) — DETERMINISTIC FAKE feature
+    extractor: unit-norm vector derived from the payload sha256 (stands in
+    for a CLIP/wav2vec forward pass; swap the body on a real cluster).
+    Arrow-batched mapInPandas, numpy-vectorized per batch — the exact
+    plumbing a real model UDF uses, and its output feeds the ANN layer
+    (similarity.ann_ivf / ann_lsh) directly."""
+    import numpy as np
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for p in pdf["payload"]:
+                d = hashlib.sha256(p).digest() * ((8 * dim) // 32 + 1)
+                v = np.frombuffer(d[: 8 * dim], dtype=np.uint64).astype(np.float64)
+                v = (v / 2**64) - 0.5
+                n = np.linalg.norm(v)
+                vecs.append((v / (n or 1.0)).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, "media_id long, embedding array<double>"
+    )

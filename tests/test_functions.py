@@ -216,3 +216,32 @@ def test_ann_ivf_deterministic(emb):
     r1 = sorted(map(tuple, ann_ivf(emb, queries, k=3, nlist=8, nprobe=2).collect()))
     r2 = sorted(map(tuple, ann_ivf(emb, queries, k=3, nlist=8, nprobe=2).collect()))
     assert r1 == r2
+
+
+def test_multimodal_resize_and_features(docs):
+    from graphscope_spark.functions.multimodal import (
+        documents_as_media, fake_feature_extract, fake_resize_meta,
+    )
+    from graphscope_spark.functions.similarity import ann_brute_force
+
+    media = documents_as_media(docs.limit(60))
+    rs = fake_resize_meta(media, max_side=256).collect()
+    assert len(rs) == 60
+    for r in rs:
+        assert max(r["out_width"], r["out_height"]) <= 256
+        assert r["out_width"] >= 1 and r["out_height"] >= 1
+        # aspect preserved within rounding
+        if r["scale"] < 1.0:
+            # rounding error bound ~0.5/min(dim); small dims allow more slack
+            assert abs(r["out_width"] / r["width"] - r["out_height"] / r["height"]) < 0.05
+    feats = fake_feature_extract(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 60 and all(len(r["embedding"]) == 16 for r in rows)
+    # deterministic across recomputation
+    again = {r["media_id"]: r["embedding"] for r in fake_feature_extract(media, 16).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["embedding"]
+    # feeds the ANN layer directly
+    emb = feats.withColumnRenamed("media_id", "vec_id")
+    topk = ann_brute_force(emb, emb.filter(F.col("vec_id") < 3), k=2)
+    assert topk.count() == 6
