@@ -745,6 +745,43 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------- #
+# GNN training-data sampling (GLE analog, graphscope_spark/sampling.py)
+# --------------------------------------------------------------------- #
+
+
+def _q_sample_neighbors(spark, sf_dir):
+    from graphscope_spark import sampling as smp
+    g = tg.copurchase_graph(spark, sf_dir)
+    seeds = g.vertices.filter(F.col("id") % 50 == 0)
+    return smp.sample_neighbors(g, seeds, [3, 2], seed=42)
+
+
+def _q_random_walks(spark, sf_dir):
+    from graphscope_spark import sampling as smp
+    g = tg.copurchase_graph(spark, sf_dir)
+    starts = g.vertices.filter(F.col("id") % 50 == 0)
+    return smp.random_walks(g, walk_length=4, seed=42, starts=starts)
+
+
+def _q_negative_sample(spark, sf_dir):
+    from graphscope_spark import sampling as smp
+    g = tg.copurchase_graph(spark, sf_dir)
+    sources = g.vertices.filter(F.col("id") % 10 == 0)
+    return smp.negative_sample(g, tries=5, seed=42, sources=sources)
+
+
+def _q_node2vec(spark, sf_dir):
+    # rows-only: the p/q-biased pick compares floating cumulative sums —
+    # not bit-portable as a DuckDB twin; exact Python oracle in pytest
+    # (tests/test_sampling.py) with dyadic p/q so the sums are exact.
+    from graphscope_spark import sampling as smp
+    g = tg.copurchase_graph(spark, sf_dir)
+    starts = g.vertices.filter(F.col("id") % 100 == 0)
+    return smp.node2vec_walks(g, walk_length=3, p=2.0, q=0.5, seed=42,
+                              starts=starts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph substrate + north-star four
@@ -845,6 +882,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
+        # GNN training-data sampling (GLE analog)
+        "sample_neighbors": _q_sample_neighbors,
+        "random_walks": _q_random_walks,
+        "negative_sample": _q_negative_sample,
+        "node2vec": _q_node2vec,
     }
 
 
@@ -946,4 +988,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash": do.simhash_sql(),
         # ann_lsh omitted: random-hyperplane buckets use numpy RNG
         "multimodal_meta": do.multimodal_meta_sql(),
+        # node2vec omitted: float inverse-CDF pick, exact pytest oracle
+        "sample_neighbors": tg.sample_neighbors_sql([3, 2], seed=42,
+                                                    seed_mod=50),
+        "random_walks": tg.random_walks_sql(4, seed=42, start_mod=50),
+        "negative_sample": tg.negative_sample_sql(tries=5, seed=42,
+                                                  source_mod=10),
     }

@@ -1371,3 +1371,92 @@ SELECT CAST(COUNT(*) AS BIGINT) AS bindings FROM (
   JOIN edges ca ON ca.src = bc.dst AND ca.dst = ab.src
 ) t"""
     return _materialized(_sql)
+
+
+# ---------------------------------------------------------------------- #
+# GNN sampling oracles (graphscope_spark/sampling.py twins)
+# ---------------------------------------------------------------------- #
+
+def _hash64_concat_sql(*exprs: str) -> str:
+    """DuckDB twin of sampling._pick_hash: 60-bit md5 hash of
+    '<e1>|<e2>|…' with every part cast to VARCHAR."""
+    from graphscope_spark.functions.hashing import hash64_sql
+    joined = " || '|' || ".join(f"CAST({e} AS VARCHAR)" for e in exprs)
+    return hash64_sql(joined)
+
+
+def sample_neighbors_sql(fanouts: list[int], seed: int = 42,
+                         seed_mod: int = 50) -> str:
+    """Twin of sampling.sample_neighbors on the co-purchase graph with
+    seeds = vertices where id % seed_mod == 0. Per hop: rank each frontier
+    vertex's distinct out-neighbors by (hash, dst), keep the top fanout,
+    attach roots, dedup — identical shape to the Spark plan."""
+    ctes = [COPURCHASE_CTE.rstrip(),
+            f"f0 AS (SELECT id AS root, id FROM verts WHERE id % {seed_mod} = 0)"]
+    picks = []
+    prev = "f0"
+    for hop, k in enumerate(fanouts, start=1):
+        h = _hash64_concat_sql(f"'{seed}'", str(hop), "e.src", "e.dst")
+        ctes.append(f"""c{hop} AS (
+  SELECT e.src, e.dst,
+         row_number() OVER (PARTITION BY e.src ORDER BY {h}, e.dst) AS rk
+  FROM (SELECT DISTINCT src, dst FROM edges) e
+  JOIN (SELECT DISTINCT id FROM {prev}) f ON f.id = e.src
+)""")
+        ctes.append(f"""p{hop} AS (
+  SELECT DISTINCT f.root, {hop} AS hop, c.src, c.dst
+  FROM {prev} f JOIN c{hop} c ON f.id = c.src
+  WHERE c.rk <= {k}
+)""")
+        ctes.append(
+            f"f{hop} AS (SELECT DISTINCT root, dst AS id FROM p{hop})")
+        picks.append(f"SELECT root, hop, src, dst FROM p{hop}")
+        prev = f"f{hop}"
+    _sql = ("WITH " + ",\n".join(ctes) + "\n"
+            + " UNION ALL ".join(picks))
+    return _materialized(_sql)
+
+
+def random_walks_sql(walk_length: int, seed: int = 42,
+                     start_mod: int = 50) -> str:
+    """Twin of sampling.random_walks (walks_per_vertex=1 → walk = start
+    id). Adjacency indexed 0..deg-1 in dst order; step t picks neighbor
+    hash(seed|walk|t|v) % deg."""
+    ctes = [COPURCHASE_CTE.rstrip(), """adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT DISTINCT src, dst FROM edges) e
+)""",
+            f"s0 AS (SELECT id AS walk, id AS v FROM verts WHERE id % {start_mod} = 0)"]
+    outs = ["SELECT walk, 0 AS step, v FROM s0"]
+    for t in range(1, walk_length + 1):
+        h = _hash64_concat_sql(f"'{seed}'", "s.walk", str(t), "s.v")
+        ctes.append(f"""s{t} AS (
+  SELECT s.walk, a.dst AS v
+  FROM s{t-1} s JOIN adj a ON s.v = a.src
+  WHERE a.idx = ({h}) % a.deg
+)""")
+        outs.append(f"SELECT walk, {t} AS step, v FROM s{t}")
+    _sql = "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(outs)
+    return _materialized(_sql)
+
+
+def negative_sample_sql(tries: int = 5, seed: int = 42,
+                        source_mod: int = 10) -> str:
+    """Twin of sampling.negative_sample: per (source, try) propose
+    hash(seed|src|t) % (max_id+1), keep real non-self non-neighbor ids."""
+    h = _hash64_concat_sql(f"'{seed}'", "s.src", "t.t")
+    _sql = f"""WITH {COPURCHASE_CTE.rstrip()},
+mx AS (SELECT MAX(id) + 1 AS m FROM verts),
+src AS (SELECT id AS src FROM verts WHERE id % {source_mod} = 0),
+cand AS (
+  SELECT DISTINCT s.src, ({h}) % (SELECT m FROM mx) AS neg
+  FROM src s CROSS JOIN (SELECT unnest(generate_series(0, {tries - 1})) AS t) t
+)
+SELECT c.src, c.neg
+FROM cand c
+WHERE c.src <> c.neg
+  AND c.neg IN (SELECT id FROM verts)
+  AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = c.src AND e.dst = c.neg)"""
+    return _materialized(_sql)
