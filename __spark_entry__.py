@@ -745,6 +745,18 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _q_k_core_search(spark, sf_dir):
+    from graphscope_spark.algorithms import k_core_search
+    g = tg.copurchase_graph(spark, sf_dir)
+    return k_core_search(g, 3)
+
+
+def _q_random_multi_bfs(spark, sf_dir):
+    from graphscope_spark.algorithms import random_multi_bfs
+    g = tg.copurchase_graph(spark, sf_dir)
+    return random_multi_bfs(g, k=8, seed=42).select("src", "id", "dist")
+
+
 # --------------------------------------------------------------------- #
 # GNN training-data sampling (GLE analog, graphscope_spark/sampling.py)
 # --------------------------------------------------------------------- #
@@ -882,6 +894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
+        # remaining FLASH compositions
+        "k_core_search": _q_k_core_search,
+        "random_multi_bfs": _q_random_multi_bfs,
         # GNN training-data sampling (GLE analog)
         "sample_neighbors": _q_sample_neighbors,
         "random_walks": _q_random_walks,
@@ -988,6 +1003,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": do.simhash_sql(),
         # ann_lsh omitted: random-hyperplane buckets use numpy RNG
         "multimodal_meta": do.multimodal_meta_sql(),
+        "k_core_search": tg.k_core_search_sql(k=3),
+        "random_multi_bfs": tg.random_multi_bfs_sql(k=8, seed=42),
         # node2vec omitted: float inverse-CDF pick, exact pytest oracle
         "sample_neighbors": tg.sample_neighbors_sql([3, 2], seed=42,
                                                     seed_mod=50),

@@ -13,6 +13,7 @@ from graphscope_spark.algorithms.louvain import louvain  # noqa: F401
 from graphscope_spark.algorithms.paths import (  # noqa: F401
     all_pairs_shortest_path_length, betweenness_centrality,
     closeness_centrality, harmonic_centrality, multi_source_bfs,
+    random_multi_bfs,
 )
 from graphscope_spark.algorithms.centrality import (  # noqa: F401
     degree_centrality, eigenvector_centrality, hits, katz_centrality,
@@ -21,7 +22,8 @@ from graphscope_spark.algorithms.clustering import (  # noqa: F401
     average_clustering, clustering, lcc, transitivity,
 )
 from graphscope_spark.algorithms.cores import (  # noqa: F401
-    degeneracy_ordering, kcore, kcore_vertices, kshell, onion_layers,
+    degeneracy_ordering, k_core_search, kcore, kcore_vertices, kshell,
+    onion_layers,
 )
 from graphscope_spark.algorithms.matching import (  # noqa: F401
     maximal_matching, min_dominating_set, min_edge_cover, min_vertex_cover,

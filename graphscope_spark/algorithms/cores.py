@@ -220,3 +220,14 @@ def degeneracy_ordering(g: Graph, max_iter: int = 100_000) -> DataFrame:
     for p in parts:
         out = out.unionByName(p)
     return out
+
+
+def k_core_search(g: Graph, k: int) -> DataFrame:
+    """One-row (k, size) — the number of vertices in the k-core
+    (k-core-search.h: same peel as kcore, GlobalRes = |{v : deg >= k}|).
+    Composition over kcore_vertices; the aggregate stays lazy so callers
+    can union several k values into one job."""
+    return kcore_vertices(g, k).agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).cast("long").alias("size"),
+    )

@@ -254,3 +254,26 @@ def betweenness_centrality(
     edges.unpersist()
     fwd.unpersist()
     return out
+
+
+def random_multi_bfs(g: Graph, k: int = 8, seed: int = 42) -> DataFrame:
+    """(src, id, dist) — batched BFS from ``k`` pseudo-random sources
+    (random-multi-bfs.h: k rand sources, per-vertex distance vector; the
+    triple table here is the unpivoted form of that vector).
+
+    Source pick is deterministic: the k vertices minimizing
+    (hash64(seed|id), id) — a distributed TopK (TakeOrderedAndProject),
+    not a global sort — so runs are reproducible and the DuckDB twin
+    (tpch_graphs.random_multi_bfs_sql) ranks by the identical expression.
+    The BFS itself is one frontier-proportional batch over all k sources
+    (multi_source_bfs), exactly the reference's bitmask-parallel sweep.
+    """
+    from graphscope_spark.functions.hashing import hash64
+    key = hash64(F.concat(F.lit(f"{seed}|"), F.col("id").cast("string")))
+    sources = (
+        g.vertices.select("id", key.alias("_h"))
+        .orderBy("_h", "id")
+        .limit(k)
+        .select("id")
+    )
+    return multi_source_bfs(g, sources=sources)

@@ -1460,3 +1460,27 @@ WHERE c.src <> c.neg
   AND c.neg IN (SELECT id FROM verts)
   AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = c.src AND e.dst = c.neg)"""
     return _materialized(_sql)
+
+
+def k_core_search_sql(k: int = 3, rounds: int = KCORE_ROUNDS) -> str:
+    """Twin of algorithms.cores.k_core_search — (k, size) of the k-core."""
+    inner = kcore_sql(k=k, rounds=rounds)
+    return f"SELECT {k} AS k, CAST(count(*) AS BIGINT) AS size FROM ({inner}) t"
+
+
+def random_multi_bfs_sql(k: int = 8, seed: int = 42,
+                         rounds: int = WCC_ROUNDS) -> str:
+    """Twin of algorithms.paths.random_multi_bfs — batched BFS from the k
+    vertices minimizing (hash64(seed|id), id)."""
+    from graphscope_spark.functions.hashing import hash64_sql
+    h = hash64_sql(f"'{seed}|' || CAST(id AS VARCHAR)")
+    pick = f""",
+srcpick AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (ORDER BY {h}, id) AS rk FROM verts
+  ) t WHERE rk <= {k}
+)"""
+    _sql = (f"WITH {COPURCHASE_CTE.rstrip()}{pick}"
+            f"{_msbfs_cte(rounds, 'WHERE id IN (SELECT id FROM srcpick)')}\n"
+            f"SELECT src, id, dist FROM d{rounds}")
+    return _materialized(_sql)

@@ -496,3 +496,52 @@ def test_sampling_path(spark):
     assert capped1 == capped2
     assert len(capped1) == 3
     assert set(capped1) <= want
+
+
+# ------------------------------------------------------------------ #
+# k_core_search + random_multi_bfs (remaining FLASH compositions)
+# ------------------------------------------------------------------ #
+
+
+def test_k_core_search(spark, g, graph_data):
+    from graphscope_spark.algorithms import k_core_search, kcore_vertices
+    for k in (2, 3):
+        row = k_core_search(g, k).first()
+        assert row.k == k
+        assert row.size == kcore_vertices(g, k).count()
+
+
+def test_random_multi_bfs_oracle(spark, g, graph_data):
+    import hashlib
+    from graphscope_spark.algorithms import random_multi_bfs
+
+    vertices, edges = graph_data
+    res = random_multi_bfs(g, k=4, seed=7)
+    got = {(r.src, r.id): r.dist for r in res.collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"7|{i}".encode()).hexdigest()[:15], 16)
+
+    srcs = sorted(vertices, key=lambda i: (h(i), i))[:4]
+    # multi_source_bfs treats the graph per its direction convention:
+    # directed Graph -> directed BFS over out-edges
+    adj = {v: set() for v in vertices}
+    for s, d in edges:
+        adj[s].add(d)
+    expect = {}
+    for s in srcs:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for v, dd in dist.items():
+            expect[(s, v)] = dd
+    assert got == expect
