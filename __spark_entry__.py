@@ -9,10 +9,10 @@ identically on both sides because Spark/DuckDB sum partial aggregates in
 different orders.
 
 Queries WITHOUT an oracle entry (rows-only check, reasons inline):
-ann_lsh (random-hyperplane buckets use numpy RNG), dfs (sequential
-preorder), bcc / bridges / articulation_points (BFS-forest-dependent
-labels; exact Tarjan oracle in pytest), louvain / fluid_community
-(multi-pass heuristics; planted-structure pytest oracles). Everything
+bcc / bridges / articulation_points (BFS-forest-dependent labels; exact
+Tarjan oracle in pytest), louvain / fluid_community (multi-pass
+heuristics; planted-structure pytest oracles), ann_ivf (k-means
+quantizer), node2vec (float inverse-CDF pick). Everything
 else — including every deterministic fixpoint (matching family, peels,
 coloring, MSF, tolerance PageRank: idempotent loops unroll to generous
 fixed depth, flash_oracles.py) and the full corpus path (corpus_oracles.py
@@ -299,8 +299,10 @@ def _q_scc(spark, sf_dir):
 
 
 def _q_dfs(spark, sf_dir):
-    # rows-only: DFS preorder is order-dependent sequential recursion, not
-    # SQL-expressible; exact recursive-python oracle in tests/test_dfs.py.
+    # hash-matched: DFS preorder is sequential but deterministic (ascending
+    # id = CSR order); the twin replays it as a single-row recursive-CTE
+    # state machine (tpch_graphs.dfs_sql). Exact python oracle in
+    # tests/test_dfs.py besides.
     from graphscope_spark.algorithms.dfs import dfs as _dfs
     g = tg.partseq_graph(spark, sf_dir)
     # deterministic source with a non-trivial reachable set: max out-degree,
@@ -1001,10 +1003,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": do.ngram_jaccard_sql(threshold=0.2),
         "ann_topk": do.ann_topk_sql(k=5, n_queries=10),
         "simhash": do.simhash_sql(),
-        # ann_lsh omitted: random-hyperplane buckets use numpy RNG
+        "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),
         "multimodal_meta": do.multimodal_meta_sql(),
         "k_core_search": tg.k_core_search_sql(k=3),
         "random_multi_bfs": tg.random_multi_bfs_sql(k=8, seed=42),
+        "dfs": tg.dfs_sql(),
         # node2vec omitted: float inverse-CDF pick, exact pytest oracle
         "sample_neighbors": tg.sample_neighbors_sql([3, 2], seed=42,
                                                     seed_mod=50),

@@ -201,3 +201,58 @@ SELECT doc_id AS media_id,
        octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256
 FROM documents"""
+
+
+def ann_lsh_sql(k: int = 5, dim: int = 64, n_planes: int = 4,
+                n_tables: int = 8, seed: int = 42,
+                n_queries: int = 10) -> str:
+    """Twin of functions/similarity.py::ann_lsh. The hyperplanes are
+    deterministic Rademacher components — ±1 by parity of the portable
+    60-bit md5 hash of '{seed+1000*t}|{p}|{j}' (similarity._hyperplanes) —
+    so the bucket ids, candidate set, cosine scores and top-k are all pure
+    SQL. Bucket = sum of 2^p over planes with dot > 0, per table."""
+    return f"""
+WITH planes AS (
+  SELECT t.t, p.p, j.j,
+         CASE WHEN CAST('0x' || substr(md5(
+                CAST({seed} + 1000 * t.t AS VARCHAR) || '|' ||
+                CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)
+              ), 1, 15) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range({n_tables})) AS t) t
+  CROSS JOIN (SELECT unnest(range({n_planes})) AS p) p
+  CROSS JOIN (SELECT unnest(range({dim})) AS j) j
+),
+comps AS (
+  SELECT vec_id, j.j, CAST(embedding[j.j + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range({dim})) AS j) j
+),
+dots AS (
+  SELECT c.vec_id, pl.t, pl.p, SUM(c.x * pl.w) AS dot
+  FROM comps c JOIN planes pl ON pl.j = c.j
+  GROUP BY c.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets qb
+  JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < {n_queries} AND cb.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      qe.embedding::DOUBLE[]), 6) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}"""

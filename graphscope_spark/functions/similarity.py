@@ -95,8 +95,22 @@ def ann_brute_force(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+    """Deterministic Rademacher (±1) hyperplanes derived from the portable
+    md5 hash — NOT numpy RNG. Sign-LSH with ±1 components is the standard
+    random-projection variant (Achlioptas '01: sparse/sign projections
+    preserve angles like gaussians); deriving each component from
+    md5(seed|plane|j) makes the whole LSH pipeline a pure function of
+    (seed, dim) that a DuckDB oracle reproduces expression-for-expression
+    (doc_oracles.ann_lsh_sql)."""
+    import hashlib
+
+    w = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for j in range(dim):
+            h = int(hashlib.md5(f"{seed}|{p}|{j}".encode())
+                    .hexdigest()[:15], 16)
+            w[p, j] = 1.0 if h % 2 == 0 else -1.0
+    return w
 
 
 def lsh_bucket_ids(

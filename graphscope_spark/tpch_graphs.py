@@ -1484,3 +1484,42 @@ srcpick AS (
             f"{_msbfs_cte(rounds, 'WHERE id IN (SELECT id FROM srcpick)')}\n"
             f"SELECT src, id, dist FROM d{rounds}")
     return _materialized(_sql)
+
+def dfs_sql() -> str:
+    """Twin of algorithms.dfs.dfs on the partseq graph — preorder ranks.
+
+    DFS is sequential (dfs.h holds one token vertex per superstep), but it
+    is DETERMINISTIC: neighbors are tried in ascending id (CSR order), so
+    the whole walk is a pure function of the edge set. The twin replays it
+    as a single-row recursive-CTE state machine: each iteration either
+    pushes the smallest unvisited neighbor of the stack top (emitting its
+    rank/parent) or backtracks; ≤ 2·V iterations, state = stack + visited
+    lists. Source pick mirrors _q_dfs: max out-degree, min id among ties.
+    """
+    _sql = f"""WITH RECURSIVE {PARTSEQ_CTE.rstrip()},
+adj AS (SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM edges GROUP BY src),
+src0 AS (
+  SELECT src AS id FROM edges GROUP BY src
+  ORDER BY count(DISTINCT dst) DESC, src ASC LIMIT 1
+),
+walk(stack, visited, emit_id, emit_rank, emit_parent, nvis) AS (
+  SELECT [s.id], [s.id], s.id, 0, CAST(NULL AS BIGINT), 1 FROM src0 s
+  UNION ALL
+  SELECT
+    CASE WHEN s.nxt IS NULL THEN w.stack[1:len(w.stack)-1]
+         ELSE list_append(w.stack, s.nxt) END,
+    CASE WHEN s.nxt IS NULL THEN w.visited ELSE list_append(w.visited, s.nxt) END,
+    s.nxt,
+    CASE WHEN s.nxt IS NULL THEN NULL ELSE w.nvis END,
+    CASE WHEN s.nxt IS NULL THEN NULL ELSE w.stack[-1] END,
+    CASE WHEN s.nxt IS NULL THEN w.nvis ELSE w.nvis + 1 END
+  FROM walk w
+  LEFT JOIN adj a ON a.src = w.stack[-1]
+  CROSS JOIN LATERAL (
+    SELECT list_filter(coalesce(a.nbrs, []), x -> NOT list_contains(w.visited, x))[1] AS nxt
+  ) s
+  WHERE len(w.stack) > 0
+)
+SELECT emit_id AS id, CAST(emit_rank AS INT) AS "rank", emit_parent AS parent
+FROM walk WHERE emit_id IS NOT NULL"""
+    return _materialized(_sql)
