@@ -538,6 +538,16 @@ def _q_all_simple_paths(spark, sf_dir):
     return _asp(g, _min_id(g), targets, cutoff=4)
 
 
+def _q_shortest_path_expand(spark, sf_dir):
+    from graphscope_spark.algorithms import shortest_path_expand as _spe
+    from graphscope_spark.algorithms.sssp import bfs as _bfs
+    g = tg.copurchase_graph(spark, sf_dir)
+    src = _min_id(g)
+    reach = _bfs(g, src).state.filter(F.col("dist").isNotNull())
+    tid = reach.agg(F.max("id")).first()[0]
+    return _spe(g, int(src), int(tid))
+
+
 def _q_bfs_parents(spark, sf_dir):
     from graphscope_spark.algorithms import bfs_parents as _bp
     g = tg.copurchase_graph(spark, sf_dir)
@@ -846,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_assortativity": _q_attr_assortativity,
         "voterank": _q_voterank,
         "all_simple_paths": _q_all_simple_paths,
+        "shortest_path_expand": _q_shortest_path_expand,
         "bfs_parents": _q_bfs_parents,
         "dfs": _q_dfs,
         # FLASH subgraph-counting family
@@ -954,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "attr_assortativity": tg.attr_assortativity_sql(),
         "voterank": tg.voterank_sql(rounds=10),
         "all_simple_paths": tg.all_simple_paths_sql(cutoff=4, target_mod=3),
+        "shortest_path_expand": tg.shortest_path_expand_sql(),
         "bfs_parents": tg.bfs_parents_sql(),
         "rectangle": tg.rectangle_sql(),
         "diamond": tg.diamond_sql(),

@@ -48,5 +48,5 @@ from graphscope_spark.algorithms.dfs import dfs  # noqa: F401
 from graphscope_spark.algorithms.lpa import lpa_u2i  # noqa: F401
 from graphscope_spark.algorithms.simple_paths import (  # noqa: F401
     all_simple_paths, bfs_edges, bfs_parents, bfs_successors, is_simple_path,
-    sampling_path,
+    sampling_path, shortest_path_expand,
 )

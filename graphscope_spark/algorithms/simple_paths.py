@@ -195,3 +195,62 @@ def sampling_path(
             )
         )
     return cur.select("path")
+
+
+def shortest_path_expand(g: Graph, source: int, target: int) -> DataFrame:
+    """ALL shortest paths ``source``→``target`` as vertex-id arrays —
+    GIE ShortestPathExpand (algebra.proto:358-383; planned/commented in
+    the reference — the PathExpand base with hop-count weight, the
+    default when no WeightCal is given).
+
+    Dataflow: one BFS gives levels; edges are then restricted to the
+    shortest-path DAG (dist(dst) = dist(src)+1) and paths are enumerated
+    BACKWARD from the target with dist(target) prepend-joins. Enumerating
+    only DAG edges means per-hop work ∝ the number of shortest paths
+    (inherent output size), never the all-paths blowup; the level table is
+    computed once, checkpoint-truncated by the superstep loop.
+
+    Returns ``(path_str, hops)`` — the same "a->b->c" serialization as
+    :func:`all_simple_paths` — empty DataFrame if target is unreachable.
+    """
+    levels = bfs(g, source).state.filter(F.col("dist").isNotNull())
+    levels = levels.persist()
+    trow = levels.filter(F.col("id") == target).select("dist").first()
+    if trow is None:
+        levels.unpersist()
+        return g.spark.createDataFrame([], "path_str string, hops long")
+    dist_t = int(trow[0])
+    # shortest-path DAG: edges that advance the BFS level by exactly one
+    dag = (
+        g.out_edges.join(
+            levels.select(F.col("id").alias("src"),
+                          F.col("dist").alias("sd")), "src")
+        .join(levels.select(F.col("id").alias("dst"),
+                            F.col("dist").alias("dd")), "dst")
+        .filter(F.col("dd") == F.col("sd") + 1)
+        .select("src", "dst", "sd")
+    ).persist()
+    paths = g.spark.createDataFrame(
+        [(target, [target])], "head long, path array<long>"
+    )
+    for d in range(dist_t, 0, -1):
+        paths = (
+            dag.filter(F.col("sd") == d - 1)
+            .join(paths, F.col("dst") == F.col("head"))
+            .select(
+                F.col("src").alias("head"),
+                F.concat(F.array(F.col("src")), F.col("path")).alias("path"),
+            )
+        )
+        if d % 8 == 0:  # truncate the growing join lineage on deep paths
+            paths = paths.localCheckpoint(eager=True)
+    out = paths.select(
+        F.concat_ws("->", F.transform(F.col("path"),
+                                      lambda x: x.cast("string")))
+        .alias("path_str"),
+        F.lit(dist_t).cast("long").alias("hops"),
+    )
+    out = out.localCheckpoint(eager=True)
+    levels.unpersist()
+    dag.unpersist()
+    return out

@@ -1523,3 +1523,58 @@ walk(stack, visited, emit_id, emit_rank, emit_parent, nvis) AS (
 SELECT emit_id AS id, CAST(emit_rank AS INT) AS "rank", emit_parent AS parent
 FROM walk WHERE emit_id IS NOT NULL"""
     return _materialized(_sql)
+
+
+def shortest_path_expand_sql(rounds: int = WCC_ROUNDS) -> str:
+    """ALL shortest paths min-id → max-reachable-id on the copurchase
+    graph, serialized "a->b->c" — the GIE ShortestPathExpand twin.
+    Unrolled BFS levels, then the shortest-path DAG (dist advances by
+    exactly 1), then ``rounds`` backward prepend steps from the target;
+    rows whose head reached the source (dist 0) pass through unchanged."""
+    parts = [COPURCHASE_CTE.rstrip(), SOURCE_CTE,
+             ",\nd0 AS (SELECT id, CASE WHEN id = (SELECT sid FROM src)"
+             " THEN 0 END AS dist FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"d{k-1}"
+        parts.append(f""",
+d{k} AS (
+  SELECT v.id,
+         CASE WHEN LEAST(COALESCE(v.dist, 1000000), COALESCE(m.c, 1000000))
+                   < 1000000
+              THEN LEAST(COALESCE(v.dist, 1000000), COALESCE(m.c, 1000000))
+         END AS dist
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.dist + 1) AS c
+    FROM edges e JOIN {p} p ON e.src = p.id AND p.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+)""")
+    parts.append(f""",
+lev AS (SELECT id, dist FROM d{rounds} WHERE dist IS NOT NULL),
+tgt AS (SELECT MAX(id) AS tid FROM lev),
+dag AS (
+  SELECT e.src, e.dst, ls.dist AS sd
+  FROM edges e
+  JOIN lev ls ON e.src = ls.id
+  JOIN lev ld ON e.dst = ld.id
+  WHERE ld.dist = ls.dist + 1
+),
+p0 AS (
+  SELECT [t.tid] AS pl, t.tid AS head,
+         (SELECT dist FROM lev WHERE id = t.tid) AS hd
+  FROM tgt t
+)""")
+    for k in range(1, rounds + 1):
+        p = f"p{k-1}"
+        parts.append(f""",
+p{k} AS (
+  SELECT list_prepend(d.src, p.pl) AS pl, d.src AS head, d.sd AS hd
+  FROM {p} p JOIN dag d ON d.dst = p.head AND p.hd > 0
+  UNION ALL
+  SELECT pl, head, hd FROM {p} WHERE hd = 0
+)""")
+    parts.append(f"""
+SELECT array_to_string(pl, '->') AS path_str,
+       CAST(len(pl) - 1 AS BIGINT) AS hops
+FROM p{rounds} WHERE hd = 0""")
+    return _materialized("WITH " + "".join(parts))

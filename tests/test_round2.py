@@ -324,6 +324,22 @@ def test_all_simple_paths(spark):
     assert got == want
 
 
+def test_shortest_path_expand(spark):
+    from graphscope_spark.algorithms import shortest_path_expand
+    # 1->4 has shortest length 2 via 2 and via 3; the 3-hop 1->2->3->4
+    # detour and the 4->5 continuation must both be excluded.
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (2, 3), (4, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    gg = Graph(e, directed=True, num_partitions=4)
+    rows = shortest_path_expand(gg, 1, 4).collect()
+    assert {r["path_str"] for r in rows} == {"1->2->4", "1->3->4"}
+    assert all(r["hops"] == 2 for r in rows)
+    # unreachable target -> empty result with the same schema
+    empty = shortest_path_expand(gg, 4, 1)
+    assert empty.columns == ["path_str", "hops"]
+    assert empty.count() == 0
+
+
 def test_is_simple_path(spark):
     edges = [(1, 2), (2, 3), (3, 4)]
     e = spark.createDataFrame(edges, "src long, dst long")
