@@ -582,6 +582,13 @@ def _q_gremlin_khop(spark, sf_dir):
     )
 
 
+def _q_gremlin_path(spark, sf_dir):
+    t = gremlin.traversal(tg.copurchase_graph(spark, sf_dir))
+    return (
+        t.V().where(lambda c: c % 100 == 0).track_path().out().out().path()
+    )
+
+
 def _q_gremlin_topk(spark, sf_dir):
     t = gremlin.traversal(tg.copurchase_graph(spark, sf_dir))
     return (
@@ -842,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_path": _q_sssp_path,
         "path_expand": _q_path_expand,
         "gremlin_khop": _q_gremlin_khop,
+        "gremlin_path": _q_gremlin_path,
         "gremlin_topk": _q_gremlin_topk,
         "gremlin_nbr_size": _q_gremlin_nbr_size,
         "gremlin_no_out": _q_gremlin_no_out,
@@ -951,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "path_expand": tg.path_expand_sql(mod=50),
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),
+        "gremlin_path": tg.gremlin_path_sql(mod=100),
         "gremlin_topk": tg.gremlin_topk_sql(k=20),
         "gremlin_nbr_size": tg.gremlin_nbr_size_sql(min_size=25),
         "gremlin_no_out": tg.gremlin_no_out_sql(),

@@ -23,6 +23,14 @@ Supported steps (reference doc → method here):
   union       union()
   sugar       repeat().times() / simplePath() — PathExpand
               (supported_gremlin_steps.md:578-709) via operators/traversal.py
+  identity/unfold  identity() unfold() (supported_gremlin_steps.md:559-577)
+  elementMap  elementMap() (supported_gremlin_steps.md:323-334)
+  path        track_path() + path() — the reference's path() extension
+              (supported_gremlin_steps.md:934-939); opt-in because the path
+              array widens every shuffle row, exactly the reason the
+              reference's PathExpand defaults to end_v over all_v
+  range       repeat_range(lo, hi) — PathExpand out('2..4') range syntax
+              (supported_gremlin_steps.md:581-643), endV() implied
 
 Frame layout (the "traversal record" of the Rust runtime): column ``v``
 holds the head vertex id; an edge head is (``src``, ``dst``); a scalar head
@@ -191,11 +199,13 @@ class Traversal:
         """ExpandV — the fused ExpandE+GetV (ExpandGetVFusionRule)."""
         self._require("v")
         e = self._edges(direction)
-        keep = [c for c in self.df.columns if c != "v"]
-        out = (
-            self.df.join(e, self.df["v"] == e["src"])
-            .select(*keep, F.col("dst").alias("v"))
-        )
+        keep = [c for c in self.df.columns if c not in ("v", "__path")]
+        cols = [*keep, F.col("dst").alias("v")]
+        if "__path" in self.df.columns:
+            cols.append(
+                F.concat(F.col("__path"), F.array(F.col("dst"))).alias("__path")
+            )
+        out = self.df.join(e, self.df["v"] == e["src"]).select(*cols)
         return self._new(out, "v")
 
     def out(self) -> "Traversal":
@@ -257,8 +267,12 @@ class Traversal:
             )
         else:
             raise ValueError(which)
-        keep = [c for c in self.df.columns if c not in ("src", "dst", "t__enter")]
-        return self._new(self.df.select(*keep, col.alias("v")), "v")
+        keep = [c for c in self.df.columns
+                if c not in ("src", "dst", "t__enter", "__path")]
+        cols = [*keep, col.alias("v")]
+        if "__path" in self.df.columns:
+            cols.append(F.concat(F.col("__path"), F.array(col)).alias("__path"))
+        return self._new(self.df.select(*cols), "v")
 
     def outV(self) -> "Traversal":
         return self._get_v("start")
@@ -335,6 +349,20 @@ class Traversal:
     def dedup(self) -> "Traversal":
         return self._new(self.df.distinct())
 
+    def hasLabel(self, *labels: str) -> "Traversal":
+        """hasLabel() (supported_gremlin_steps.md:131-139). Simple graphs
+        are single-label ('vertex'/'edge' — the projected-fragment
+        contract, same as label()); multi-label graphs go through
+        PropertyGraph.project/flatten first."""
+        have = "vertex" if self.head == "v" else "edge"
+        if have in labels:
+            return self._new(self.df)
+        return self._new(self.df.limit(0))
+
+    def identity(self) -> "Traversal":
+        """identity() (supported_gremlin_steps.md:559-566) — no-op step."""
+        return self._new(self.df)
+
     # ---------------------------------------------------------- project
     def as_(self, tag: str) -> "Traversal":
         self._require("v", "val")
@@ -373,6 +401,53 @@ class Traversal:
         )
         keep = [c for c in self.df.columns if c != "v"]
         return self._new(self.df.join(m, "v").select(*keep, "v", "val"), "val")
+
+    def elementMap(self, *props: str) -> "Traversal":
+        """elementMap() (supported_gremlin_steps.md:323-334) — valueMap
+        plus the id and label entries, all stringified (one string-map
+        column, like the reference's elementMap record)."""
+        self._require("v")
+        p = self._s.vertex_props
+        cols = list(props) or [c for c in p.columns if c != "id"]
+        m = p.select(
+            F.col("id").alias("v"),
+            F.map_from_arrays(
+                F.array(F.lit("id"), F.lit("label"),
+                        *[F.lit(c) for c in cols]),
+                F.array(F.col("id").cast("string"), F.lit("vertex"),
+                        *[F.col(c).cast("string") for c in cols]),
+            ).alias("val"),
+        )
+        keep = [c for c in self.df.columns if c != "v"]
+        return self._new(self.df.join(m, "v").select(*keep, "v", "val"), "val")
+
+    def unfold(self) -> "Traversal":
+        """unfold() (supported_gremlin_steps.md:568-577) — explode an
+        array-valued head back into one record per element."""
+        self._require("val")
+        keep = [c for c in self.df.columns if c != "val"]
+        return self._new(
+            self.df.select(*keep, F.explode(F.col("val")).alias("val")), "val"
+        )
+
+    def track_path(self) -> "Traversal":
+        """Start path() tracking from the current head: every subsequent
+        vertex step appends to a carried ``__path`` array — the PathExpand
+        all_v record layout (algebra.proto PathExpand result_opt)."""
+        self._require("v")
+        return self._new(self.df.withColumn("__path", F.array(F.col("v"))))
+
+    def path(self) -> DataFrame:
+        """path() (supported_gremlin_steps.md:934-939) — terminal: the
+        visited-vertex array serialized "a->b->c" (the join-key-stable
+        spelling the simple-path family uses)."""
+        if "__path" not in self.df.columns:
+            raise TypeError("path() needs track_path() earlier in the chain")
+        return self.df.select(
+            F.concat_ws("->", F.transform(F.col("__path"),
+                                          lambda x: x.cast("string")))
+            .alias("path_str")
+        )
 
     def select(self, *tags: str) -> DataFrame:
         """select('a','b') — project tags out as the result
@@ -464,6 +539,34 @@ class Traversal:
             self._s.graph,
             min_hops=n,
             max_hops=n,
+            direction=direction,
+            path_opt="simple" if simple else "arbitrary",
+        )
+        keep = [c for c in self.df.columns if c != "v"]
+        if keep:
+            out = (
+                self.df.withColumnRenamed("v", "_start")
+                .join(ends, F.col("_start") == ends["start"])
+                .select(*keep, ends["v"].alias("v"))
+            )
+            return self._new(out, "v")
+        return self._new(ends.select("v"), "v")
+
+    def repeat_range(
+        self, lo: int, hi: int, direction: str = "out", simple: bool = False
+    ) -> "Traversal":
+        """out('2..4') — the PathExpand RANGE syntax
+        (supported_gremlin_steps.md:581-643): endpoints after lo..hi hops
+        inclusive, endV() semantics (head = path end). Lowering identical
+        to repeat_times but with min/max hops split."""
+        from graphscope_spark.operators.traversal import path_expand
+
+        self._require("v")
+        ends = path_expand(
+            self.df.select("v"),
+            self._s.graph,
+            min_hops=lo,
+            max_hops=hi,
             direction=direction,
             path_opt="simple" if simple else "arbitrary",
         )

@@ -1578,3 +1578,16 @@ SELECT array_to_string(pl, '->') AS path_str,
        CAST(len(pl) - 1 AS BIGINT) AS hops
 FROM p{rounds} WHERE hd = 0""")
     return _materialized("WITH " + "".join(parts))
+
+
+def gremlin_path_sql(mod: int = 100) -> str:
+    """g.V().where(id%mod==0).track_path().out().out().path() — 2-hop
+    vertex paths serialized "a->b->c"."""
+    _sql = f"""WITH {COPURCHASE_CTE},
+starts AS (SELECT id FROM verts WHERE id % {mod} = 0)
+SELECT CAST(s.id AS VARCHAR) || '->' || CAST(e1.dst AS VARCHAR)
+       || '->' || CAST(e2.dst AS VARCHAR) AS path_str
+FROM starts s
+JOIN edges e1 ON e1.src = s.id
+JOIN edges e2 ON e2.src = e1.dst"""
+    return _materialized(_sql)

@@ -234,3 +234,55 @@ def test_match_two_hop_existence(g, adj):
         (a, b) for a in out for b in out[a] if a in out.get(b, set())
     )
     assert got == want
+
+
+def test_identity_haslabel_elementmap(g, data):
+    vertices, _ = data
+    n = len(vertices)
+    assert g.V().identity().count().first()["count"] == n
+    assert g.V().hasLabel("vertex").count().first()["count"] == n
+    assert g.V().hasLabel("person").count().first()["count"] == 0
+    assert g.E().hasLabel("edge").count().first()["count"] > 0
+    row = g.V(7).elementMap().to_df().first()
+    m = row["val"]
+    assert m["id"] == "7" and m["label"] == "vertex"
+    assert m["grp"] == str(7 % 7) and m["name"] == "n7"
+
+
+def test_unfold_after_fold(g, data, spark):
+    vertices, _ = data
+    folded = g.V().fold()  # one row, one array column
+    arr = folded.first()["folded"]
+    assert sorted(arr) == sorted(vertices)
+    # unfold(): explode an array-valued head back into records
+    t = g.V(7).valueMap("grp")  # head val is a map; build an array head
+    df = spark.createDataFrame([([1, 2, 3],)], "val array<long>")
+    from graphscope_spark.gremlin import Traversal
+    tr = Traversal(g, df, head="val").unfold()
+    assert sorted(r["val"] for r in tr.to_df().collect()) == [1, 2, 3]
+
+
+def test_path_tracking(g, adj):
+    out, _ = adj
+    start = 7
+    got = {r["path_str"]
+           for r in g.V(start).track_path().out().out().path().collect()}
+    want = {f"{start}->{m}->{e}" for m in out[start] for e in out[m]}
+    assert got == want
+    # path through outE().inV() appends the resolved endpoint too
+    got2 = {r["path_str"]
+            for r in g.V(start).track_path().outE().inV().path().collect()}
+    assert got2 == {f"{start}->{m}" for m in out[start]}
+    with pytest.raises(TypeError):
+        g.V(start).out().path()
+
+
+def test_repeat_range(g, adj):
+    out, _ = adj
+    start = 7
+    want = set()
+    one = set(out[start])
+    two = {e for m in one for e in out[m]}
+    want = one | two
+    got = {r["v"] for r in g.V(start).repeat_range(1, 2).to_df().collect()}
+    assert got == want
