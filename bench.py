@@ -42,7 +42,16 @@ def main() -> None:
         parts = max(8, min(cpus, int(64 * float(sf))))
     except ValueError:
         parts = cpus
-    spark = get_spark("bench", cpus=cpus, shuffle_partitions=parts)
+    # tmpfs shuffle dirs — same regime as scripts/scaling_bench.py: the
+    # bench measures the engine's dataflow, not this sandbox's virtio disk
+    # (a real cluster node spills shuffle to local NVMe). Falls back to the
+    # default temp dir when /dev/shm is absent.
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-tmp"
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=parts,
+                      extra_conf=extra)
 
     g = tg.copurchase_graph(spark, sf_dir)
     n_edges = g.num_edges  # also warms the persisted edge tables

@@ -219,6 +219,17 @@ class Graph:
         return Graph(sym, directed=False, num_partitions=self.num_partitions,
                      persist=self._persist, assume_symmetric=True)
 
+    def to_directed(self) -> "Graph":
+        """TRANSFORM_GRAPH(to_directed) — dag_utils.py:583-637 (the
+        networkx to_directed convention: each undirected edge becomes two
+        directed arcs; our undirected storage is already bidirectional, so
+        this is a zero-copy flag flip over the same persisted edge table).
+        Already-directed graphs return themselves unchanged."""
+        if self.directed:
+            return self
+        return Graph(self.edges, self.vertices, directed=True,
+                     num_partitions=self.num_partitions, persist=self._persist)
+
     def project(self, vertex_cols: list[str] | None = None,
                 edge_cols: list[str] | None = None) -> "Graph":
         """PROJECT_GRAPH / project_to_simple (dag_utils.py:490-552) —

@@ -54,3 +54,15 @@ def test_mutation_feeds_algorithms(spark):
     assert wcc(g).state.select("comp").distinct().count() == 2
     g2 = g.add_edges(spark.createDataFrame([(2, 3)], "src long, dst long"))
     assert wcc(g2).state.select("comp").distinct().count() == 1
+
+
+def test_to_directed_roundtrip(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ug = Graph(e, directed=False, num_partitions=4)
+    dg = ug.to_directed()
+    assert dg.directed
+    # undirected storage is bidirectional; to_directed keeps both arcs
+    got = {(r["src"], r["dst"]) for r in dg.edges.collect()}
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+    # already-directed graphs come back unchanged
+    assert dg.to_directed() is dg
