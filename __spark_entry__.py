@@ -582,6 +582,15 @@ def _q_gremlin_khop(spark, sf_dir):
     )
 
 
+def _q_cypher_triangle(spark, sf_dir):
+    from graphscope_spark.cypher import CypherSession
+    cs = CypherSession(tg.copurchase_graph(spark, sf_dir))
+    return cs.run(
+        "MATCH (a)-[]->(b)-[]->(c), (a)-[]->(c) "
+        "WHERE a < b AND b < c RETURN count(*) AS n"
+    )
+
+
 def _q_gremlin_path(spark, sf_dir):
     t = gremlin.traversal(tg.copurchase_graph(spark, sf_dir))
     return (
@@ -850,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_expand": _q_path_expand,
         "gremlin_khop": _q_gremlin_khop,
         "gremlin_path": _q_gremlin_path,
+        "cypher_triangle": _q_cypher_triangle,
         "gremlin_topk": _q_gremlin_topk,
         "gremlin_nbr_size": _q_gremlin_nbr_size,
         "gremlin_no_out": _q_gremlin_no_out,
@@ -960,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "path_expand": tg.path_expand_sql(mod=50),
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),
         "gremlin_path": tg.gremlin_path_sql(mod=100),
+        "cypher_triangle": tg.cypher_triangle_sql(),
         "gremlin_topk": tg.gremlin_topk_sql(k=20),
         "gremlin_nbr_size": tg.gremlin_nbr_size_sql(min_size=25),
         "gremlin_no_out": tg.gremlin_no_out_sql(),

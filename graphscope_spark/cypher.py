@@ -1,0 +1,357 @@
+"""Cypher-subset front end compiling to DataFrame plans.
+
+The reference's GIE accepts Cypher alongside Gremlin (GOpt compiler,
+docs/interactive_engine/neo4j/supported_cypher.md — the clause inventory
+this module mirrors: single MATCH + OPTIONAL MATCH, WHERE incl.
+``NOT EXISTS`` as anti-join, RETURN .. AS with aggregates/DISTINCT,
+ORDER BY, LIMIT; the reference likewise allows only ONE MATCH clause).
+Queries lower to the same join-tree the Gremlin ``match()`` step uses:
+every relationship pattern is an equi-join against the (deduplicated)
+edge table, OPTIONAL MATCH is a left outer join, NOT EXISTS an anti-join
+— all one Catalyst plan, so filter pushdown / join reordering /
+broadcast selection are automatic.
+
+Scope notes (documented deviations, all reference-sanctioned):
+* simple-graph semantics — at most one edge per ordered vertex pair
+  (the projected-fragment contract); relationship variables are not
+  bindable, only node variables.
+* single label space: ``(a:Label)`` filters are accepted but only the
+  trivial 'vertex' label exists on a simple Graph (PropertyGraph.project
+  upstream handles real multi-label).
+* variable-length patterns ``-[*lo..hi]->`` lower onto PathExpand.
+
+Grammar (case-insensitive keywords)::
+
+    MATCH <pattern> (, <pattern>)*
+    [OPTIONAL MATCH <pattern>]
+    [WHERE <cond> (AND <cond>)*]
+    RETURN [DISTINCT] <item> (, <item>)*
+    [ORDER BY <col> [ASC|DESC] (, ...)*] [LIMIT n]
+
+    pattern  := node (rel node)*
+    node     := '(' [var] [':' label] ')'
+    rel      := '-[]->' | '<-[]-' | '-[]-' | '-[*lo..hi]->'
+    cond     := term op term | NOT EXISTS '(' pattern ')'
+    term     := var | id(var) | var.prop | number | 'string'
+    item     := term [AS alias] | count(*) | count/sum/min/max/avg(term)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+
+__all__ = ["CypherSession"]
+
+_NODE = re.compile(r"\(\s*(\w*)\s*(?::\s*(\w+))?\s*\)")
+_REL = re.compile(
+    r"^\s*(<-|-)\s*\[\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*(->|-)\s*"
+)
+_OPS = {
+    "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
+    "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b, ">": lambda a, b: a > b,
+}
+_AGGS = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max,
+         "avg": F.avg}
+
+
+@dataclass
+class _Rel:
+    a: str
+    b: str
+    direction: str          # 'out' | 'in' | 'both'
+    lo: int | None = None   # variable-length bounds (PathExpand)
+    hi: int | None = None
+
+
+@dataclass
+class _Query:
+    rels: list[_Rel] = field(default_factory=list)
+    opt_rels: list[_Rel] = field(default_factory=list)
+    singletons: list[str] = field(default_factory=list)
+    conds: list[str] = field(default_factory=list)
+    distinct: bool = False
+    items: list[tuple[str, str]] = field(default_factory=list)  # (expr, alias)
+    order: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
+    limit: int | None = None
+
+
+def _parse_pattern(text: str, anon: list[int]) -> tuple[list[_Rel], list[str]]:
+    """One comma-free pattern chain → relationship list (+ bare nodes)."""
+    rels: list[_Rel] = []
+    nodes: list[str] = []
+    pos = 0
+    prev: str | None = None
+    while pos < len(text):
+        m = _NODE.match(text, pos)
+        if not m:
+            raise ValueError(f"expected node pattern at: {text[pos:]!r}")
+        var = m.group(1)
+        if not var:
+            anon[0] += 1
+            var = f"_anon{anon[0]}"
+        nodes.append(var)
+        pos = m.end()
+        if prev is not None:
+            rels.append(_pending_rel(prev_rel[0], prev, var))
+        rest = text[pos:]
+        if not rest.strip():
+            break
+        rm = _REL.match(rest)
+        if not rm:
+            raise ValueError(f"expected relationship at: {rest!r}")
+        left, lo, hi, right = rm.groups()
+        if left == "<-" and right == "-":
+            d = "in"
+        elif left == "-" and right == "->":
+            d = "out"
+        elif left == "-" and right == "-":
+            d = "both"
+        else:
+            raise ValueError(f"bad relationship arrows: {rest!r}")
+        prev_rel = [(d, int(lo) if lo else None, int(hi) if hi else None)]
+        prev = var
+        pos += rm.end()
+    return rels, nodes
+
+
+def _pending_rel(spec, a, b) -> _Rel:
+    d, lo, hi = spec
+    return _Rel(a=a, b=b, direction=d, lo=lo, hi=hi)
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses/brackets."""
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
+
+
+_CLAUSE = re.compile(
+    r"(?is)^\s*MATCH\s+(?P<match>.*?)"
+    r"(?:\s+OPTIONAL\s+MATCH\s+(?P<opt>.*?))?"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"\s+RETURN\s+(?P<ret>.*?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$"
+)
+
+
+def _parse(q: str) -> _Query:
+    m = _CLAUSE.match(q)
+    if not m:
+        raise ValueError("unsupported Cypher shape (need MATCH ... RETURN ...)")
+    out = _Query()
+    anon = [0]
+    for chain in _split_top(m.group("match")):
+        rels, nodes = _parse_pattern(chain, anon)
+        out.rels.extend(rels)
+        if not rels and len(nodes) == 1:
+            out.singletons.append(nodes[0])
+    if m.group("opt"):
+        for chain in _split_top(m.group("opt")):
+            rels, _ = _parse_pattern(chain, anon)
+            out.opt_rels.extend(rels)
+    if m.group("where"):
+        out.conds = re.split(r"(?i)\s+AND\s+", m.group("where").strip())
+    ret = m.group("ret").strip()
+    if re.match(r"(?i)^DISTINCT\s+", ret):
+        out.distinct = True
+        ret = re.sub(r"(?i)^DISTINCT\s+", "", ret)
+    for item in _split_top(ret):
+        am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)$", item)
+        if am:
+            out.items.append((am.group(1).strip(), am.group(2)))
+        else:
+            alias = re.sub(r"\W+", "_", item).strip("_")
+            out.items.append((item, alias))
+    if m.group("order"):
+        for ob in _split_top(m.group("order")):
+            dm = re.match(r"(?is)^(\w+)(?:\s+(ASC|DESC))?$", ob.strip())
+            if not dm:
+                raise ValueError(f"bad ORDER BY item: {ob!r}")
+            out.order.append((dm.group(1),
+                              (dm.group(2) or "ASC").upper() == "DESC"))
+    if m.group("limit"):
+        out.limit = int(m.group("limit"))
+    return out
+
+
+class CypherSession:
+    """Bind a Graph (+ optional vertex property table keyed by ``id``) and
+    run Cypher-subset queries — the GIE CypherGS analog."""
+
+    def __init__(self, graph: Graph, vertex_props: DataFrame | None = None):
+        self.graph = graph
+        self.props = vertex_props if vertex_props is not None else graph.vertices
+
+    # ----------------------------------------------------------- edges
+    def _edge_pairs(self, direction: str) -> DataFrame:
+        e = self.graph.edges.select("src", "dst").distinct()
+        if direction == "out":
+            return e
+        if direction == "in":
+            return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def _rel_df(self, rel: _Rel) -> DataFrame:
+        """Binding table (a, b) for one relationship pattern."""
+        if rel.lo is not None:
+            from graphscope_spark.operators.traversal import path_expand
+            starts = self.graph.vertices.select(F.col("id").alias("v"))
+            ends = path_expand(
+                starts, self.graph, min_hops=rel.lo, max_hops=rel.hi,
+                direction=rel.direction,
+            )
+            return ends.select(F.col("start").alias(rel.a),
+                               F.col("v").alias(rel.b)).distinct()
+        return self._edge_pairs(rel.direction).select(
+            F.col("src").alias(rel.a), F.col("dst").alias(rel.b)
+        )
+
+    def _bind(self, rels: list[_Rel], base: DataFrame | None,
+              how: str = "inner") -> DataFrame | None:
+        """Fold relationship patterns into the binding table — the same
+        join-tree lowering as gremlin.GraphTraversalSource.match (semi for
+        both-bound existence, equi-join to extend, cross for disjoint)."""
+        bind = base
+        bound: set[str] = set(bind.columns) if bind is not None else set()
+        pending = list(rels)
+        while pending:
+            # pick a pattern that touches the current binding first
+            idx = next((i for i, r in enumerate(pending)
+                        if r.a in bound or r.b in bound), 0)
+            r = pending.pop(idx)
+            e = self._rel_df(r)
+            if bind is None:
+                bind, bound = e, {r.a, r.b}
+            elif r.a in bound and r.b in bound:
+                bind = bind.join(e, [r.a, r.b],
+                                 "left_semi" if how == "inner" else how)
+            elif r.a in bound or r.b in bound:
+                on = r.a if r.a in bound else r.b
+                bind = bind.join(e, on, how)
+                bound |= {r.a, r.b}
+            else:
+                bind = bind.crossJoin(e)
+                bound |= {r.a, r.b}
+        return bind
+
+    # ------------------------------------------------------ expressions
+    def _term(self, t: str, bind: DataFrame) -> tuple[Column, DataFrame]:
+        t = t.strip()
+        im = re.match(r"(?i)^id\(\s*(\w+)\s*\)$", t)
+        if im:
+            return F.col(im.group(1)), bind
+        pm = re.match(r"^(\w+)\.(\w+)$", t)
+        if pm:
+            var, prop = pm.groups()
+            col = f"{var}__{prop}"
+            if col not in bind.columns:
+                p = self.props.select(F.col("id").alias(var),
+                                      F.col(prop).alias(col))
+                bind = bind.join(p, var, "left")
+            return F.col(col), bind
+        if re.match(r"^-?\d+\.?\d*$", t):
+            return F.lit(float(t) if "." in t else int(t)), bind
+        sm = re.match(r"^'(.*)'$", t)
+        if sm:
+            return F.lit(sm.group(1)), bind
+        if re.match(r"^\w+$", t):
+            return F.col(t), bind
+        raise ValueError(f"unsupported term: {t!r}")
+
+    def _cond(self, c: str, bind: DataFrame) -> tuple[Column | None, DataFrame]:
+        nm = re.match(r"(?is)^NOT\s+EXISTS\s*\((.*)\)\s*$", c.strip())
+        if nm:
+            rels, _ = _parse_pattern(nm.group(1).strip(), [99])
+            # anti-join against the bound columns of the pattern
+            sub = None
+            for r in rels:
+                e = self._rel_df(r)
+                if sub is None:
+                    sub = e
+                else:
+                    shared = list(set(sub.columns) & {r.a, r.b})
+                    sub = sub.join(e, shared) if shared else sub.crossJoin(e)
+            keys = [c2 for c2 in sub.columns if c2 in bind.columns]
+            if not keys:
+                raise ValueError("NOT EXISTS pattern shares no variable "
+                                 "with the MATCH binding")
+            return None, bind.join(sub.select(*keys).distinct(), keys,
+                                   "left_anti")
+        m = re.match(r"(?s)^(.*?)\s*(<>|<=|>=|=|<|>)\s*(.*)$", c.strip())
+        if not m:
+            raise ValueError(f"unsupported condition: {c!r}")
+        lhs, bind = self._term(m.group(1), bind)
+        rhs, bind = self._term(m.group(3), bind)
+        return _OPS[m.group(2)](lhs, rhs), bind
+
+    # ------------------------------------------------------------- run
+    def run(self, query: str) -> DataFrame:
+        q = _parse(query)
+        bind = None
+        rel_vars = {r.a for r in q.rels} | {r.b for r in q.rels}
+        for v in q.singletons:
+            if v in rel_vars:
+                continue  # the relationship join binds it with multiplicity
+            vs = self.graph.vertices.select(F.col("id").alias(v))
+            bind = vs if bind is None else bind.crossJoin(vs)
+        bind = self._bind(q.rels, bind)
+        if bind is None:
+            raise ValueError("empty MATCH")
+        bind = bind.distinct()
+        if q.opt_rels:
+            bind = self._bind(q.opt_rels, bind, how="left")
+        for c in q.conds:
+            col, bind = self._cond(c, bind)
+            if col is not None:
+                bind = bind.filter(col)
+        # RETURN items: aggregates force a groupBy over the plain items
+        plain: list[tuple[Column, str]] = []
+        aggs: list[Column] = []
+        for expr, alias in q.items:
+            am = re.match(r"(?is)^(count|sum|min|max|avg)\(\s*(.*?)\s*\)$",
+                          expr.strip())
+            if am:
+                fn, arg = am.group(1).lower(), am.group(2)
+                if fn == "count" and arg.strip() == "*":
+                    aggs.append(F.count(F.lit(1)).alias(alias))
+                else:
+                    col, bind = self._term(arg, bind)
+                    aggs.append(_AGGS[fn](col).alias(alias))
+            else:
+                col, bind = self._term(expr, bind)
+                plain.append((col, alias))
+        if aggs:
+            out = (bind.groupBy(*[c.alias(a) for c, a in plain]).agg(*aggs)
+                   if plain else bind.agg(*aggs))
+        else:
+            out = bind.select(*[c.alias(a) for c, a in plain])
+            if q.distinct:
+                out = out.distinct()
+        if q.order:
+            out = out.orderBy(*[F.col(c).desc() if d else F.col(c).asc()
+                                for c, d in q.order])
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out

@@ -1591,3 +1591,15 @@ FROM starts s
 JOIN edges e1 ON e1.src = s.id
 JOIN edges e2 ON e2.src = e1.dst"""
     return _materialized(_sql)
+
+
+def cypher_triangle_sql() -> str:
+    """MATCH (a)-[]->(b)-[]->(c), (a)-[]->(c) WHERE a < b AND b < c
+    RETURN count(*) — each undirected triangle counted once."""
+    _sql = f"""WITH {COPURCHASE_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+WHERE e1.src < e1.dst AND e2.src < e2.dst"""
+    return _materialized(_sql)

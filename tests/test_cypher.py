@@ -1,0 +1,90 @@
+"""Cypher-subset front end tests — clause inventory of
+docs/interactive_engine/neo4j/supported_cypher.md vs python oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphscope_spark.cypher import CypherSession
+from graphscope_spark.graph import Graph
+
+EDGES = [(1, 2), (2, 3), (1, 3), (3, 4)]
+
+
+@pytest.fixture(scope="module")
+def cs(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    g = Graph(e, directed=True, num_partitions=4)
+    props = spark.createDataFrame(
+        [(i, i % 2, f"n{i}") for i in range(1, 5)],
+        "id long, grp long, name string",
+    )
+    return CypherSession(g, vertex_props=props)
+
+
+def test_match_triangle(cs):
+    df = cs.run("MATCH (a)-[]->(b)-[]->(c), (a)-[]->(c) RETURN a, b, c")
+    assert [tuple(r) for r in df.collect()] == [(1, 2, 3)]
+
+
+def test_count_and_where_id(cs):
+    n = cs.run("MATCH (a)-[]->(b) RETURN count(*) AS n").first()["n"]
+    assert n == len(EDGES)
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WHERE id(a) = 1 RETURN b ORDER BY b"
+    ).collect()
+    assert [r["b"] for r in rows] == [2, 3]
+
+
+def test_not_exists_anti_join(cs):
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WHERE NOT EXISTS ((b)-[]->()) RETURN DISTINCT b"
+    ).collect()
+    assert [r["b"] for r in rows] == [4]
+
+
+def test_optional_match_left_join(cs):
+    rows = cs.run(
+        "MATCH (a)-[]->(b) OPTIONAL MATCH (b)-[]->(c) "
+        "RETURN a, b, c ORDER BY a, b, c"
+    ).collect()
+    got = [(r["a"], r["b"], r["c"]) for r in rows]
+    # b=4 has no out-neighbor -> c is NULL (left outer join semantics)
+    assert (3, 4, None) in got
+    assert (1, 2, 3) in got and (2, 3, 4) in got
+
+
+def test_variable_length_pattern(cs):
+    rows = cs.run(
+        "MATCH (a)-[*1..2]->(b) WHERE id(a) = 1 RETURN DISTINCT b ORDER BY b"
+    ).collect()
+    assert [r["b"] for r in rows] == [2, 3, 4]
+
+
+def test_properties_and_aggregates(cs):
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WHERE a.grp = 1 RETURN a.name AS nm, count(*) AS c "
+        "ORDER BY nm"
+    ).collect()
+    # grp=1 -> odd sources: 1 (two edges) and 3 (one edge)
+    assert [(r["nm"], r["c"]) for r in rows] == [("n1", 2), ("n3", 1)]
+    s = cs.run(
+        "MATCH (a)-[]->(b) RETURN sum(b.grp) AS s"
+    ).first()["s"]
+    assert s == sum(d % 2 for _, d in EDGES)
+
+
+def test_undirected_and_incoming(cs):
+    rows = cs.run(
+        "MATCH (a)<-[]-(b) WHERE id(a) = 3 RETURN b ORDER BY b"
+    ).collect()
+    assert [r["b"] for r in rows] == [1, 2]
+    rows = cs.run(
+        "MATCH (a)-[]-(b) WHERE id(a) = 3 RETURN DISTINCT b ORDER BY b"
+    ).collect()
+    assert [r["b"] for r in rows] == [1, 2, 4]
+
+
+def test_limit(cs):
+    rows = cs.run("MATCH (a)-[]->(b) RETURN a, b ORDER BY a, b LIMIT 2").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, 2), (1, 3)]
