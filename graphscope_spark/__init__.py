@@ -18,6 +18,9 @@ Layout:
                 multimodal plumbing
   corpus      — deterministic synthetic source-repo corpus + edge extraction
   gremlin     — Gremlin-subset fluent traversal DSL → single Catalyst plans
+  cypher      — Cypher-subset front end (MATCH/OPTIONAL MATCH/WHERE/RETURN)
+  nx          — NetworkX-compat facade: Graph/DiGraph + builtin algorithms
+  sampling    — GNN training-data sampling: k-hop fanouts, walks, negatives
   property_graph — multi-label property graph: project/flatten/bipartite
   streaming   — Structured-Streaming incremental WCC, windowed degrees,
                 applyInPandasWithState stateful operators

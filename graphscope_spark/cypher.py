@@ -201,17 +201,26 @@ class CypherSession:
     def __init__(self, graph: Graph, vertex_props: DataFrame | None = None):
         self.graph = graph
         self.props = vertex_props if vertex_props is not None else graph.vertices
+        self._pairs: dict[str, DataFrame] = {}
 
     # ----------------------------------------------------------- edges
     def _edge_pairs(self, direction: str) -> DataFrame:
+        """Deduplicated (src, dst) pairs per direction — memoized and
+        persisted per session, so an N-relationship pattern pays the dedup
+        shuffle once, not N times (each join then reuses the cached,
+        already-partitioned table)."""
+        if direction in self._pairs:
+            return self._pairs[direction]
         e = self.graph.edges.select("src", "dst").distinct()
-        if direction == "out":
-            return e
         if direction == "in":
-            return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        return e.union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+            e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        elif direction == "both":
+            e = e.union(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+        e = e.persist()
+        self._pairs[direction] = e
+        return e
 
     def _rel_df(self, rel: _Rel) -> DataFrame:
         """Binding table (a, b) for one relationship pattern."""
