@@ -45,6 +45,8 @@ __all__ = [
     "average_degree_connectivity", "attribute_assortativity_coefficient",
     "numeric_assortativity_coefficient", "is_simple_path",
     "all_simple_paths", "betweenness_centrality", "voterank",
+    "path_graph", "cycle_graph", "complete_graph", "star_graph",
+    "gnm_random_graph",
 ]
 
 
@@ -451,3 +453,64 @@ def voterank(G: Graph, num_of_nodes: int = 0) -> list[int]:
     df = _vr(G._spark_graph(), num_of_nodes=num_of_nodes or None)
     rows = df.filter(F.col("rank") > 0).orderBy("rank").collect()
     return [r["id"] for r in rows]
+
+
+# ------------------------------------------------------------------ #
+# classic generators (nx/generators/classic.py analog — the reference
+# vendors networkx's generators over its own classes; these build the
+# driver-side class directly, deterministic by construction)
+# ------------------------------------------------------------------ #
+
+def path_graph(n: int, create_using=None) -> Graph:
+    G = (create_using or Graph)()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((i, i + 1) for i in range(n - 1))
+    return G
+
+
+def cycle_graph(n: int, create_using=None) -> Graph:
+    G = path_graph(n, create_using)
+    if n > 1:
+        G.add_edge(n - 1, 0)
+    return G
+
+
+def complete_graph(n: int, create_using=None) -> Graph:
+    G = (create_using or Graph)()
+    G.add_nodes_from(range(n))
+    if G.directed:
+        G.add_edges_from((i, j) for i in range(n) for j in range(n) if i != j)
+    else:
+        G.add_edges_from((i, j) for i in range(n) for j in range(i + 1, n))
+    return G
+
+
+def star_graph(n: int) -> Graph:
+    """Center 0 plus n leaves (networkx star_graph convention)."""
+    G = Graph()
+    G.add_nodes_from(range(n + 1))
+    G.add_edges_from((0, i) for i in range(1, n + 1))
+    return G
+
+
+def gnm_random_graph(n: int, m: int, seed: int = 42,
+                     create_using=None) -> Graph:
+    """Deterministic G(n, m): the m lexicographically-hash-smallest vertex
+    pairs (md5-driven, engine-portable — no RNG state, same graph on any
+    machine; the nx generator's random.sample is replaced by a hash rank
+    so results are reproducible across processes, which a distributed
+    engine needs)."""
+    import hashlib
+
+    G = (create_using or Graph)()
+    G.add_nodes_from(range(n))
+    pairs = (
+        (i, j) for i in range(n)
+        for j in range(n if G.directed else i + 1, n) if i != j
+    )
+    ranked = sorted(
+        pairs,
+        key=lambda p: hashlib.md5(f"{seed}:{p[0]}:{p[1]}".encode()).hexdigest(),
+    )
+    G.add_edges_from(ranked[:m])
+    return G

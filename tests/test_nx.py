@@ -107,3 +107,18 @@ def test_attribute_assortativity():
     )
     num = nx.numeric_assortativity_coefficient(G, "x")
     assert num == num  # defined (not NaN)
+
+
+def test_generators():
+    P = nx.path_graph(5)
+    assert P.number_of_edges() == 4 and P.degree(0) == 1
+    C = nx.cycle_graph(5)
+    assert all(d == 2 for d in C.degree().values())
+    K = nx.complete_graph(4, create_using=nx.DiGraph)
+    assert K.number_of_edges() == 12
+    S = nx.star_graph(4)
+    assert S.degree(0) == 4 and S.number_of_nodes() == 5
+    G1 = nx.gnm_random_graph(20, 30, seed=7)
+    G2 = nx.gnm_random_graph(20, 30, seed=7)
+    assert G1.edges == G2.edges and G1.number_of_edges() == 30
+    assert nx.gnm_random_graph(20, 30, seed=8).edges != G1.edges
