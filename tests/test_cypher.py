@@ -88,3 +88,26 @@ def test_undirected_and_incoming(cs):
 def test_limit(cs):
     rows = cs.run("MATCH (a)-[]->(b) RETURN a, b ORDER BY a, b LIMIT 2").collect()
     assert [(r["a"], r["b"]) for r in rows] == [(1, 2), (1, 3)]
+
+
+def test_parse_errors():
+    from graphscope_spark.cypher import _parse
+    with pytest.raises(ValueError):
+        _parse("RETURN 1")                     # no MATCH
+    with pytest.raises(ValueError):
+        _parse("MATCH (a)-[]->(b)")            # no RETURN
+    with pytest.raises(ValueError):
+        _parse("MATCH (a)-->(b) RETURN a")     # unsupported arrow spelling
+    q = _parse("MATCH (a)-[]->(b) RETURN a, count(*) AS n "
+               "ORDER BY n DESC LIMIT 3")
+    assert q.limit == 3 and q.order == [("n", True)]
+    assert q.items == [("a", "a"), ("count(*)", "n")]
+
+
+def test_anonymous_nodes_and_var_length_parse():
+    from graphscope_spark.cypher import _parse
+    q = _parse("MATCH (a)-[]->()-[]->(b) RETURN a, b")
+    assert len(q.rels) == 2
+    assert q.rels[0].b == q.rels[1].a  # the anon var links the hops
+    q2 = _parse("MATCH (a)-[*2..4]->(b) RETURN b")
+    assert q2.rels[0].lo == 2 and q2.rels[0].hi == 4
