@@ -591,6 +591,17 @@ def _q_cypher_triangle(spark, sf_dir):
     )
 
 
+def _q_cypher_degree_hist(spark, sf_dir):
+    # exercises the WITH clause (project/aggregate + HAVING-style WHERE,
+    # supported_cypher.md:145): per-vertex out-degree then a histogram.
+    from graphscope_spark.cypher import CypherSession
+    cs = CypherSession(tg.copurchase_graph(spark, sf_dir))
+    return cs.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS deg WHERE deg > 10 "
+        "RETURN deg, count(a) AS n"
+    )
+
+
 def _q_gremlin_path(spark, sf_dir):
     t = gremlin.traversal(tg.copurchase_graph(spark, sf_dir))
     return (
@@ -797,6 +808,35 @@ def _q_sample_neighbors(spark, sf_dir):
     return smp.sample_neighbors(g, seeds, [3, 2], seed=42)
 
 
+def _q_sample_weighted(spark, sf_dir):
+    # GLE edge_weight sampler strategy over the weighted co-purchase
+    # multigraph (weight = co-purchase multiplicity); integer inverse-CDF
+    # picks, bit-exact vs tg.sample_neighbors_weighted_sql.
+    from graphscope_spark import sampling as smp
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= tg.QMIN)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    wp = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wedges = (
+        wp.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionByName(
+            wp.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+    ).localCheckpoint(eager=True)
+    seeds = (wedges.select(F.col("src").alias("id"))
+             .filter(F.col("id") % 100 == 0).distinct())
+    return smp.sample_neighbors_weighted(
+        wedges, seeds, [3, 2], seed=42, weight_col="w")
+
+
 def _q_random_walks(spark, sf_dir):
     from graphscope_spark import sampling as smp
     g = tg.copurchase_graph(spark, sf_dir)
@@ -860,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_khop": _q_gremlin_khop,
         "gremlin_path": _q_gremlin_path,
         "cypher_triangle": _q_cypher_triangle,
+        "cypher_degree_hist": _q_cypher_degree_hist,
         "gremlin_topk": _q_gremlin_topk,
         "gremlin_nbr_size": _q_gremlin_nbr_size,
         "gremlin_no_out": _q_gremlin_no_out,
@@ -930,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_multi_bfs": _q_random_multi_bfs,
         # GNN training-data sampling (GLE analog)
         "sample_neighbors": _q_sample_neighbors,
+        "sample_weighted": _q_sample_weighted,
         "random_walks": _q_random_walks,
         "negative_sample": _q_negative_sample,
         "node2vec": _q_node2vec,
@@ -971,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),
         "gremlin_path": tg.gremlin_path_sql(mod=100),
         "cypher_triangle": tg.cypher_triangle_sql(),
+        "cypher_degree_hist": tg.cypher_degree_hist_sql(min_deg=10),
         "gremlin_topk": tg.gremlin_topk_sql(k=20),
         "gremlin_nbr_size": tg.gremlin_nbr_size_sql(min_size=25),
         "gremlin_no_out": tg.gremlin_no_out_sql(),
@@ -1043,6 +1086,8 @@ def oracle_sql() -> dict[str, str]:
         # node2vec omitted: float inverse-CDF pick, exact pytest oracle
         "sample_neighbors": tg.sample_neighbors_sql([3, 2], seed=42,
                                                     seed_mod=50),
+        "sample_weighted": tg.sample_neighbors_weighted_sql(
+            [3, 2], seed=42, seed_mod=100),
         "random_walks": tg.random_walks_sql(4, seed=42, start_mod=50),
         "negative_sample": tg.negative_sample_sql(tries=5, seed=42,
                                                   source_mod=10),

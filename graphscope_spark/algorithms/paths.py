@@ -67,14 +67,21 @@ def multi_source_bfs(
     # one cached df per BFS level; "settled" is their LAZY union — narrow
     # over cached parents, so the per-round anti-join reads cache without
     # ever copying the accumulated pair set (copying it every round is
-    # quadratic in rounds).
+    # quadratic in rounds). On deep-diameter graphs the union itself grows
+    # to D scans per round (O(D²) over the run), so every FOLD_EVERY levels
+    # the (src, id) pair set is folded into ONE checkpointed df — the
+    # anti-join side then reads ≤ FOLD_EVERY+1 scans regardless of depth.
+    FOLD_EVERY = 8
     frontiers: list[DataFrame] = [f0]
     frontier = f0
+    settled_folds: list[DataFrame] = [f0.select("src", "id")]
+    folds_made: list[DataFrame] = []  # checkpointed folds to release at end
+    unfolded = 0
 
     def settled_view() -> DataFrame:
-        out = frontiers[0].select("src", "id")
-        for fdf in frontiers[1:]:
-            out = out.union(fdf.select("src", "id"))
+        out = settled_folds[0]
+        for fdf in settled_folds[1:]:
+            out = out.union(fdf)
         return out
 
     rnd = 0
@@ -104,6 +111,15 @@ def multi_source_bfs(
             break
         frontiers.append(nxt)
         frontier = nxt
+        settled_folds.append(nxt.select("src", "id"))
+        unfolded += 1
+        if unfolded >= FOLD_EVERY:
+            folded = settled_view().localCheckpoint(eager=True)
+            for old in folds_made:
+                old.unpersist()
+            folds_made = [folded]
+            settled_folds = [folded]
+            unfolded = 0
     result = frontiers[0]
     for fdf in frontiers[1:]:
         result = result.union(fdf)
@@ -115,6 +131,8 @@ def multi_source_bfs(
     # stage is pure scheduler overhead.
     result = result.coalesce(g.num_partitions).localCheckpoint(eager=True)
     for fdf in frontiers:
+        fdf.unpersist()
+    for fdf in folds_made:
         fdf.unpersist()
     edges.unpersist()
     return result

@@ -3,8 +3,10 @@
 The reference's GIE accepts Cypher alongside Gremlin (GOpt compiler,
 docs/interactive_engine/neo4j/supported_cypher.md — the clause inventory
 this module mirrors: single MATCH + OPTIONAL MATCH, WHERE incl.
-``NOT EXISTS`` as anti-join, RETURN .. AS with aggregates/DISTINCT,
-ORDER BY, LIMIT; the reference likewise allows only ONE MATCH clause).
+``NOT EXISTS`` as anti-join, WITH .. AS (project/aggregate/distinct,
+supported_cypher.md:145; a WHERE after WITH filters the projection —
+SQL's HAVING), RETURN .. AS with aggregates/DISTINCT, ORDER BY, LIMIT;
+the reference likewise allows only ONE MATCH clause).
 Queries lower to the same join-tree the Gremlin ``match()`` step uses:
 every relationship pattern is an equi-join against the (deduplicated)
 edge table, OPTIONAL MATCH is a left outer join, NOT EXISTS an anti-join
@@ -25,6 +27,7 @@ Grammar (case-insensitive keywords)::
     MATCH <pattern> (, <pattern>)*
     [OPTIONAL MATCH <pattern>]
     [WHERE <cond> (AND <cond>)*]
+    [WITH [DISTINCT] <item> (, <item>)* [WHERE <cond> (AND <cond>)*]]
     RETURN [DISTINCT] <item> (, <item>)*
     [ORDER BY <col> [ASC|DESC] (, ...)*] [LIMIT n]
 
@@ -76,6 +79,9 @@ class _Query:
     opt_rels: list[_Rel] = field(default_factory=list)
     singletons: list[str] = field(default_factory=list)
     conds: list[str] = field(default_factory=list)
+    with_items: list[tuple[str, str]] = field(default_factory=list)
+    with_distinct: bool = False
+    having: list[str] = field(default_factory=list)  # WHERE after WITH
     distinct: bool = False
     items: list[tuple[str, str]] = field(default_factory=list)  # (expr, alias)
     order: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
@@ -148,10 +154,26 @@ _CLAUSE = re.compile(
     r"(?is)^\s*MATCH\s+(?P<match>.*?)"
     r"(?:\s+OPTIONAL\s+MATCH\s+(?P<opt>.*?))?"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+WITH\s+(?P<with>.*?)(?:\s+WHERE\s+(?P<having>.*?))?)?"
     r"\s+RETURN\s+(?P<ret>.*?)"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$"
 )
+
+
+def _parse_items(text: str) -> tuple[bool, list[tuple[str, str]]]:
+    """``[DISTINCT] item (, item)*`` → (distinct, [(expr, alias)])."""
+    distinct = bool(re.match(r"(?i)^DISTINCT\s+", text))
+    if distinct:
+        text = re.sub(r"(?i)^DISTINCT\s+", "", text)
+    items: list[tuple[str, str]] = []
+    for item in _split_top(text):
+        am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)$", item)
+        if am:
+            items.append((am.group(1).strip(), am.group(2)))
+        else:
+            items.append((item, re.sub(r"\W+", "_", item).strip("_")))
+    return distinct, items
 
 
 def _parse(q: str) -> _Query:
@@ -171,17 +193,12 @@ def _parse(q: str) -> _Query:
             out.opt_rels.extend(rels)
     if m.group("where"):
         out.conds = re.split(r"(?i)\s+AND\s+", m.group("where").strip())
-    ret = m.group("ret").strip()
-    if re.match(r"(?i)^DISTINCT\s+", ret):
-        out.distinct = True
-        ret = re.sub(r"(?i)^DISTINCT\s+", "", ret)
-    for item in _split_top(ret):
-        am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)$", item)
-        if am:
-            out.items.append((am.group(1).strip(), am.group(2)))
-        else:
-            alias = re.sub(r"\W+", "_", item).strip("_")
-            out.items.append((item, alias))
+    if m.group("with"):
+        out.with_distinct, out.with_items = _parse_items(
+            m.group("with").strip())
+        if m.group("having"):
+            out.having = re.split(r"(?i)\s+AND\s+", m.group("having").strip())
+    out.distinct, out.items = _parse_items(m.group("ret").strip())
     if m.group("order"):
         for ob in _split_top(m.group("order")):
             dm = re.match(r"(?is)^(\w+)(?:\s+(ASC|DESC))?$", ob.strip())
@@ -246,9 +263,16 @@ class CypherSession:
         bound: set[str] = set(bind.columns) if bind is not None else set()
         pending = list(rels)
         while pending:
-            # pick a pattern that touches the current binding first
+            # greedy join order (the ExtendIntersectRule analog, cheapest
+            # class first): (1) both endpoints already bound — a semi-join
+            # that only SHRINKS the binding, apply before any extension
+            # grows it; (2) one endpoint bound — an extension equi-join;
+            # (3) disjoint — cross join, deferred to last.
             idx = next((i for i, r in enumerate(pending)
-                        if r.a in bound or r.b in bound), 0)
+                        if r.a in bound and r.b in bound), None)
+            if idx is None:
+                idx = next((i for i, r in enumerate(pending)
+                            if r.a in bound or r.b in bound), 0)
             r = pending.pop(idx)
             e = self._rel_df(r)
             if bind is None:
@@ -315,6 +339,31 @@ class CypherSession:
         rhs, bind = self._term(m.group(3), bind)
         return _OPS[m.group(2)](lhs, rhs), bind
 
+    def _project(self, bind: DataFrame, items: list[tuple[str, str]],
+                 distinct: bool) -> DataFrame:
+        """Lower one projection list (WITH or RETURN): aggregates force a
+        groupBy over the plain items."""
+        plain: list[tuple[Column, str]] = []
+        aggs: list[Column] = []
+        for expr, alias in items:
+            am = re.match(r"(?is)^(count|sum|min|max|avg)\(\s*(.*?)\s*\)$",
+                          expr.strip())
+            if am:
+                fn, arg = am.group(1).lower(), am.group(2)
+                if fn == "count" and arg.strip() == "*":
+                    aggs.append(F.count(F.lit(1)).alias(alias))
+                else:
+                    col, bind = self._term(arg, bind)
+                    aggs.append(_AGGS[fn](col).alias(alias))
+            else:
+                col, bind = self._term(expr, bind)
+                plain.append((col, alias))
+        if aggs:
+            return (bind.groupBy(*[c.alias(a) for c, a in plain]).agg(*aggs)
+                    if plain else bind.agg(*aggs))
+        out = bind.select(*[c.alias(a) for c, a in plain])
+        return out.distinct() if distinct else out
+
     # ------------------------------------------------------------- run
     def run(self, query: str) -> DataFrame:
         q = _parse(query)
@@ -335,29 +384,17 @@ class CypherSession:
             col, bind = self._cond(c, bind)
             if col is not None:
                 bind = bind.filter(col)
-        # RETURN items: aggregates force a groupBy over the plain items
-        plain: list[tuple[Column, str]] = []
-        aggs: list[Column] = []
-        for expr, alias in q.items:
-            am = re.match(r"(?is)^(count|sum|min|max|avg)\(\s*(.*?)\s*\)$",
-                          expr.strip())
-            if am:
-                fn, arg = am.group(1).lower(), am.group(2)
-                if fn == "count" and arg.strip() == "*":
-                    aggs.append(F.count(F.lit(1)).alias(alias))
-                else:
-                    col, bind = self._term(arg, bind)
-                    aggs.append(_AGGS[fn](col).alias(alias))
-            else:
-                col, bind = self._term(expr, bind)
-                plain.append((col, alias))
-        if aggs:
-            out = (bind.groupBy(*[c.alias(a) for c, a in plain]).agg(*aggs)
-                   if plain else bind.agg(*aggs))
-        else:
-            out = bind.select(*[c.alias(a) for c, a in plain])
-            if q.distinct:
-                out = out.distinct()
+        if q.with_items:
+            # WITH = an intermediate projection (supported_cypher.md:145,
+            # "project, aggregate, distinct"); a WHERE after it filters the
+            # projected/aggregated columns — SQL's HAVING when WITH
+            # aggregated. Downstream terms see only the WITH aliases.
+            bind = self._project(bind, q.with_items, q.with_distinct)
+            for c in q.having:
+                col, bind = self._cond(c, bind)
+                if col is not None:
+                    bind = bind.filter(col)
+        out = self._project(bind, q.items, q.distinct)
         if q.order:
             out = out.orderBy(*[F.col(c).desc() if d else F.col(c).asc()
                                 for c, d in q.order])

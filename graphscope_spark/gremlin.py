@@ -140,7 +140,18 @@ class GraphTraversalSource:
         as statistics dictate."""
         bind: DataFrame | None = None
         bound: set[str] = set()
-        for a, direction, b in patterns:
+        pending = list(patterns)
+        while pending:
+            # greedy order, cheapest join class first: both-bound sentences
+            # are existence semi-joins that only SHRINK the binding — apply
+            # them before any extension grows it; disjoint sentences
+            # (cross join) go last.
+            idx = next((i for i, (a, _, b) in enumerate(pending)
+                        if a in bound and b in bound), None)
+            if idx is None:
+                idx = next((i for i, (a, _, b) in enumerate(pending)
+                            if a in bound or b in bound), 0)
+            a, direction, b = pending.pop(idx)
             e = self.V()._edges(direction).select(
                 F.col("src").alias(a), F.col("dst").alias(b)
             )

@@ -39,6 +39,7 @@ from graphscope_spark.graph import Graph
 
 __all__ = [
     "sample_neighbors",
+    "sample_neighbors_weighted",
     "random_walks",
     "negative_sample",
     "node2vec_walks",
@@ -98,6 +99,73 @@ def sample_neighbors(
             )
         )
         picked_sd = nbrs.withColumn("_rk", rk).filter(F.col("_rk") <= k)
+        picked = frontier.join(
+            picked_sd, frontier["id"] == picked_sd["src"]
+        ).select("root", F.lit(hop).alias("hop"), "src", "dst").distinct()
+        out = picked if out is None else out.unionByName(picked)
+        frontier = picked.select("root", F.col("dst").alias("id")).distinct()
+    return out
+
+
+def sample_neighbors_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: list[int],
+    seed: int = 42,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """K-hop neighbor sampling with probability ∝ edge weight — GraphLearn's
+    ``edge_weight`` sampler strategy (the public sampler taxonomy next to
+    the uniform NeighborSampler; vendored client surface
+    python/graphscope/learning/graph.py:218).
+
+    ``edges`` is a weighted edge table ``(src, dst, <weight_col>)`` with
+    **integer** weights (a multigraph's edge multiplicities are the natural
+    instance). Each hop draws ``fanout`` times WITH replacement per frontier
+    vertex via exact integer inverse-CDF: draw j at vertex v picks the
+    neighbor whose cumulative-weight interval contains
+    ``hash(seed|hop|v|j) mod W(v)`` — integer arithmetic end to end, so a
+    SQL oracle reproduces the pick bit-for-bit (no float keys to diverge
+    between engines). Duplicated draws collapse in the returned block table
+    ``(root, hop, src, dst)`` (same format as :func:`sample_neighbors`), so
+    per-vertex distinct fanout is ≤ k, as with any with-replacement sampler.
+
+    Scale shape: the cumulative adjacency is one per-src window (aligned
+    with the out-CSR cache); each hop is one equi-join of the distinct
+    frontier × k draws against it, filtered to the containing interval —
+    shuffle ∝ frontier · deg, the same bound as node2vec's per-walk cumsum
+    windows.
+    """
+    w_dst = Window.partitionBy("src").orderBy("dst")
+    cum = (
+        edges.groupBy("src", "dst")
+        .agg(F.sum(weight_col).cast("long").alias("w"))
+        .select(
+            "src", "dst",
+            (F.sum("w").over(w_dst) - F.col("w")).alias("lo"),
+            F.sum("w").over(w_dst).alias("hi"),
+            F.sum("w").over(Window.partitionBy("src")).alias("tot"),
+        )
+        .persist()
+    )
+    frontier = seeds.select(F.col("id").alias("root"), F.col("id"))
+    out: DataFrame | None = None
+    for hop, k in enumerate(fanouts, start=1):
+        draws = (
+            frontier.select("id").distinct()
+            .select(F.col("id").alias("src"),
+                    F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"))
+        )
+        r = F.pmod(
+            _pick_hash(seed, F.lit(hop), F.col("src"), F.col("j")),
+            F.col("tot"),
+        )
+        picked_sd = (
+            draws.join(cum, "src")
+            .filter((r >= F.col("lo")) & (r < F.col("hi")))
+            .select("src", "dst")
+            .distinct()
+        )
         picked = frontier.join(
             picked_sd, frontier["id"] == picked_sd["src"]
         ).select("root", F.lit(hop).alias("hop"), "src", "dst").distinct()

@@ -1417,6 +1417,56 @@ def sample_neighbors_sql(fanouts: list[int], seed: int = 42,
     return _materialized(_sql)
 
 
+def sample_neighbors_weighted_sql(fanouts: list[int], seed: int = 42,
+                                  seed_mod: int = 100) -> str:
+    """Twin of sampling.sample_neighbors_weighted on the WEIGHTED
+    co-purchase multigraph (weight = co-purchase multiplicity per pair).
+    Draw j at vertex v picks the neighbor whose cumulative-weight interval
+    contains hash(seed|hop|v|j) mod W(v) — integer-exact in both engines."""
+    ctes = [f"""wpairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+   AND a.l_quantity >= {QMIN} AND b.l_quantity >= {QMIN}
+  GROUP BY u, v
+)""", """wedges AS (
+  SELECT u AS src, v AS dst, w FROM wpairs
+  UNION ALL SELECT v AS src, u AS dst, w FROM wpairs
+)""", """cum AS (
+  SELECT src, dst,
+         SUM(w) OVER (PARTITION BY src ORDER BY dst) - w AS lo,
+         SUM(w) OVER (PARTITION BY src ORDER BY dst) AS hi,
+         SUM(w) OVER (PARTITION BY src) AS tot
+  FROM wedges
+)""",
+        f"f0 AS (SELECT DISTINCT src AS root, src AS id FROM wedges "
+        f"WHERE src % {seed_mod} = 0)"]
+    picks = []
+    prev = "f0"
+    for hop, k in enumerate(fanouts, start=1):
+        h = _hash64_concat_sql(f"'{seed}'", str(hop), "d.src", "d.j")
+        ctes.append(f"""d{hop} AS (
+  SELECT f.id AS src, t.j
+  FROM (SELECT DISTINCT id FROM {prev}) f
+  CROSS JOIN (SELECT UNNEST(range(1, {k + 1})) AS j) t
+)""")
+        ctes.append(f"""c{hop} AS (
+  SELECT DISTINCT d.src, c.dst
+  FROM d{hop} d JOIN cum c ON c.src = d.src
+  WHERE ({h}) % c.tot >= c.lo AND ({h}) % c.tot < c.hi
+)""")
+        ctes.append(f"""p{hop} AS (
+  SELECT DISTINCT f.root, {hop} AS hop, c.src, c.dst
+  FROM {prev} f JOIN c{hop} c ON f.id = c.src
+)""")
+        ctes.append(
+            f"f{hop} AS (SELECT DISTINCT root, dst AS id FROM p{hop})")
+        picks.append(f"SELECT root, hop, src, dst FROM p{hop}")
+        prev = f"f{hop}"
+    _sql = "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(picks)
+    return _materialized(_sql)
+
+
 def random_walks_sql(walk_length: int, seed: int = 42,
                      start_mod: int = 50) -> str:
     """Twin of sampling.random_walks (walks_per_vertex=1 → walk = start
@@ -1590,6 +1640,21 @@ SELECT CAST(s.id AS VARCHAR) || '->' || CAST(e1.dst AS VARCHAR)
 FROM starts s
 JOIN edges e1 ON e1.src = s.id
 JOIN edges e2 ON e2.src = e1.dst"""
+    return _materialized(_sql)
+
+
+def cypher_degree_hist_sql(min_deg: int = 10) -> str:
+    """MATCH (a)-[]->(b) WITH a, count(b) AS deg WHERE deg > min_deg
+    RETURN deg, count(a) AS n — the WITH clause (project/aggregate +
+    post-WITH WHERE = HAVING) lowered relationally: per-vertex out-degree
+    over the deduplicated directed pair table, then a histogram."""
+    _sql = f"""WITH {COPURCHASE_CTE},
+deg AS (
+  SELECT src AS a, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY src
+)
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n
+FROM deg WHERE deg > {min_deg} GROUP BY deg"""
     return _materialized(_sql)
 
 

@@ -111,3 +111,44 @@ def test_anonymous_nodes_and_var_length_parse():
     assert q.rels[0].b == q.rels[1].a  # the anon var links the hops
     q2 = _parse("MATCH (a)-[*2..4]->(b) RETURN b")
     assert q2.rels[0].lo == 2 and q2.rels[0].hi == 4
+
+
+def test_with_projection_and_having(cs):
+    # WITH = project/aggregate/distinct (supported_cypher.md:145); a WHERE
+    # after it filters the aggregated columns (SQL HAVING).
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS deg WHERE deg > 1 "
+        "RETURN a, deg ORDER BY a"
+    ).collect()
+    # out-degrees: 1 -> 2 (edges to 2,3), 2 -> 1, 3 -> 1
+    assert [(r["a"], r["deg"]) for r in rows] == [(1, 2)]
+
+
+def test_with_two_level_aggregation(cs):
+    # degree histogram: WITH aggregates per vertex, RETURN re-aggregates.
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS deg "
+        "RETURN deg, count(a) AS n ORDER BY deg"
+    ).collect()
+    assert [(r["deg"], r["n"]) for r in rows] == [(1, 2), (2, 1)]
+
+
+def test_with_distinct_carries_columns(cs):
+    # DISTINCT projection through WITH; downstream WHERE + RETURN see only
+    # the WITH aliases.
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WITH DISTINCT a AS v WHERE v > 1 "
+        "RETURN v ORDER BY v"
+    ).collect()
+    assert [r["v"] for r in rows] == [2, 3]
+
+
+def test_with_parse():
+    from graphscope_spark.cypher import _parse
+    q = _parse("MATCH (a)-[]->(b) WITH a, count(*) AS c WHERE c > 2 "
+               "RETURN a ORDER BY a")
+    assert q.with_items == [("a", "a"), ("count(*)", "c")]
+    assert q.having == ["c > 2"]
+    q2 = _parse("MATCH (a)-[]->(b) WHERE a > 1 WITH DISTINCT b RETURN b")
+    assert q2.conds == ["a > 1"] and q2.with_distinct
+    assert q2.with_items == [("b", "b")]

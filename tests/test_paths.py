@@ -171,3 +171,17 @@ def test_sssp_delta_stepping_matches_sssp(spark):
                 assert got[k] is None
             else:
                 assert abs(got[k] - base[k]) < 1e-9, (k, got[k], base[k])
+
+
+def test_deep_chain_exercises_settled_fold(spark):
+    # 20-vertex directed chain: diameter 19 > FOLD_EVERY, so the settled
+    # pair set is folded into one checkpointed df at least twice; distances
+    # must be exact end to end across the folds.
+    n = 20
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                              "src long, dst long")
+    g = Graph(e, directed=True, num_partitions=4)
+    src = spark.createDataFrame([(0,)], "id long")
+    res = multi_source_bfs(g, sources=src).collect()
+    got = {(r.src, r.id): r.dist for r in res}
+    assert got == {(0, i): i for i in range(n)}

@@ -191,3 +191,53 @@ def test_sample_neighbors_fanout_bound(spark, g):
         .count()
     )
     assert over == 0
+
+
+def test_sample_neighbors_weighted_oracle(spark):
+    # weighted multigraph: integer multiplicities; exact inverse-CDF replay
+    wedges = [(1, 10, 1), (1, 11, 5), (1, 12, 2),
+              (2, 10, 7), (2, 13, 1),
+              (10, 20, 3), (11, 20, 1), (11, 21, 1), (12, 22, 4)]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(1,), (2,)], "id long")
+    fanouts = [3, 2]
+    res = smp.sample_neighbors_weighted(df, seeds, fanouts, seed=SEED)
+    got = {(r.root, r.hop, r.src, r.dst) for r in res.collect()}
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for u, v, w in wedges:
+        adj.setdefault(u, []).append((v, w))
+    for u in adj:
+        adj[u].sort()
+
+    def draw(hop, v, k):
+        nbrs = adj.get(v, [])
+        tot = sum(w for _, w in nbrs)
+        picked = set()
+        for j in range(1, k + 1):
+            r = _h(SEED, hop, v, j) % tot
+            lo = 0
+            for d, w in nbrs:
+                if lo <= r < lo + w:
+                    picked.add(d)
+                    break
+                lo += w
+        return picked
+
+    exp = set()
+    frontier = {1: {1}, 2: {2}}  # root -> frontier ids
+    for hop, k in enumerate(fanouts, start=1):
+        nxt: dict[int, set] = {root: set() for root in frontier}
+        for root, ids in frontier.items():
+            for v in ids:
+                if v not in adj:
+                    continue
+                for d in draw(hop, v, k):
+                    exp.add((root, hop, v, d))
+                    nxt[root].add(d)
+        frontier = nxt
+    assert got == exp
+    # weight bias sanity: vertex 1's heaviest neighbor (11, w=5) is
+    # overwhelmingly likely in 3 draws — and must appear iff the oracle
+    # says so (exactness already guaranteed above).
+    assert (1, 1, 1, 11) in exp or (1, 1, 1, 11) not in got
