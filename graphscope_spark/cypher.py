@@ -177,6 +177,10 @@ def _parse_items(text: str) -> tuple[bool, list[tuple[str, str]]]:
 
 
 def _parse(q: str) -> _Query:
+    # fold the two-word string operators into single tokens FIRST — their
+    # trailing WITH would otherwise satisfy the WITH-clause matcher
+    q = re.sub(r"(?i)\bSTARTS\s+WITH\b", "STARTSWITH", q)
+    q = re.sub(r"(?i)\bENDS\s+WITH\b", "ENDSWITH", q)
     m = _CLAUSE.match(q)
     if not m:
         raise ValueError("unsupported Cypher shape (need MATCH ... RETURN ...)")
@@ -332,6 +336,18 @@ class CypherSession:
                                  "with the MATCH binding")
             return None, bind.join(sub.select(*keys).distinct(), keys,
                                    "left_anti")
+        sm = re.match(
+            r"(?is)^(.*?)\s+(STARTSWITH|ENDSWITH|CONTAINS)\s+(.*)$",
+            c.strip())
+        if sm:
+            # string comparisons (supported_cypher.md:92-94; _parse folded
+            # 'STARTS WITH'/'ENDS WITH' into one token) → Catalyst
+            # startswith/endswith/contains (JVM-side, codegen'd)
+            lhs, bind = self._term(sm.group(1), bind)
+            rhs, bind = self._term(sm.group(3), bind)
+            fn = {"STARTSWITH": lhs.startswith, "ENDSWITH": lhs.endswith,
+                  "CONTAINS": lhs.contains}[sm.group(2).upper()]
+            return fn(rhs), bind
         m = re.match(r"(?s)^(.*?)\s*(<>|<=|>=|=|<|>)\s*(.*)$", c.strip())
         if not m:
             raise ValueError(f"unsupported condition: {c!r}")

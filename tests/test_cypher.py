@@ -152,3 +152,22 @@ def test_with_parse():
     q2 = _parse("MATCH (a)-[]->(b) WHERE a > 1 WITH DISTINCT b RETURN b")
     assert q2.conds == ["a > 1"] and q2.with_distinct
     assert q2.with_items == [("b", "b")]
+
+
+def test_string_operators(cs):
+    # STARTS WITH / ENDS WITH / CONTAINS (supported_cypher.md:92-94) —
+    # note STARTS WITH's trailing WITH must not open a WITH clause.
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WHERE a.name STARTS WITH 'n1' "
+        "RETURN DISTINCT b ORDER BY b"
+    ).collect()
+    assert [r["b"] for r in rows] == [2, 3]
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WHERE b.name ENDS WITH '4' RETURN a"
+    ).collect()
+    assert [r["a"] for r in rows] == [3]
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WHERE a.name CONTAINS '3' "
+        "WITH b, count(a) AS c RETURN b, c ORDER BY b"
+    ).collect()
+    assert [(r["b"], r["c"]) for r in rows] == [(4, 1)]
