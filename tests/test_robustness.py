@@ -72,3 +72,33 @@ def test_single_edge_sssp_unreachable(spark):
     g = _g(spark, [(1, 2)], vertices=[1, 2, 3])
     dist = {r["id"]: r["dist"] for r in sssp(g, 1).state.collect()}
     assert dist == {1: 0.0, 2: 1.0, 3: None}
+
+
+def test_cypher_degenerate(spark):
+    from graphscope_spark.cypher import CypherSession
+    # empty graph: MATCH yields nothing, aggregates yield 0/empty
+    g0 = _g(spark, [], vertices=[])
+    cs0 = CypherSession(g0)
+    assert cs0.run("MATCH (a)-[]->(b) RETURN count(*) AS n").first()["n"] == 0
+    assert cs0.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS d WHERE d > 0 RETURN a"
+    ).count() == 0
+    # self-loop + duplicate edges: simple-graph dedup, WITH agg exact
+    g = _g(spark, [(1, 1), (1, 2), (1, 2), (2, 1)])
+    cs = CypherSession(g)
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS d RETURN a, d ORDER BY a"
+    ).collect()
+    assert [(r["a"], r["d"]) for r in rows] == [(1, 2), (2, 1)]
+
+
+def test_weighted_sampling_degenerate(spark):
+    from graphscope_spark import sampling as smp
+    # empty weighted edge table -> empty block table
+    we = spark.createDataFrame([], "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    assert smp.sample_neighbors_weighted(we, seeds, [2], seed=1).count() == 0
+    # single neighbor: every draw must pick it
+    we1 = spark.createDataFrame([(1, 2, 7)], "src long, dst long, weight long")
+    rows = smp.sample_neighbors_weighted(we1, seeds, [3], seed=1).collect()
+    assert {(r.root, r.hop, r.src, r.dst) for r in rows} == {(1, 1, 1, 2)}
