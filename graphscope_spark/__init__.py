@@ -9,7 +9,8 @@ pandas/Arrow UDFs for the few things built-ins can't express.
 Layout:
   session     — SparkSession factory tuned for graph supersteps (AQE, Arrow)
   graph       — Graph substrate: vertices/edges DataFrames, dense ids, degrees
-  pregel      — superstep kernel: message join/agg loop, convergence votes,
+  pregel      — superstep kernel + declarative vertex_program API
+                (@pregel analog): message join/agg loop, convergence votes,
                 checkpoint + per-partition lineage + resume
   algorithms  — PageRank, WCC, CDLP/LPA, triangles, SSSP, BFS, centralities…
   operators   — GIE-style relational/dataflow operator surface on DataFrames

@@ -209,3 +209,94 @@ class SuperstepRunner:
                 break
         return SuperstepResult(state=state, rounds=rnd, metrics=all_metrics,
                                run_id=self.run_id)
+
+
+def vertex_program(
+    g,
+    init: dict[str, "F.Column"],
+    message: "F.Column",
+    combine: Callable[["F.Column"], "F.Column"],
+    update: dict[str, "F.Column"],
+    max_rounds: int = 10,
+    frontier: bool = True,
+    runner: "SuperstepRunner | None" = None,
+) -> SuperstepResult:
+    """Declarative vertex-centric API — the ``@pregel`` decorator analog
+    (python/graphscope/analytical/udf/decorators.py:51-202 /
+    core/app/pregel/pregel_compute_context.h:93-106), vectorized: the four
+    callbacks are COLUMN EXPRESSIONS, never per-row Python, so the whole
+    superstep stays in whole-stage codegen.
+
+    * ``init``: ``{state_col: expr over g.vertices}`` — Pregel ``Init``.
+    * ``message``: expr over the sender's state columns + the edge's
+      columns (``dst`` and any edge property, e.g. ``weight``) — the value
+      sent along each out-edge (``SendMsgThroughOEdges``). Rows where it
+      evaluates to NULL are not sent.
+    * ``combine``: aggregate function applied to incoming messages per
+      target (``F.min``/``F.sum``/…) — the Pregel combiner; Spark also
+      applies it map-side automatically (partial aggregation).
+    * ``update``: ``{state_col: expr over old state + 'msg'}`` — Pregel
+      ``Compute``; ``msg`` is NULL for vertices with no inbox.
+    * ``frontier=True``: only vertices whose state CHANGED last round send
+      messages (vote_to_halt analog — unchanged vertices are halted and
+      wake on delivery); the loop stops when the frontier empties.
+      ``frontier=False`` sends from every vertex every round (fixed-round
+      algorithms like PageRank).
+
+    Runs on :class:`SuperstepRunner`, so lineage truncation, checkpoints
+    and resume apply unchanged. Returns the runner's result; the state
+    DataFrame has ``id`` + the ``init``/``update`` keys.
+    """
+    runner = runner or SuperstepRunner(g.spark)
+    edges = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    keys = list(init)
+    if set(update) != set(init):
+        raise ValueError("update must define exactly the init state columns")
+
+    state0 = g.vertices.select(
+        "id", *[expr.alias(k) for k, expr in init.items()]
+    ).withColumn("_active", F.lit(True))
+
+    def step(state: DataFrame, rnd: int) -> DataFrame:
+        senders = state.filter("_active") if frontier else state
+        inbox = (
+            senders.join(edges, senders["id"] == edges["src"])
+            .select(F.col("dst").alias("_target"), message.alias("_m"))
+            .filter(F.col("_m").isNotNull())
+            .groupBy("_target")
+            .agg(combine(F.col("_m")).alias("msg"))
+        )
+        joined = state.drop("_active").join(
+            inbox, state["id"] == inbox["_target"], "left"
+        )
+        new_cols = [update[k].alias(f"_new_{k}") for k in keys]
+        changed = None
+        upd = joined.select("id", *keys, "msg", *new_cols)
+        for k in keys:
+            ne = ~F.col(f"_new_{k}").eqNullSafe(F.col(k))
+            changed = ne if changed is None else (changed | ne)
+        return upd.select(
+            "id",
+            *[F.col(f"_new_{k}").alias(k) for k in keys],
+            changed.alias("_active"),
+        )
+
+    def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
+        if not frontier:
+            return {}
+        return {"frontier": new.filter("_active").count()}
+
+    res = runner.run(
+        state0,
+        step,
+        max_rounds=max_rounds,
+        metrics_fn=metrics_fn if frontier else None,
+        should_stop=(lambda m: m.get("frontier", 1) == 0) if frontier else None,
+    )
+    edges.unpersist()
+    return SuperstepResult(
+        state=res.state.drop("_active"),
+        rounds=res.rounds,
+        metrics=res.metrics,
+        run_id=res.run_id,
+    )
