@@ -491,6 +491,21 @@ def _q_cc_log(spark, sf_dir):
     return _ccl(tg.copurchase_graph(spark, sf_dir)).select("id", "comp")
 
 
+def _q_cc_block(spark, sf_dir):
+    from graphscope_spark.algorithms.cc_variants import cc_block as _ccb
+    return _ccb(tg.copurchase_graph(spark, sf_dir)).select("id", "comp")
+
+
+def _q_cc_opt(spark, sf_dir):
+    from graphscope_spark.algorithms.cc_variants import cc_opt as _cco
+    return _cco(tg.copurchase_graph(spark, sf_dir)).select("id", "cid")
+
+
+def _q_cc_pull(spark, sf_dir):
+    from graphscope_spark.algorithms.cc_variants import cc_pull as _ccp
+    return _ccp(tg.copurchase_graph(spark, sf_dir)).select("id", "cid")
+
+
 def _q_fluid_community(spark, sf_dir):
     # rows-only: density argmax fixpoint with data-dependent rounds;
     # exact sequential-replay oracle in tests/test_fluid.py
@@ -948,6 +963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_layers": _q_onion_layers,
         "degeneracy_ordering": _q_degeneracy_ordering,
         "cc_log": _q_cc_log,
+        "cc_block": _q_cc_block,
+        "cc_opt": _q_cc_opt,
+        "cc_pull": _q_cc_pull,
         "fluid_community": _q_fluid_community,
         # corpus input path (north rule)
         "repo_edges": _q_repo_edges,
@@ -1049,6 +1067,13 @@ def oracle_sql() -> dict[str, str]:
         # unrolled oracle (log-round hook+jump vs diameter-round
         # propagation is a physical-plan difference only)
         "cc_log": tg.wcc_sql(),
+        # cc_block contracts blocks locally then min-labels the contraction
+        # — same min-id components as wcc, same oracle
+        "cc_block": tg.wcc_sql(),
+        # cc-opt/cc-pull's degree-keyed max-label fixed point, via the
+        # min-label closure + per-component MAX(deg·n + id) relabel
+        "cc_opt": tg.cc_opt_sql(),
+        "cc_pull": tg.cc_opt_sql(),
         # matching family: deterministic fixpoints are idempotent, so a
         # generous fixed unroll IS the fixpoint (flash_oracles.py; round
         # budgets sized to measured sf0.01 convergence with ~2x margin)

@@ -333,6 +333,41 @@ l{k} AS (
     return _materialized("WITH " + "".join(parts))
 
 
+def cc_opt_sql(rounds: int = WCC_ROUNDS) -> str:
+    """Closure oracle for the degree-keyed CC variants (cc-opt.h /
+    cc-pull.h): component membership via the same unrolled min-label
+    closure as wcc_sql, then cid(v) = MAX over v's component of
+    deg(u)·n + u — the fixed point of the reference's max-label
+    propagation over ``cid = Deg(id)·n + id`` initial labels
+    (cc-opt.h:48-50)."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             """,
+deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+nv AS (SELECT COUNT(*) AS n FROM verts)""",
+             ",\nl0 AS (SELECT id, id AS comp FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f""",
+l{k} AS (
+  SELECT l.id, LEAST(l.comp, COALESCE(m.c, l.comp)) AS comp
+  FROM {p} l LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.comp) AS c
+    FROM edges e JOIN {p} p ON e.src = p.id GROUP BY e.dst
+  ) m ON l.id = m.id
+)"""
+        )
+    parts.append(f""",
+cid0 AS (
+  SELECT l.id, l.comp, dg.d * nv.n + l.id AS cid
+  FROM l{rounds} l JOIN deg dg ON l.id = dg.id CROSS JOIN nv
+),
+cmax AS (SELECT comp, MAX(cid) AS cid FROM cid0 GROUP BY comp)
+SELECT c.id, m.cid AS cid FROM cid0 c JOIN cmax m ON c.comp = m.comp
+ORDER BY c.id""")
+    return _materialized("WITH " + "".join(parts))
+
+
 def cdlp_sql(rounds: int = 10) -> str:
     """Unrolled LDBC CDLP on the (symmetrized) co-purchase graph: most
     frequent neighbor label, ties → min, exactly ``rounds`` rounds."""
