@@ -82,6 +82,55 @@ class PropertyGraph:
             },
         }
 
+    # ------------------------------------------------------- transforms
+    def consolidate_columns(
+        self,
+        label: str,
+        columns: list[str],
+        result_column: str,
+    ) -> "PropertyGraph":
+        """CONSOLIDATE_COLUMNS (proto/types.proto:109,187-189;
+        python/graphscope/framework/dag_utils.py:232-270 /
+        graph.py:715-740): merge several same-typed property columns of one
+        vertex or edge label into a single array-valued column, dropping
+        the originals. The reference consolidates e.g. ``weight0, weight1``
+        into one ``weight`` column so projections can address them as one
+        property; on Spark this is a pure projection — ``F.array`` over the
+        columns — so it is zero-shuffle and fully Catalyst-visible (column
+        pruning still reaches the scan for untouched properties).
+
+        ``label`` may be a vertex label or an edge label (edge labels
+        match any (src, label, dst) key). Returns a NEW PropertyGraph
+        sharing the untouched tables.
+        """
+        out = PropertyGraph(self.directed)
+        out.vertex_tables = dict(self.vertex_tables)
+        out.edge_tables = dict(self.edge_tables)
+        canon = edge_label_canon(label)
+        ekeys = [k for k in self.edge_tables if k[1] == canon]
+        if label in self.vertex_tables:
+            df = self.vertex_tables[label]
+            missing = [c for c in columns if c not in df.columns]
+            if missing:
+                raise KeyError(f"vertex label {label!r} lacks {missing}")
+            keep = [c for c in df.columns if c not in columns]
+            out.vertex_tables[label] = df.select(
+                *keep, F.array(*columns).alias(result_column)
+            )
+        elif ekeys:
+            for k in ekeys:
+                df = self.edge_tables[k]
+                missing = [c for c in columns if c not in df.columns]
+                if missing:
+                    raise KeyError(f"edge label {k} lacks {missing}")
+                keep = [c for c in df.columns if c not in columns]
+                out.edge_tables[k] = df.select(
+                    *keep, F.array(*columns).alias(result_column)
+                )
+        else:
+            raise KeyError(f"no vertex or edge label {label!r}")
+        return out
+
     # ----------------------------------------------------------- views
     def _labels(self) -> list[str]:
         return sorted(self.vertex_tables)

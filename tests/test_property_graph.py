@@ -97,3 +97,34 @@ def test_bipartite_wcc_runs(pg):
     # every supplier is reachable from some customer at sf0.001 → few comps
     n_comps = comps.select("comp").distinct().count()
     assert 1 <= n_comps < b.num_vertices
+
+
+def test_consolidate_vertex_columns(pg, spark):
+    pg2 = pg.consolidate_columns("customer", ["c_acctbal"], "bals")
+    df = pg2.vertex_tables["customer"]
+    assert "bals" in df.columns and "c_acctbal" not in df.columns
+    row = df.select("id", "bals").orderBy("id").first()
+    # array wraps the original values in declaration order
+    assert isinstance(row["bals"], list) and len(row["bals"]) == 1
+    # original graph untouched
+    assert "c_acctbal" in pg.vertex_tables["customer"].columns
+
+
+def test_consolidate_edge_columns(spark):
+    pgx = PropertyGraph(directed=True)
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2, 0.5, 0.7)], "src long, dst long, w0 double, w1 double"
+    )
+    pgx.add_vertices(v, "n").add_edges(e, "rel", "n", "n")
+    pg2 = pgx.consolidate_columns("rel", ["w0", "w1"], "weight")
+    row = pg2.edge_tables[("n", "rel", "n")].first()
+    assert row["weight"] == [0.5, 0.7]
+    assert "w0" not in pg2.edge_tables[("n", "rel", "n")].columns
+
+
+def test_consolidate_missing_columns_raises(pg):
+    with pytest.raises(KeyError):
+        pg.consolidate_columns("customer", ["nope"], "x")
+    with pytest.raises(KeyError):
+        pg.consolidate_columns("ghost_label", ["c_acctbal"], "x")
