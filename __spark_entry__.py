@@ -766,6 +766,11 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from graphscope_spark.functions.dedup import dedup_clusters
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.2)
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -979,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash": _q_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1101,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": do.dedup_exact_sql(),
         "minhash": do.minhash_sql(num_hashes=16),
         "ngram_jaccard": do.ngram_jaccard_sql(threshold=0.2),
+        "dedup_clusters": do.dedup_clusters_sql(threshold=0.2),
         "ann_topk": do.ann_topk_sql(k=5, n_queries=10),
         "simhash": do.simhash_sql(),
         "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),

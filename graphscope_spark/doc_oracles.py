@@ -256,3 +256,51 @@ SELECT query_id, neighbor_id, score FROM (
                                ORDER BY score DESC, neighbor_id ASC) AS rn
   FROM scored
 ) WHERE rn <= {k}"""
+
+
+def dedup_clusters_sql(threshold: float, k: int = 3, rounds: int = 12) -> str:
+    """Twin of functions/dedup.py::dedup_clusters(method='ngram'): exact
+    n-gram-Jaccard pairs at ``threshold``, then connected components of the
+    pair graph via unrolled min-label propagation (near-dup clusters are
+    near-cliques — ``rounds`` needs only to exceed the pair-graph diameter,
+    12 is generous at sf0.01), cluster id = min member doc_id, keep =
+    (doc_id = cluster_id)."""
+    parts = [f"""WITH {_shingle_cte(k)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+),
+pairs2 AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= {threshold}
+),
+pe AS (SELECT a AS src, b AS dst FROM pairs2
+       UNION ALL SELECT b AS src, a AS dst FROM pairs2),
+l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents)"""]
+    for r in range(1, rounds + 1):
+        p = f"l{r-1}"
+        parts.append(f""",
+l{r} AS (
+  SELECT l.id, LEAST(l.comp, COALESCE(m.c, l.comp)) AS comp
+  FROM {p} l LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.comp) AS c
+    FROM pe e JOIN {p} p ON e.src = p.id GROUP BY e.dst
+  ) m ON l.id = m.id
+)""")
+    parts.append(f"""
+SELECT id AS doc_id, comp AS cluster_id, (id = comp) AS keep
+FROM l{rounds} ORDER BY doc_id""")
+    # force CTE materialization: DuckDB inlines CTEs, and each unrolled
+    # round references the previous one + pe — inlining expands the scan
+    # tree multiplicatively (same rationale as tpch_graphs._materialized)
+    from graphscope_spark.tpch_graphs import _materialized
+    return _materialized("".join(parts))

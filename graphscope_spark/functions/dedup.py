@@ -279,3 +279,71 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------------------ #
+# end-to-end dedup: pairs -> clusters -> keep set
+# ------------------------------------------------------------------ #
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    method: str = "ngram",
+    max_doc_freq: int | None = None,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_iter: int = 64,
+) -> DataFrame:
+    """(doc_id, cluster_id, keep) — the full near-duplicate pipeline a
+    training-data run actually executes: candidate pairs → exact-Jaccard
+    verify ≥ ``threshold`` → connected components over the pair graph →
+    one canonical representative per cluster (min doc_id, ``keep=true``).
+    Filtering on ``keep`` yields the deduplicated corpus.
+
+    ``method='ngram'`` generates candidates from the inverted shingle
+    index (exact recall at the given threshold; ``max_doc_freq`` caps hub
+    shingles); ``method='lsh'`` generates from MinHash-LSH bands (the
+    100 TB path — candidate volume bounded by band collisions; recall is
+    probabilistic in the banding but every surviving pair is still
+    exact-verified). Components run on the PAIR graph — its size is the
+    number of near-dup relations, orders of magnitude below the corpus —
+    via the O(log n)-round hook+jump kernel, so a pathological dup-chain
+    can't stretch rounds. Cluster ids are min member doc_ids:
+    deterministic for both methods, value-hash-gated for 'ngram'
+    (doc_oracles.dedup_clusters_sql)."""
+    from graphscope_spark.algorithms.wcc import cc_log
+    from graphscope_spark.graph import Graph
+
+    if method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            docs, threshold, text_col, id_col, k, max_doc_freq
+        )
+    elif method == "lsh":
+        pairs = minhash_lsh_pairs(
+            docs, text_col, id_col, num_hashes, bands, k,
+            verify_threshold=threshold,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    pair_graph = Graph(
+        edges.localCheckpoint(eager=True),
+        directed=True,  # cc_log symmetrizes
+        persist=False,
+    )
+    comp = cc_log(pair_graph, max_iter=max_iter)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("comp"), F.col("doc_id")) == F.col("doc_id"))
+            .alias("keep"),
+        )
+    )

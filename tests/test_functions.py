@@ -245,3 +245,37 @@ def test_multimodal_resize_and_features(docs):
     emb = feats.withColumnRenamed("media_id", "vec_id")
     topk = ann_brute_force(emb, emb.filter(F.col("vec_id") < 3), k=2)
     assert topk.count() == 6
+
+
+def test_dedup_clusters_planted(docs_with_dups):
+    from graphscope_spark.functions.dedup import dedup_clusters
+    out = dedup_clusters(docs_with_dups, threshold=0.8).cache()
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    # each planted exact dup (base+1M) clusters with its original under the
+    # original's (min) id and is dropped
+    for base_id in [d for d in rows if d < 1_000_000 and d + 1_000_000 in rows][:20]:
+        dup = base_id + 1_000_000
+        if rows[dup][0] == base_id:  # clustered together
+            assert rows[dup][1] is False
+            assert rows[base_id][1] is True
+    # exactly one keeper per cluster, and keepers are their own cluster id
+    import collections
+    keepers = collections.Counter()
+    for d, (c, keep) in rows.items():
+        if keep:
+            keepers[c] += 1
+            assert c == d
+    assert all(v == 1 for v in keepers.values())
+    # every cluster id has a keeper
+    assert set(keepers) == {c for c, _ in rows.values()}
+
+
+def test_dedup_clusters_lsh_matches_ngram_on_exact_dups(docs_with_dups):
+    from graphscope_spark.functions.dedup import dedup_clusters
+    ng = dedup_clusters(docs_with_dups, threshold=0.95, method="ngram")
+    lsh = dedup_clusters(docs_with_dups, threshold=0.95, method="lsh")
+    # exact duplicates collide in every LSH band, so at a high threshold
+    # both methods find the identical cluster structure
+    a = {(r["doc_id"], r["cluster_id"], r["keep"]) for r in ng.collect()}
+    b = {(r["doc_id"], r["cluster_id"], r["keep"]) for r in lsh.collect()}
+    assert a == b
