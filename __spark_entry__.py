@@ -506,6 +506,17 @@ def _q_cc_pull(spark, sf_dir):
     return _ccp(tg.copurchase_graph(spark, sf_dir)).select("id", "cid")
 
 
+def _q_lpa_by_color(spark, sf_dir):
+    # rows-only: the schedule interleaves a JP coloring with per-class
+    # sequential relabels — the exact replay oracle lives in
+    # tests/test_lpa_by_color.py (class count is data-dependent, so a
+    # fixed SQL unroll would be fragile)
+    from graphscope_spark.algorithms.cdlp import lpa_by_color as _lbc
+    return _lbc(tg.copurchase_graph(spark, sf_dir), max_rounds=2).select(
+        "id", "label"
+    )
+
+
 def _q_fluid_community(spark, sf_dir):
     # rows-only: density argmax fixpoint with data-dependent rounds;
     # exact sequential-replay oracle in tests/test_fluid.py
@@ -972,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_opt": _q_cc_opt,
         "cc_pull": _q_cc_pull,
         "fluid_community": _q_fluid_community,
+        "lpa_by_color": _q_lpa_by_color,
         # corpus input path (north rule)
         "repo_edges": _q_repo_edges,
         "repo_pagerank": _q_repo_pagerank,

@@ -78,3 +78,91 @@ def cdlp(
         truncate_every=3,
     )
     return runner.run(init, step, max_iter, resume=resume)
+
+
+def lpa_by_color(g: Graph, max_rounds: int = 10) -> DataFrame:
+    """(id, label) — color-scheduled (Gauss–Seidel) label propagation,
+    flash/clustering/lpa-by-color.h:44-146.
+
+    A Jones–Plassmann coloring partitions the vertices into independent
+    sets; within each super-round the color classes relabel SEQUENTIALLY,
+    each class seeing the labels already updated by earlier classes in the
+    same super-round (the reference's ``cset[j]`` loop at :119-137). The
+    asynchronous schedule kills the 2-cycle label oscillation synchronous
+    LPA suffers on bipartite-ish regions, and because each class is an
+    independent set, updates WITHIN a class are order-free — so the
+    algorithm stays deterministic and embarrassingly parallel per class.
+    Ties break to the minimum label (the LDBC convention our cdlp uses;
+    the reference's first-max in CSR order is machine-dependent —
+    documented deviation). Stops after a super-round with no change or
+    after ``max_rounds`` super-rounds.
+
+    Scale shape: per class step = one frontier-sized join + window argmax;
+    the edge table is pre-joined with target colors ONCE and persisted, so
+    class filtering is a cached-scan predicate, not a per-step shuffle.
+    """
+    from graphscope_spark.algorithms.coloring import color as _color
+    from graphscope_spark.graph import materialized_checkpoint
+    from pyspark.sql import Window
+
+    e = g.out_edges.select("src", "dst")
+    both = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        if g.directed else e
+    )
+    colors = _color(g).localCheckpoint(eager=True)
+    classes = sorted(r[0] for r in colors.select("color").distinct().collect())
+    # edges annotated with the TARGET's color class, paid once
+    ec = (
+        both.join(
+            colors.select(F.col("id").alias("dst"), F.col("color").alias("tc")),
+            "dst",
+        )
+        .repartition(g.num_partitions, "src")
+        .persist()
+    )
+    ec.count()
+
+    state_ck = materialized_checkpoint(
+        g.vertices.select("id", F.col("id").alias("label"))
+        .join(colors, "id", "left")
+        .fillna(0, ["color"])
+        .withColumn("_chg", F.lit(False))
+    )
+    for _ in range(max_rounds):
+        changed_any = 0
+        for c in classes:
+            state = state_ck.select("id", "label", "color")
+            msgs = ec.filter(F.col("tc") == c).join(
+                state.select(F.col("id").alias("src"), "label"), "src"
+            ).select(F.col("dst").alias("id"), "label")
+            counts = msgs.groupBy("id", "label").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            w = Window.partitionBy("id").orderBy(
+                F.col("c").desc(), F.col("label").asc()
+            )
+            top = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("id", F.col("label").alias("new_label"))
+            )
+            new_ck = materialized_checkpoint(
+                state.join(top, "id", "left").select(
+                    "id",
+                    F.coalesce(F.col("new_label"), F.col("label"))
+                    .alias("label"),
+                    "color",
+                    (
+                        F.col("new_label").isNotNull()
+                        & (F.col("new_label") != F.col("label"))
+                    ).alias("_chg"),
+                )
+            )
+            changed_any += new_ck.filter("_chg").limit(1).count()
+            state_ck.unpersist()
+            state_ck = new_ck
+        if changed_any == 0:
+            break
+    ec.unpersist()
+    return state_ck.select("id", "label")
