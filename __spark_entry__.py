@@ -517,6 +517,14 @@ def _q_lpa_by_color(spark, sf_dir):
     )
 
 
+def _q_fluid_by_color(spark, sf_dir):
+    # rows-only: same reasons as fluid_community + lpa_by_color; exact
+    # sequential-replay oracle in tests/test_fluid.py
+    from graphscope_spark.algorithms.fluid import fluid_by_color as _fbc
+    return _fbc(tg.copurchase_graph(spark, sf_dir), k=8, seed=42,
+                max_rounds=2).select("id", "lab")
+
+
 def _q_fluid_community(spark, sf_dir):
     # rows-only: density argmax fixpoint with data-dependent rounds;
     # exact sequential-replay oracle in tests/test_fluid.py
@@ -984,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_pull": _q_cc_pull,
         "fluid_community": _q_fluid_community,
         "lpa_by_color": _q_lpa_by_color,
+        "fluid_by_color": _q_fluid_by_color,
         # corpus input path (north rule)
         "repo_edges": _q_repo_edges,
         "repo_pagerank": _q_repo_pagerank,

@@ -128,3 +128,134 @@ def fluid_community(
             break
     edges.unpersist()
     return state.select("id", "lab")
+
+
+def fluid_by_color(
+    g: Graph, k: int = 10, seed: int = 42, max_rounds: int = 100
+) -> DataFrame:
+    """(id, lab) — fluid communities under the color schedule
+    (flash/clustering/fluid-by-color.h:44-175).
+
+    Same density-damped update rule as :func:`fluid_community`, but
+    scheduled Gauss–Seidel over a Jones–Plassmann coloring: community
+    sizes ``cnt`` snapshot ONCE per super-round (the reference's
+    ``Reduce(cnt_loc, cnt, ...)`` at :147 syncs once per outer loop),
+    then each color class relabels sequentially, seeing labels already
+    updated by earlier classes in the same super-round (cset[j] loop at
+    :154-172). Classes are independent sets, so within-class updates are
+    order-free and the result is deterministic given the seeds — which we
+    pick as the k minimizers of (xxhash64(id, seed), id), the same
+    reproducible choice fluid_community makes (the reference seeds with
+    rand_r(time(NULL)); documented deviation). Stops when a super-round
+    changes nothing or after ``max_rounds``.
+    """
+    from graphscope_spark.algorithms.coloring import color as _color
+
+    e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if g.directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    colors = _color(g).localCheckpoint(eager=True)
+    classes = sorted(r[0] for r in colors.select("color").distinct().collect())
+    # edges annotated with the TARGET's color, paid once
+    ec = (
+        e.join(colors.select(F.col("id").alias("dst"),
+                             F.col("color").alias("tc")), "dst")
+        .repartition(g.num_partitions, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ec.count()
+
+    seeds = (
+        g.vertices.select("id")
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(k)
+        .select("id", (F.row_number().over(Window.orderBy("id")) - 1)
+                .alias("lab"))
+    )
+    state = materialized_checkpoint(
+        g.vertices.select("id")
+        .join(seeds, "id", "left")
+        .join(colors, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("lab"), F.lit(-1)).alias("lab"),
+            F.coalesce(F.col("color"), F.lit(0)).alias("color"),
+        )
+    )
+    for _ in range(max_rounds):
+        # community sizes: one snapshot per SUPER-round (fluid-by-color.h
+        # :147), shared by every class step inside it
+        cnt = (
+            state.filter(F.col("lab") >= 0)
+            .groupBy("lab")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint(eager=True)
+        )
+        changed_any = 0
+        for c in classes:
+            labeled = (
+                state.filter(F.col("lab") >= 0)
+                .select("id", "lab")
+                .join(cnt, "lab")
+                .select("id", "lab", (F.lit(1.0) / F.col("_n")).alias("w"))
+            )
+            members = state.filter(F.col("color") == c).select("id")
+            nbr = (
+                ec.filter(F.col("tc") == c)
+                .join(labeled.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "lab", "w")
+            )
+            self_part = labeled.join(members, "id", "left_semi")
+            scores = (
+                self_part.select("id", "lab", "w").union(nbr)
+                .groupBy("id", "lab")
+                .agg(F.sum("w").alias("d"))
+            )
+            best = (
+                scores.groupBy("id")
+                .agg(F.max(F.struct(F.col("d"),
+                                    (-F.col("lab")).alias("_nl"))).alias("_b"))
+                .select("id", F.col("_b.d").alias("bd"),
+                        (-F.col("_b._nl")).cast("int").alias("bl"))
+            )
+            cur = scores.select(
+                F.col("id").alias("id"), F.col("lab").alias("lab"),
+                F.col("d").alias("cd"),
+            )
+            new_ck = materialized_checkpoint(
+                state.join(best.join(members, "id", "left_semi"), "id", "left")
+                .join(cur, ["id", "lab"], "left")
+                .select(
+                    "id",
+                    F.when(
+                        F.col("bd").isNotNull()
+                        & (
+                            (F.col("lab") < 0)
+                            | (F.col("bd") > F.coalesce(F.col("cd"),
+                                                        F.lit(0.0))
+                               + F.lit(_EPS))
+                        ),
+                        F.col("bl"),
+                    ).otherwise(F.col("lab")).alias("lab"),
+                    "color",
+                    (
+                        F.col("bd").isNotNull()
+                        & (
+                            (F.col("lab") < 0)
+                            | (F.col("bd") > F.coalesce(F.col("cd"),
+                                                        F.lit(0.0))
+                               + F.lit(_EPS))
+                        )
+                        & (F.col("bl") != F.col("lab"))
+                    ).alias("_chg"),
+                )
+            )
+            changed_any += new_ck.filter("_chg").limit(1).count()
+            state.unpersist()
+            state = new_ck
+        if changed_any == 0:
+            break
+    ec.unpersist()
+    return state.select("id", "lab")

@@ -79,3 +79,80 @@ def test_fluid_matches_sequential(spark):
     # structural: ≤ k communities, every labeled vertex reachable
     labs = {x for x in got.values() if x >= 0}
     assert len(labs) <= 4
+
+
+def _jp_coloring(vertices, edge_list):
+    adj = {v: set() for v in vertices}
+    for u, v in edge_list:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {v: len(adj[v]) for v in vertices}
+    color = {}
+    for v in sorted(vertices, key=lambda x: (-deg[x], -x)):
+        used = {color[u] for u in adj[v] if u in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    return adj, color
+
+
+def seq_fluid_by_color(vertices, edge_list, seed_ids, max_rounds=100):
+    adj, color = _jp_coloring(vertices, edge_list)
+    classes = sorted(set(color.values()))
+    lab = {v: -1 for v in vertices}
+    for i, s in enumerate(sorted(seed_ids)):
+        lab[s] = i
+    for _ in range(max_rounds):
+        cnt = {}
+        for v in vertices:
+            if lab[v] >= 0:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+        changed = False
+        for c in classes:
+            upd = {}
+            for v in (x for x in vertices if color[x] == c):
+                d = {}
+                for u in adj[v] | {v}:
+                    if lab[u] >= 0:
+                        d[lab[u]] = d.get(lab[u], 0.0) + 1.0 / cnt[lab[u]]
+                if not d:
+                    continue
+                bd = max(d.values())
+                bl = min(i for i, w in d.items() if w == bd)
+                curw = d.get(lab[v], 0.0)
+                if lab[v] < 0 or bd > curw + EPS:
+                    upd[v] = bl
+            for v, nl in upd.items():
+                if lab[v] != nl:
+                    changed = True
+                lab[v] = nl
+        if not changed:
+            break
+    return lab
+
+
+def test_fluid_by_color_matches_sequential(spark):
+    from graphscope_spark.algorithms.fluid import fluid_by_color
+    vertices, edges = _random_graph(33)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    g = Graph(e, v, directed=False, num_partitions=4)
+    got = {r["id"]: r["lab"]
+           for r in fluid_by_color(g, k=4, seed=9).collect()}
+    seed_ids = [
+        r["id"]
+        for r in v.orderBy(F.xxhash64(F.col("id"), F.lit(9)), F.col("id"))
+        .limit(4).collect()
+    ]
+    want = seq_fluid_by_color(vertices, edges, seed_ids)
+    assert got == want
+
+
+def test_fluid_by_color_isolated(spark):
+    from graphscope_spark.algorithms.fluid import fluid_by_color
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    v = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    g = Graph(e, v, directed=False, num_partitions=2)
+    out = {r["id"]: r["lab"] for r in fluid_by_color(g, k=2, seed=1).collect()}
+    assert set(out) == {1, 2, 9}
