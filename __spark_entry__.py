@@ -175,6 +175,12 @@ def _q_clustering(spark, sf_dir):
     return clustering(g).select("id", F.round("cc", RD).alias("cc"))
 
 
+def _q_lcc_directed(spark, sf_dir):
+    from graphscope_spark.algorithms.clustering import lcc_directed as _lcd
+    g = tg.copurchase_digraph(spark, sf_dir)
+    return _lcd(g).select("id", F.round("lcc", RD).alias("lcc"))
+
+
 def _q_transitivity(spark, sf_dir):
     from graphscope_spark.algorithms import transitivity as _tr
     t = round(_tr(tg.copurchase_graph(spark, sf_dir)), RD)
@@ -920,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_delta": _q_sssp_delta,
         "degree_centrality": _q_degree_centrality,
         "clustering": _q_clustering,
+        "lcc_directed": _q_lcc_directed,
         "transitivity": _q_transitivity,
         "avg_clustering": _q_avg_clustering,
         "kcore": _q_kcore,
@@ -1041,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_path": tg.sssp_path_sql(),
         "degree_centrality": tg.degree_centrality_sql(),
         "clustering": tg.clustering_sql(),
+        "lcc_directed": tg.lcc_directed_sql(),
         "transitivity": tg.transitivity_sql(),
         "avg_clustering": tg.avg_clustering_sql(),
         "kcore": tg.kcore_sql(k=2),

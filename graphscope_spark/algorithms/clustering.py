@@ -74,3 +74,59 @@ def transitivity(g: Graph) -> float:
 def average_clustering(g: Graph) -> float:
     """Mean per-vertex coefficient (avg_clustering.h)."""
     return float(clustering(g).agg(F.avg("cc")).first()[0] or 0.0)
+
+
+def lcc_directed(g: Graph) -> DataFrame:
+    """(id, lcc) — LDBC Graphalytics LCC for DIRECTED graphs (the
+    registry's `lcc_directed` app, .gs_conf.yaml:95-98 → libgrape-lite
+    lcc_directed.h; spec: LDBC Graphalytics).
+
+    N(v) = in∪out neighbors of v (self excluded); lcc(v) = the number of
+    ORDERED neighbor pairs (u, w) connected by a directed edge u→w,
+    divided by |N(v)|·(|N(v)|−1); 0 when |N(v)| < 2. On an already-
+    undirected graph each stored direction counts separately, matching
+    the LDBC convention that an undirected edge closes both ordered pairs.
+
+    Dataflow: one symmetrize+distinct for the neighborhood table, then a
+    single triangle-style two-hop join — directed edges (u, w) ⋈
+    neighbors-of-u ⋈ neighbors-of-w on the shared center v — grouped by
+    v. Same shuffle shape (and cost bound) as triangle counting; no
+    iteration, no Python.
+    """
+    de = (
+        g.out_edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = de.union(
+        de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # center v sees ordered pair (u, w) iff v adj u, v adj w, and u→w
+    a = und.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    b = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    num = (
+        de.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .join(a, "u")
+        .join(b, ["v", "w"])
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("num"))
+        .withColumnRenamed("v", "id")
+    )
+    return (
+        g.vertices.select("id")
+        .join(deg, "id", "left")
+        .join(num, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce(F.col("d"), F.lit(0)) >= 2,
+                F.coalesce(F.col("num"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

@@ -38,9 +38,11 @@ WCC_ROUNDS = 24
 # ---------------------------------------------------------------------- #
 
 
-def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized distinct co-purchase part pairs — must stay expression-
-    for-expression equal to COPURCHASE_CTE below."""
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-directional (low partkey → high partkey) distinct co-purchase
+    pairs — the `pairs` CTE below. As a directed graph this is a DAG
+    orientation of the co-purchase graph (triangles survive as acyclic
+    triangles), used by the directed-semantics gate queries."""
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .filter(F.col("l_quantity") >= QMIN)
@@ -48,7 +50,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.alias("a")
     b = li.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -59,6 +61,12 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized distinct co-purchase part pairs — must stay expression-
+    for-expression equal to COPURCHASE_CTE below."""
+    pairs = copurchase_pairs(spark, sf_dir)
     return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -89,6 +97,18 @@ def copurchase_graph(spark: SparkSession, sf_dir: str,
             copurchase_edges(spark, sf_dir).localCheckpoint(eager=True),
             directed=False, num_partitions=num_partitions,
             assume_symmetric=True,
+        ),
+    )
+
+
+def copurchase_digraph(spark: SparkSession, sf_dir: str,
+                       num_partitions: int | None = None) -> Graph:
+    """Directed Graph over the DAG-oriented co-purchase pairs."""
+    return _memo_graph(
+        "copurchase_di", sf_dir, num_partitions,
+        lambda: Graph(
+            copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True),
+            directed=True, num_partitions=num_partitions,
         ),
     )
 
@@ -556,6 +576,31 @@ SELECT v.id,
             ELSE 0.0 END AS cc
 FROM verts v LEFT JOIN deg d ON v.id = d.id LEFT JOIN pertri t ON v.id = t.id"""
     return _materialized(_sql)
+
+
+def lcc_directed_sql() -> str:
+    """LDBC directed LCC on the DAG-oriented co-purchase pairs: N(v) =
+    in∪out neighbors, numerator = ordered neighbor pairs (u, w) with a
+    directed edge u→w."""
+    return _materialized(f"""
+WITH {COPURCHASE_CTE},
+de AS (SELECT u AS src, v AS dst FROM pairs),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+num AS (
+  SELECT a.src AS id, COUNT(*) AS num
+  FROM de e
+  JOIN edges a ON a.dst = e.src
+  JOIN edges b ON b.src = a.src AND b.dst = e.dst
+  GROUP BY a.src
+)
+SELECT vt.id,
+       ROUND(CASE WHEN COALESCE(dg.d, 0) >= 2
+             THEN COALESCE(n.num, 0) * 1.0 / (dg.d * (dg.d - 1))
+             ELSE 0.0 END, {FLOAT_DECIMALS}) AS lcc
+FROM verts vt
+LEFT JOIN deg dg ON vt.id = dg.id
+LEFT JOIN num n ON vt.id = n.id
+ORDER BY vt.id""")
 
 
 def transitivity_sql() -> str:
