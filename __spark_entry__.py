@@ -145,6 +145,18 @@ def _q_bfs(spark, sf_dir):
     return bfs(g, _min_id(g)).state.select("id", "dist")
 
 
+def _q_bfs_push(spark, sf_dir):
+    from graphscope_spark.flash import flash_bfs
+    g = tg.copurchase_graph(spark, sf_dir)
+    return flash_bfs(g, _min_id(g), strategy="push").select("id", "dist")
+
+
+def _q_bfs_pull(spark, sf_dir):
+    from graphscope_spark.flash import flash_bfs
+    g = tg.copurchase_graph(spark, sf_dir)
+    return flash_bfs(g, _min_id(g), strategy="pull").select("id", "dist")
+
+
 def _q_sssp(spark, sf_dir):
     e = tg.copurchase_edges(spark, sf_dir).withColumn(
         "w", ((F.col("src") + F.col("dst")) % 10 + 1).cast("double")
@@ -922,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         # breadth algorithms
         "bfs": _q_bfs,
+        "bfs_push": _q_bfs_push,
+        "bfs_pull": _q_bfs_pull,
         "sssp": _q_sssp,
         "sssp_delta": _q_sssp_delta,
         "degree_centrality": _q_degree_centrality,
@@ -1043,6 +1057,10 @@ def oracle_sql() -> dict[str, str]:
         "triangles": tg.triangles_sql(),
         "triangle_count": tg.triangle_count_sql(),
         "bfs": tg.bfs_sql(),
+        # bfs-push/bfs-pull are join-strategy variants of the same level
+        # fixed point — one oracle (flash/traversal/bfs-push.h, bfs-pull.h)
+        "bfs_push": tg.bfs_sql(),
+        "bfs_pull": tg.bfs_sql(),
         "sssp": tg.sssp_sql(),
         "sssp_delta": tg.sssp_sql(),
         "sssp_path": tg.sssp_path_sql(),

@@ -128,3 +128,72 @@ def flash_cc(g: Graph, max_iter: int = 200) -> DataFrame:
         state.unpersist()
         state = new
     return state.select("id", "comp")
+
+
+def flash_bfs(
+    g: Graph,
+    source: int,
+    strategy: str = "auto",
+    direction: str | None = None,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """(id, dist) — BFS levels built from the FLASH primitives, exposing
+    the reference's per-round join-strategy variants as one surface:
+    flash/traversal/bfs.h (auto EdgeMap switch), bfs-push.h
+    (EdgeMapSparse — the frontier is broadcast, the edge table never
+    shuffles), bfs-pull.h (EdgeMapDense — frontier shuffled onto the edge
+    partitioning; ED direction at :60 means messages still flow along
+    out-edges, the 'pull' is the dense scan shape), bfs-undirected.h
+    (``direction='both'``). All four compute identical levels — the same
+    fixed point as sssp.bfs — so they share one value-hash oracle; what
+    changes is the physical plan per round, which is the point of the
+    family.
+    """
+    if strategy not in ("auto", "push", "pull"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    e = g.out_edges.select("src", "dst")
+    if direction == "both" and g.directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.repartition(g.num_partitions, "src")
+    e = e.persist()
+
+    from graphscope_spark.graph import materialized_checkpoint
+
+    state = materialized_checkpoint(
+        g.vertices.select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0)).alias("dist"),
+        )
+    )
+    nv = max(g.num_vertices, 1)
+    level = 0
+    fsize = state.filter(F.col("dist") == 0).count()
+    while fsize > 0 and level < max_iter:
+        frontier = state.filter(F.col("dist") == level).select(
+            F.col("id").alias("src")
+        )
+        if strategy == "push" or (
+            strategy == "auto" and fsize <= SPARSE_THRESHOLD * nv
+        ):
+            msgs = e.join(F.broadcast(frontier), "src")
+        else:
+            msgs = e.join(frontier, "src")
+        touched = msgs.select(F.col("dst").alias("id")).distinct()
+        new = materialized_checkpoint(
+            state.join(touched.withColumn("_hit", F.lit(True)), "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.col("dist"),
+                    F.when(F.col("_hit"), F.lit(level + 1)),
+                ).alias("dist"),
+            )
+        )
+        level += 1
+        fsize = new.filter(F.col("dist") == level).count()
+        state.unpersist()
+        state = new
+    e.unpersist()
+    return state.select("id", "dist")

@@ -215,3 +215,31 @@ def test_sssp_path_parents(spark, g, graph_data):
             assert p == min(cands)
         else:
             assert r["parent"] is None
+
+
+def test_flash_bfs_strategies_agree(spark):
+    from graphscope_spark.flash import flash_bfs
+    from graphscope_spark.algorithms import bfs as _bfs
+    import random
+    rng = random.Random(3)
+    n = 40
+    edges = [(i, i + 1) for i in range(12)] + [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(50)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(x,) for x in range(n)], "id long")
+    g = Graph(e, v, directed=True, num_partitions=4)
+    base = {r["id"]: r["dist"]
+            for r in _bfs(g, 0).state.select("id", "dist").collect()}
+    for strat in ("auto", "push", "pull"):
+        got = {r["id"]: r["dist"]
+               for r in flash_bfs(g, 0, strategy=strat).collect()}
+        assert got == base, strat
+    # direction='both' equals BFS on the undirected view of the graph
+    g_und = Graph(e, v, directed=False, num_partitions=4)
+    und_base = {r["id"]: r["dist"]
+                for r in _bfs(g_und, 12).state.select("id", "dist").collect()}
+    both = {r["id"]: r["dist"]
+            for r in flash_bfs(g, 12, direction="both").collect()}
+    assert both == und_base
