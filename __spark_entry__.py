@@ -462,6 +462,15 @@ def _q_min_dominating_set(spark, sf_dir):
     return _mds(tg.copurchase_graph(spark, sf_dir)).select("id")
 
 
+def _q_msf_block(spark, sf_dir):
+    from graphscope_spark.algorithms.measurement import msf_block as _msfb
+    e = tg.copurchase_edges(spark, sf_dir).withColumn(
+        "w", ((F.col("src") * 7 + F.col("dst")) % 97 + 1).cast("double")
+    )
+    g = Graph(e, directed=False, num_partitions=None, assume_symmetric=True)
+    return _msfb(g, "w").select("src", "dst", "weight")
+
+
 def _q_msf(spark, sf_dir):
     # rows-only: unique forest under the (w, src, dst) total order;
     # exact Kruskal oracle in tests/test_measurement.py
@@ -1002,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_edge_cover": _q_min_edge_cover,
         "min_dominating_set": _q_min_dominating_set,
         "msf": _q_msf,
+        "msf_block": _q_msf_block,
         "diameter_approx": _q_diameter_approx,
         "k_center": _q_k_center,
         "color": _q_color,
@@ -1139,6 +1149,9 @@ def oracle_sql() -> dict[str, str]:
         "degeneracy_ordering": fo.degeneracy_sql(),
         "color": fo.color_sql(),
         "msf": fo.msf_sql(),
+        # msf_block = local-Kruskal candidate filter + the same Borůvka
+        # merge; identical lexicographic forest, identical oracle
+        "msf_block": fo.msf_sql(),
         "diameter_approx": fo.diameter_sql(k=8, seed=42),
         "k_center": fo.k_center_sql(k=4),
         # corpus north-star path: the synthesis is pure column arithmetic

@@ -197,3 +197,39 @@ def test_harmonic_centrality_exact(spark):
             if d:
                 want += 1.0 / d
         assert math.isclose(got[v], want, rel_tol=1e-9), v
+
+
+def test_msf_block_equals_msf_and_kruskal(spark):
+    import random
+    from graphscope_spark.algorithms.measurement import msf, msf_block
+    rng = random.Random(11)
+    n = 35
+    und = {}
+    while len(und) < 70:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            und[(min(u, v), max(u, v))] = float(rng.randrange(1, 40))
+    rows = [(u, v, w) for (u, v), w in sorted(und.items())]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    g = Graph(e, directed=False, num_partitions=4)
+    a = {(r["src"], r["dst"], r["weight"])
+         for r in msf(g, "w").collect()}
+    b = {(r["src"], r["dst"], r["weight"])
+         for r in msf_block(g, "w").collect()}
+    assert a == b
+    # sequential Kruskal in (w, u, v) order — the unique lexicographic MSF
+    parent = {x: x for x in range(n)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for u, v, w in sorted(rows, key=lambda t: (t[2], t[0], t[1])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add((u, v, w))
+    assert b == want
