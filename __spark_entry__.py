@@ -812,6 +812,18 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_token_histogram(spark, sf_dir):
+    from graphscope_spark.functions.text import token_histogram
+    return token_histogram(_docs(spark, sf_dir), min_count=2)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from graphscope_spark.functions.text import stratified_sample
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", fraction=0.3, seed=0
+    ).select("doc_id", "lang")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from graphscope_spark.functions.dedup import dedup_clusters
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.2)
@@ -1037,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": _q_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "token_histogram": _q_token_histogram,
+        "stratified_sample": _q_stratified_sample,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1168,6 +1182,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash": do.minhash_sql(num_hashes=16),
         "ngram_jaccard": do.ngram_jaccard_sql(threshold=0.2),
         "dedup_clusters": do.dedup_clusters_sql(threshold=0.2),
+        "token_histogram": do.token_histogram_sql(min_count=2),
+        "stratified_sample": do.stratified_sample_sql("lang", 0.3, seed=0),
         "ann_topk": do.ann_topk_sql(k=5, n_queries=10),
         "simhash": do.simhash_sql(),
         "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),

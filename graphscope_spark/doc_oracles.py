@@ -304,3 +304,28 @@ FROM l{rounds} ORDER BY doc_id""")
     # tree multiplicatively (same rationale as tpch_graphs._materialized)
     from graphscope_spark.tpch_graphs import _materialized
     return _materialized("".join(parts))
+
+
+def token_histogram_sql(min_count: int = 1) -> str:
+    """Twin of functions/text.py::token_histogram."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+)
+SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS docs
+FROM toks WHERE token <> ''
+GROUP BY token HAVING COUNT(*) >= {min_count}"""
+
+
+def stratified_sample_sql(strata_col: str, fraction: float,
+                          seed: int = 0) -> str:
+    """Twin of functions/text.py::stratified_sample (same 60-bit md5 hash,
+    same survival bound)."""
+    h = hash64_sql(
+        f"CAST(doc_id AS VARCHAR) || ':' || CAST({strata_col} AS VARCHAR)"
+        f" || ':{seed}'"
+    )
+    bound = int(fraction * float(1 << 60))
+    return f"""
+SELECT doc_id, {strata_col}
+FROM documents WHERE {h} < {bound}"""

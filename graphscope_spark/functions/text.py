@@ -124,3 +124,55 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
          * ((F.col("pos0") + 1) % 31 + 1)).alias("term"),
     )
     return exploded.groupBy(id_col).agg(F.sum("term").alias("fp"))
+
+
+def token_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """(token, cnt, docs) — corpus token-frequency table (the vocabulary
+    pass every tokenizer build runs first). One explode + one groupBy:
+    map-side partial aggregation makes the shuffle carry (token, partial)
+    pairs, so volume is bounded by the per-partition VOCABULARY, not the
+    token stream — the property that keeps this viable at 100 TB.
+    ``docs`` is the document frequency (distinct docs containing the
+    token; drives IDF / stopword detection)."""
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(tokenize(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct(F.col("_d")).alias("docs"),
+        )
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-data mixing
+    primitive ("p% of each language/source"). A row survives iff its
+    portable 60-bit hash of (id, stratum, seed) falls under ``fraction``
+    of the hash space: no shuffle at all (pure filter, pushes past column
+    pruning to the scan), exactly reproducible across runs and engines
+    (md5-based hash has a DuckDB twin), and per-stratum proportions
+    concentrate at ``fraction`` with Chernoff bounds — no per-stratum
+    count pass needed. Returns the surviving rows unchanged."""
+    h = hash64(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"),
+            F.col(strata_col).cast("string"), F.lit(f":{seed}"),
+        )
+    )
+    bound = int(fraction * float(1 << 60))
+    return docs.filter(h < F.lit(bound))

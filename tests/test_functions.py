@@ -279,3 +279,31 @@ def test_dedup_clusters_lsh_matches_ngram_on_exact_dups(docs_with_dups):
     a = {(r["doc_id"], r["cluster_id"], r["keep"]) for r in ng.collect()}
     b = {(r["doc_id"], r["cluster_id"], r["keep"]) for r in lsh.collect()}
     assert a == b
+
+
+def test_token_histogram_counts(spark):
+    from graphscope_spark.functions.text import token_histogram
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: (r["cnt"], r["docs"])
+           for r in token_histogram(d).collect()}
+    assert got == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
+    got2 = {r["token"] for r in token_histogram(d, min_count=2).collect()}
+    assert got2 == {"a", "b"}
+
+
+def test_stratified_sample_deterministic_and_proportional(docs):
+    from graphscope_spark.functions.text import stratified_sample
+    s1 = {r["doc_id"] for r in
+          stratified_sample(docs, "lang", 0.5, seed=3).collect()}
+    s2 = {r["doc_id"] for r in
+          stratified_sample(docs, "lang", 0.5, seed=3).collect()}
+    assert s1 == s2  # exactly reproducible
+    n = docs.count()
+    assert 0.35 * n < len(s1) < 0.65 * n  # concentrates near the fraction
+    # different seed → different (but overlapping) sample
+    s3 = {r["doc_id"] for r in
+          stratified_sample(docs, "lang", 0.5, seed=4).collect()}
+    assert s3 != s1
