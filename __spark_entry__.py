@@ -275,6 +275,16 @@ def _q_betweenness(spark, sf_dir):
     )
 
 
+def _q_betweenness_endpoints(spark, sf_dir):
+    # betweenness_centrality_generic's endpoints=True option
+    g = tg.copurchase_graph(spark, sf_dir)
+    sources = g.vertices.filter(F.col("id") % 20 == 0)
+    from graphscope_spark.algorithms.paths import betweenness_centrality
+    return betweenness_centrality(g, sources, endpoints=True).select(
+        "id", F.round("betweenness", RD).alias("betweenness")
+    )
+
+
 def _q_louvain(spark, sf_dir):
     """Rows-only: community membership (deterministic here, but the
     modularity-greedy fixed point has no tractable SQL twin; the reference
@@ -974,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": _q_closeness,
         "apsp": _q_apsp,
         "betweenness": _q_betweenness,
+        "betweenness_endpoints": _q_betweenness_endpoints,
         "flash_cc": _q_flash_cc,
         "louvain": _q_louvain,
         "sssp_path": _q_sssp_path,
@@ -1103,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness": tg.closeness_sql(mod=20),
         "apsp": tg.apsp_sql(mod=10),
         "betweenness": tg.betweenness_sql(mod=20),
+        "betweenness_endpoints": tg.betweenness_sql(mod=20, endpoints=True),
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "path_expand": tg.path_expand_sql(mod=50),
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),

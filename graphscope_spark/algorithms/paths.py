@@ -193,11 +193,20 @@ def betweenness_centrality(
     sources: DataFrame | None = None,
     normalized: bool = True,
     max_iter: int = 10_000,
+    endpoints: bool = False,
 ) -> DataFrame:
     """(id, betweenness) — Brandes: batched forward σ pass, then per-level
     backward dependency accumulation (betweenness/*.h). Exact with
     sources=None; source-sampled approximation otherwise (scaled by
-    n/|sources|)."""
+    n/|sources|).
+
+    ``endpoints=True`` is the betweenness_centrality_generic option
+    (betweenness_centrality_generic.h:155,165,207,217): every settled pair
+    (s, t) additionally credits both its endpoints — the accumulation adds
+    +1 per reached pair to t (``... += delta[w] + ctx.endpoints``) and the
+    per-source reached count to s; with normalization the denominator
+    becomes n(n−1) (directed) / n(n−1)/2 (undirected), pairs now counting
+    their endpoints."""
     spark = g.spark
     n = g.num_vertices
     edges = _edges_for(g).persist()
@@ -249,18 +258,33 @@ def betweenness_centrality(
         delta.unpersist()
         delta = new_delta
 
+    ep = F.lit(1.0) if endpoints else F.lit(0.0)
     bc = (
         delta.filter(F.col("dist") > 0)
         .groupBy("id")
-        .agg(F.sum("delta").alias("b"))
+        .agg(F.sum(F.col("delta") + ep).alias("b"))
     )
+    if endpoints:
+        # each source additionally scores its own reached-pair count
+        src_side = (
+            delta.filter(F.col("dist") > 0)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).cast("double").alias("b"))
+        )
+        bc = bc.unionByName(src_side).groupBy("id").agg(
+            F.sum("b").alias("b")
+        )
     scale = 1.0
     if n_sources and n_sources < n:
         scale *= n / float(n_sources)  # source-sampling extrapolation
     if not g.directed:
         scale *= 0.5  # each undirected pair counted from both endpoints
     if normalized:
-        denom = (n - 1) * (n - 2) if g.directed else (n - 1) * (n - 2) / 2.0
+        if endpoints:
+            denom = n * (n - 1) if g.directed else n * (n - 1) / 2.0
+        else:
+            denom = (n - 1) * (n - 2) if g.directed \
+                else (n - 1) * (n - 2) / 2.0
         scale /= denom if denom else 1.0
     out = (
         g.vertices.select("id")

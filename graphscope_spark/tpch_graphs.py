@@ -855,7 +855,8 @@ FROM verts v LEFT JOIN agg a ON v.id = a.id"""
     return _materialized(_sql)
 
 
-def betweenness_sql(mod: int = 20, rounds: int = WCC_ROUNDS) -> str:
+def betweenness_sql(mod: int = 20, rounds: int = WCC_ROUNDS,
+                    endpoints: bool = False) -> str:
     """Brandes betweenness from sampled sources (id % mod == 0) — the SQL
     twin of algorithms/paths.py::betweenness_centrality. Fully unrolled:
     (1) multi-source BFS distances, (2) per-level forward σ accumulation
@@ -896,18 +897,29 @@ dl{lev} AS (
   ) c ON c.src = v.src AND c.id = v.id
 )""")
     alldel = "\nUNION ALL ".join(
-        f"SELECT id, delta FROM dl{lev}" for lev in range(1, rounds + 1)
+        f"SELECT src, id, delta FROM dl{lev}" for lev in range(1, rounds + 1)
     )
+    ep = "+ 1.0" if endpoints else ""
+    src_side = """
+  UNION ALL
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d2 FROM ap GROUP BY src
+""" if endpoints else ""
+    denom = ("(SELECT n FROM nv) * ((SELECT n FROM nv) - 1) / 2.0"
+             if endpoints else
+             "((SELECT n FROM nv) - 1) * ((SELECT n FROM nv) - 2) / 2.0")
     parts.append(f""",
-bc AS (
-  SELECT id, SUM(delta) AS b FROM (
+ap AS (
 {alldel}
+),
+bc AS (
+  SELECT id, SUM(d2) AS b FROM (
+  SELECT id, delta {ep} AS d2 FROM ap{src_side}
   ) u GROUP BY id
 )
 SELECT v.id,
        ROUND(COALESCE(bc.b, 0.0)
              * ((((SELECT n FROM nv) / (SELECT c FROM ns)) * 0.5)
-                / (((SELECT n FROM nv) - 1) * ((SELECT n FROM nv) - 2) / 2.0)),
+                / ({denom})),
              {FLOAT_DECIMALS}) AS betweenness
 FROM verts v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id""")
     return _materialized("WITH " + "".join(parts))

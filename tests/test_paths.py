@@ -185,3 +185,40 @@ def test_deep_chain_exercises_settled_fold(spark):
     res = multi_source_bfs(g, sources=src).collect()
     got = {(r.src, r.id): r.dist for r in res}
     assert got == {(0, i): i for i in range(n)}
+
+
+def test_betweenness_endpoints_variant(spark):
+    from graphscope_spark.algorithms.paths import betweenness_centrality
+    # P3 path: endpoints-unnormalized bc = {0: 2, 1: 3, 2: 2}
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    g = Graph(e, directed=False, num_partitions=2)
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_centrality(
+               g, normalized=False, endpoints=True).collect()}
+    assert got == {0: 2.0, 1: 3.0, 2: 2.0}
+    # star S3: center 6, leaves 3
+    e2 = spark.createDataFrame([(9, 1), (9, 2), (9, 3)], "src long, dst long")
+    g2 = Graph(e2, directed=False, num_partitions=2)
+    got2 = {r["id"]: r["betweenness"]
+            for r in betweenness_centrality(
+                g2, normalized=False, endpoints=True).collect()}
+    assert got2 == {9: 6.0, 1: 3.0, 2: 3.0, 3: 3.0}
+    # connected undirected invariant: bc_ep == bc + (n-1)
+    import random
+    rng = random.Random(2)
+    n = 15
+    und = {(i, i + 1) for i in range(n - 1)}
+    while len(und) < 25:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    e3 = spark.createDataFrame(sorted(und), "src long, dst long")
+    g3 = Graph(e3, directed=False, num_partitions=4)
+    plain = {r["id"]: r["betweenness"]
+             for r in betweenness_centrality(
+                 g3, normalized=False).collect()}
+    ep = {r["id"]: r["betweenness"]
+          for r in betweenness_centrality(
+              g3, normalized=False, endpoints=True).collect()}
+    for v in plain:
+        assert abs(ep[v] - plain[v] - (n - 1)) < 1e-9, v
