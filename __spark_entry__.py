@@ -275,6 +275,19 @@ def _q_betweenness(spark, sf_dir):
     )
 
 
+def _q_betweenness_weighted(spark, sf_dir):
+    # the Dijkstra branch of betweenness_centrality_generic.h:69-77, exact
+    # (all sources) on the supplier chain+skip graph whose tied 2-hop paths
+    # force genuine σ splits
+    from graphscope_spark.algorithms.paths import (
+        betweenness_centrality_weighted,
+    )
+    g = tg.supplier_chain_graph(spark, sf_dir)
+    return betweenness_centrality_weighted(g, None, "w").select(
+        "id", F.round("betweenness", RD).alias("betweenness")
+    )
+
+
 def _q_betweenness_endpoints(spark, sf_dir):
     # betweenness_centrality_generic's endpoints=True option
     g = tg.copurchase_graph(spark, sf_dir)
@@ -985,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp": _q_apsp,
         "betweenness": _q_betweenness,
         "betweenness_endpoints": _q_betweenness_endpoints,
+        "betweenness_weighted": _q_betweenness_weighted,
         "flash_cc": _q_flash_cc,
         "louvain": _q_louvain,
         "sssp_path": _q_sssp_path,
@@ -1115,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "apsp": tg.apsp_sql(mod=10),
         "betweenness": tg.betweenness_sql(mod=20),
         "betweenness_endpoints": tg.betweenness_sql(mod=20, endpoints=True),
+        "betweenness_weighted": tg.betweenness_weighted_sql(),
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "path_expand": tg.path_expand_sql(mod=50),
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),

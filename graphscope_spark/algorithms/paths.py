@@ -319,3 +319,251 @@ def random_multi_bfs(g: Graph, k: int = 8, seed: int = 42) -> DataFrame:
         .select("id")
     )
     return multi_source_bfs(g, sources=sources)
+
+
+def _wedges_for(g: Graph, weight_col: str) -> DataFrame:
+    e = g.edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
+    ).filter(F.col("src") != F.col("dst"))
+    if not g.directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                     "w")
+        ).distinct()
+    # parallel edges: keep the lightest (deterministic; also makes the
+    # shortest-path DAG well-defined per (src, dst) pair)
+    return e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+
+
+def multi_source_weighted(
+    g: Graph,
+    sources: DataFrame | None,
+    weight_col: str,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """(src, id, dist) — weighted shortest distances from every source at
+    once: the batched Bellman-Ford twin of :func:`multi_source_bfs`
+    (the reference's per-source Dijkstra sweep,
+    betweenness_centrality_generic.h:72, batched the way every other
+    multi-source pass here is). Frontier = pairs improved last round, so
+    per-round shuffle is Σ_src |improved_src| — message volume tracks
+    convergence, not the pair-set size."""
+    from graphscope_spark.graph import materialized_checkpoint
+
+    edges = _wedges_for(g, weight_col) \
+        .repartition(g.num_partitions, "src").persist()
+    edges.count()
+    if sources is None:
+        sources = g.vertices.select("id")
+    state = materialized_checkpoint(
+        sources.select(
+            F.col("id").alias("src"), F.col("id"),
+            F.lit(0.0).alias("dist"), F.lit(True).alias("changed"),
+        )
+    )
+    for _ in range(max_iter):
+        front = state.filter("changed").select(
+            "src", F.col("id").alias("u"), "dist"
+        )
+        cand = (
+            front.join(edges.withColumnRenamed("src", "u"), "u")
+            .groupBy("src", F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        new = materialized_checkpoint(
+            state.select("src", "id", "dist")
+            .join(cand, ["src", "id"], "full")
+            .select(
+                "src", "id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("nd")),
+                    F.coalesce(F.col("nd"), F.col("dist")),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce(F.col("nd"), F.col("dist"))
+                       < F.col("dist"))
+                ).alias("changed"),
+            )
+        )
+        active = new.filter("changed").limit(1).count()
+        state.unpersist()
+        state = new
+        if active == 0:
+            break
+    edges.unpersist()
+    return state.select("src", "id", "dist")
+
+
+def betweenness_centrality_weighted(
+    g: Graph,
+    sources: DataFrame | None = None,
+    weight_col: str = "w",
+    normalized: bool = True,
+    endpoints: bool = False,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """(id, betweenness) — Brandes over WEIGHTED shortest paths: the
+    Dijkstra branch of betweenness_centrality_generic.h:69-77. σ counting
+    and δ accumulation run over the weighted shortest-path DAG
+    (pred(v, w) ⟺ dist(w) = dist(v) + w(v, w)), processed in DAG-hop-level
+    order (lev(v) = max #edges on a shortest path to v) — levels replace
+    the BFS distance levels of the unweighted pass, since weighted
+    distances are not level-indexable. Path-sum equality is exact when
+    weights are exactly representable (integers in doubles — the gate's
+    weights); arbitrary floats can split σ across ulp-distinct sums, the
+    same caveat the reference's double-keyed Dijkstra carries.
+
+    The three fixpoint loops (distance relax, level max, σ/δ by level)
+    are each frontier/level-proportional; the DAG is materialized once
+    and reused by all three.
+    """
+    from graphscope_spark.graph import materialized_checkpoint
+
+    n = g.num_vertices
+    dist = multi_source_weighted(g, sources, weight_col, max_iter) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    n_sources = dist.filter(F.col("dist") == 0).count()
+    wedges = _wedges_for(g, weight_col)
+    # the shortest-path DAG per source: v→w iff dist(w) = dist(v) + w(v,w)
+    dag = (
+        dist.select("src", F.col("id").alias("v"), F.col("dist").alias("dv"))
+        .join(wedges.withColumnRenamed("src", "v")
+              .withColumnRenamed("dst", "wv"), "v")
+        .join(
+            dist.select("src", F.col("id").alias("wv"),
+                        F.col("dist").alias("dw")),
+            ["src", "wv"],
+        )
+        .filter(F.col("dw") == F.col("dv") + F.col("w"))
+        .select("src", "v", F.col("wv").alias("t"))
+        .repartition(g.num_partitions, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dag.count()
+
+    # DAG-hop levels: lev = max over preds + 1, frontier-propagated
+    lev = materialized_checkpoint(
+        dist.filter(F.col("dist") == 0)
+        .select("src", "id", F.lit(0).alias("lev"),
+                F.lit(True).alias("changed"))
+    )
+    for _ in range(max_iter):
+        front = lev.filter("changed").select(
+            "src", F.col("id").alias("v"), "lev"
+        )
+        cand = (
+            front.join(dag, ["src", "v"])
+            .groupBy("src", F.col("t").alias("id"))
+            .agg((F.max("lev") + 1).alias("nl"))
+        )
+        new = materialized_checkpoint(
+            lev.select("src", "id", "lev")
+            .join(cand, ["src", "id"], "full")
+            .select(
+                "src", "id",
+                F.greatest(
+                    F.coalesce(F.col("lev"), F.col("nl")),
+                    F.coalesce(F.col("nl"), F.col("lev")),
+                ).alias("lev"),
+                (
+                    F.col("lev").isNull()
+                    | (F.coalesce(F.col("nl"), F.col("lev"))
+                       > F.col("lev"))
+                ).alias("changed"),
+            )
+        )
+        active = new.filter("changed").limit(1).count()
+        lev.unpersist()
+        lev = new
+        if active == 0:
+            break
+    lev = lev.select("src", "id", "lev")
+    max_lev = lev.agg(F.max("lev")).first()[0] or 0
+
+    # forward σ in level order: all DAG preds of a level-L vertex sit at
+    # lower levels, so their σ is final when L is processed
+    sigma = materialized_checkpoint(
+        lev.filter(F.col("lev") == 0)
+        .select("src", "id", F.lit(1.0).alias("sigma"))
+    )
+    for L in range(1, int(max_lev) + 1):
+        at = lev.filter(F.col("lev") == L).select("src", "id")
+        add = (
+            sigma.select("src", F.col("id").alias("v"), "sigma")
+            .join(dag, ["src", "v"])
+            .groupBy("src", F.col("t").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(at, ["src", "id"], "left_semi")
+        )
+        nxt = materialized_checkpoint(sigma.unionByName(add))
+        sigma.unpersist()
+        sigma = nxt
+
+    # backward δ in descending level order: a vertex's successors all sit
+    # at higher levels, so its δ is final when its level is reached
+    state = materialized_checkpoint(
+        sigma.join(lev, ["src", "id"])
+        .select("src", "id", "sigma", "lev", F.lit(0.0).alias("delta"))
+    )
+    for L in range(int(max_lev), 0, -1):
+        wside = state.filter(F.col("lev") == L).select(
+            "src", F.col("id").alias("t"),
+            F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            wside.join(dag, ["src", "t"])
+            .groupBy("src", F.col("v").alias("id"))
+            .agg(F.sum((1.0 + F.col("delta_w")) / F.col("sigma_w"))
+                 .alias("part"))
+        )
+        new = materialized_checkpoint(
+            state.join(contrib, ["src", "id"], "left")
+            .select(
+                "src", "id", "sigma", "lev",
+                (F.col("delta")
+                 + F.col("sigma") * F.coalesce(F.col("part"), F.lit(0.0)))
+                .alias("delta"),
+            )
+        )
+        state.unpersist()
+        state = new
+
+    ep = F.lit(1.0) if endpoints else F.lit(0.0)
+    bc = (
+        state.filter(F.col("lev") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.col("delta") + ep).alias("b"))
+    )
+    if endpoints:
+        src_side = (
+            state.filter(F.col("lev") > 0)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).cast("double").alias("b"))
+        )
+        bc = bc.unionByName(src_side).groupBy("id").agg(F.sum("b").alias("b"))
+    scale = 1.0
+    if n_sources and n_sources < n:
+        scale *= n / float(n_sources)
+    if not g.directed:
+        scale *= 0.5
+    if normalized:
+        if endpoints:
+            denom = n * (n - 1) if g.directed else n * (n - 1) / 2.0
+        else:
+            denom = (n - 1) * (n - 2) if g.directed \
+                else (n - 1) * (n - 2) / 2.0
+        scale /= denom if denom else 1.0
+    out = (
+        g.vertices.select("id")
+        .join(bc, "id", "left")
+        .select("id", (F.coalesce(F.col("b"), F.lit(0.0)) * F.lit(scale))
+                .alias("betweenness"))
+        .localCheckpoint(eager=True)
+    )
+    for df in (dist, dag, state, sigma, lev):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import Graph
@@ -109,6 +109,49 @@ def copurchase_digraph(spark: SparkSession, sf_dir: str,
         lambda: Graph(
             copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True),
             directed=True, num_partitions=num_partitions,
+        ),
+    )
+
+
+def supplier_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small weighted test graph: per nation, suppliers ordered by suppkey
+    form a path (consecutive, w=1) plus skip edges (distance 2, w=2).
+    Every skip edge TIES with its 2-hop path (1+1 = 2), so weighted
+    shortest paths genuinely split σ — the property weighted-Brandes
+    oracles must exercise. Must stay expression-equal to
+    SUPPLIER_CHAIN_CTE below."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    r = s.select(
+        "s_suppkey", "s_nationkey", F.row_number().over(w).alias("rn")
+    )
+    a = r.alias("a")
+    pairs = []
+    for gap, wt in ((1, 1.0), (2, 2.0)):
+        b = r.alias(f"b{gap}")
+        pairs.append(
+            a.join(
+                b,
+                (F.col("a.s_nationkey") == F.col(f"b{gap}.s_nationkey"))
+                & (F.col(f"b{gap}.rn") == F.col("a.rn") + gap),
+            ).select(
+                F.col("a.s_suppkey").alias("src"),
+                F.col(f"b{gap}.s_suppkey").alias("dst"),
+                F.lit(wt).alias("w"),
+            )
+        )
+    return pairs[0].unionByName(pairs[1])
+
+
+def supplier_chain_graph(spark: SparkSession, sf_dir: str,
+                         num_partitions: int | None = None) -> Graph:
+    return _memo_graph(
+        "supplier_chain", sf_dir, num_partitions,
+        lambda: Graph(
+            supplier_chain_edges(spark, sf_dir).localCheckpoint(eager=True),
+            directed=False, num_partitions=num_partitions,
         ),
     )
 
@@ -1760,3 +1803,125 @@ JOIN edges e2 ON e2.src = e1.dst
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
 WHERE e1.src < e1.dst AND e2.src < e2.dst"""
     return _materialized(_sql)
+
+
+SUPPLIER_CHAIN_CTE = """
+r AS (SELECT s_suppkey, s_nationkey,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_suppkey) AS rn
+      FROM supplier),
+we AS (
+  SELECT a.s_suppkey AS src, b.s_suppkey AS dst, 1.0 AS w
+  FROM r a JOIN r b ON a.s_nationkey = b.s_nationkey AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT a.s_suppkey AS src, b.s_suppkey AS dst, 2.0 AS w
+  FROM r a JOIN r b ON a.s_nationkey = b.s_nationkey AND b.rn = a.rn + 2
+),
+wboth AS (SELECT src, dst, w FROM we
+          UNION ALL SELECT dst AS src, src AS dst, w FROM we),
+verts AS (SELECT DISTINCT src AS id FROM wboth)
+"""
+
+
+def betweenness_weighted_sql(relax_rounds: int = 16, max_lev: int = 16,
+                             endpoints: bool = False) -> str:
+    """Twin of paths.py::betweenness_centrality_weighted on the supplier
+    chain+skip graph (all sources, exact): unrolled weighted relaxation,
+    shortest-path DAG (dist equality — exact, integer-valued weights),
+    DAG-hop levels via unrolled max rounds, σ by ascending level, δ by
+    descending level. Rounds must exceed the max weighted-SP hop count =
+    largest nation's supplier count − 1 (10-supplier nation at sf0.01
+    → 9 hops; 16 is generous)."""
+    parts = [SUPPLIER_CHAIN_CTE.rstrip(), """,
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+d0 AS (SELECT id AS src, id, 0.0 AS dist FROM verts)"""]
+    for k in range(1, relax_rounds + 1):
+        p = f"d{k-1}"
+        parts.append(f""",
+rx{k} AS (
+  SELECT p.src, e.dst AS id, MIN(p.dist + e.w) AS nd
+  FROM {p} p JOIN wboth e ON e.src = p.id
+  GROUP BY p.src, e.dst
+),
+d{k} AS (
+  SELECT COALESCE(a.src, b.src) AS src, COALESCE(a.id, b.id) AS id,
+         LEAST(COALESCE(a.dist, b.nd), COALESCE(b.nd, a.dist)) AS dist
+  FROM {p} a FULL JOIN rx{k} b ON a.src = b.src AND a.id = b.id
+)""")
+    D = f"d{relax_rounds}"
+    parts.append(f""",
+dag AS (
+  SELECT x.src, x.id AS v, e.dst AS t
+  FROM {D} x
+  JOIN wboth e ON e.src = x.id
+  JOIN {D} y ON y.src = x.src AND y.id = e.dst
+  WHERE y.dist = x.dist + e.w
+),
+lv0 AS (SELECT id AS src, id, 0 AS lev FROM verts)""")
+    for k in range(1, max_lev + 1):
+        p = f"lv{k-1}"
+        parts.append(f""",
+lc{k} AS (
+  SELECT g.src, g.t AS id, MAX(l.lev) + 1 AS nl
+  FROM {p} l JOIN dag g ON g.src = l.src AND g.v = l.id
+  GROUP BY g.src, g.t
+),
+lv{k} AS (
+  SELECT COALESCE(a.src, b.src) AS src, COALESCE(a.id, b.id) AS id,
+         GREATEST(COALESCE(a.lev, b.nl), COALESCE(b.nl, a.lev)) AS lev
+  FROM {p} a FULL JOIN lc{k} b ON a.src = b.src AND a.id = b.id
+)""")
+    LV = f"lv{max_lev}"
+    parts.append(f""",
+sa0 AS (SELECT l.src, l.id, 1.0 AS sigma FROM {LV} l WHERE l.lev = 0)""")
+    for L in range(1, max_lev + 1):
+        p = f"sa{L-1}"
+        parts.append(f""",
+sa{L} AS (
+  SELECT * FROM {p}
+  UNION ALL
+  SELECT g.src, g.t AS id, SUM(s.sigma) AS sigma
+  FROM {p} s
+  JOIN dag g ON g.src = s.src AND g.v = s.id
+  JOIN {LV} at ON at.src = g.src AND at.id = g.t AND at.lev = {L}
+  GROUP BY g.src, g.t
+)""")
+    SG = f"sa{max_lev}"
+    parts.append(f""",
+st{max_lev + 1} AS (
+  SELECT s.src, s.id, s.sigma, l.lev, 0.0 AS delta
+  FROM {SG} s JOIN {LV} l ON l.src = s.src AND l.id = s.id
+)""")
+    for L in range(max_lev, 0, -1):
+        p = f"st{L+1}"
+        parts.append(f""",
+dc{L} AS (
+  SELECT g.src, g.v AS id, SUM((1.0 + w.delta) / w.sigma) AS part
+  FROM {p} w JOIN dag g ON g.src = w.src AND g.t = w.id
+  WHERE w.lev = {L}
+  GROUP BY g.src, g.v
+),
+st{L} AS (
+  SELECT s.src, s.id, s.sigma, s.lev,
+         s.delta + s.sigma * COALESCE(c.part, 0.0) AS delta
+  FROM {p} s LEFT JOIN dc{L} c ON c.src = s.src AND c.id = s.id
+)""")
+    ep = "+ 1.0" if endpoints else ""
+    src_side = """
+  UNION ALL
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d2 FROM st1
+  WHERE lev > 0 GROUP BY src""" if endpoints else ""
+    denom = ("(SELECT n FROM nv) * ((SELECT n FROM nv) - 1) / 2.0"
+             if endpoints else
+             "((SELECT n FROM nv) - 1) * ((SELECT n FROM nv) - 2) / 2.0")
+    parts.append(f""",
+bc AS (
+  SELECT id, SUM(d2) AS b FROM (
+    SELECT id, delta {ep} AS d2 FROM st1 WHERE lev > 0{src_side}
+  ) u GROUP BY id
+)
+SELECT v.id,
+       ROUND(COALESCE(bc.b, 0.0) * (0.5 / ({denom})),
+             {FLOAT_DECIMALS}) AS betweenness
+FROM verts v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id""")
+    return _materialized("WITH " + "".join(parts))
