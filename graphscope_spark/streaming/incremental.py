@@ -208,3 +208,113 @@ def running_degree_stateful(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def merge_triangles(
+    adj: DataFrame | None,
+    count_so_far: int,
+    batch: DataFrame,
+    num_partitions: int = 8,
+) -> tuple[DataFrame, int]:
+    """IncEval for triangle counting: fold a batch of NEW undirected edges
+    into a running global triangle count.
+
+    Every triangle gained by the batch contains ≥1 new edge, so the delta
+    decomposes by how many of its edges are new (inclusion categories,
+    counted without re-touching old-old-old triangles):
+
+      Δ = |{(u,v) new: w adj-old u ∧ w adj-old v}|   (1 new edge)
+        + |{(u,v) new, (v,w) new: w adj-old u}|       (2 new edges)
+        + triangles(new edges alone)                   (3 new edges)
+
+    computed as three wedge joins against the OLD adjacency / the batch —
+    per-batch work is O(|batch| · deg), never a recount of the settled
+    graph (the PIE IncEval property). Returns the updated canonical
+    adjacency (localCheckpoint'd — flat lineage across batches) and the
+    new global count. ``adj=None`` starts empty. Batch edges are
+    canonicalized + deduped against the existing adjacency first, so
+    replays/duplicates are no-ops.
+    """
+    spark = batch.sparkSession
+    canon_new = (
+        batch.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if adj is None:
+        adj = spark.createDataFrame([], "u long, v long") \
+            .repartition(num_partitions, "u")
+    new = canon_new.join(adj, ["u", "v"], "left_anti") \
+        .localCheckpoint(eager=True)
+
+    # symmetric views for wedge joins
+    def sym(df):
+        return df.select("u", "v").union(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    old_s = sym(adj)
+    new_s = sym(new)
+
+    # 1 new edge: old wedge closed by the new edge
+    a = old_s.select(F.col("u").alias("x"), F.col("v").alias("w"))
+    b = old_s.select(F.col("u").alias("y"), F.col("v").alias("w"))
+    d1 = (
+        new.join(a.withColumnRenamed("x", "u"), "u")
+        .join(b.withColumnRenamed("y", "v"), ["v", "w"])
+        .count()
+    )
+    # 2 new edges sharing vertex v, closed by an old edge (u, w). Count
+    # each unordered new-pair once: u < w over the symmetric new view.
+    d2 = (
+        new_s.select(F.col("u").alias("a1"), F.col("v").alias("mid"))
+        .join(
+            new_s.select(F.col("u").alias("mid"), F.col("v").alias("b1")),
+            "mid",
+        )
+        .filter(F.col("a1") < F.col("b1"))
+        .join(
+            old_s.select(F.col("u").alias("a1"), F.col("v").alias("b1")),
+            ["a1", "b1"],
+            "left_semi",
+        )
+        .count()
+    )
+    # 3 new edges: triangles within the batch alone (degree-ordered canon:
+    # u<v<w via two joins on the canonical new set)
+    d3 = (
+        new.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
+        .join(new.select(F.col("u").alias("b1"), F.col("v").alias("c1")), "b1")
+        .join(
+            new.select(F.col("u").alias("a1"), F.col("v").alias("c1")),
+            ["a1", "c1"],
+            "left_semi",
+        )
+        .count()
+    )
+    merged = (
+        adj.union(new)
+        .repartition(num_partitions, "u")
+        .localCheckpoint(eager=True)
+    )
+    adj.unpersist()
+    return merged, count_so_far + int(d1) + int(d2) + int(d3)
+
+
+class IncrementalTriangles:
+    """foreachBatch sink maintaining a global triangle count over an edge
+    stream — pair with :func:`edge_stream`. ``.count`` after each batch
+    equals a from-scratch recount of everything ingested (pytest-verified
+    equivalence in tests/test_streaming.py)."""
+
+    def __init__(self, num_partitions: int = 8):
+        self.adj: DataFrame | None = None
+        self.count = 0
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.adj, self.count = merge_triangles(
+            self.adj, self.count, batch_df, self.num_partitions
+        )

@@ -138,3 +138,37 @@ def test_running_degree_stateful(spark, data, tmp_path):
         want[s] = want.get(s, 0) + 1
         want[d] = want.get(d, 0) + 1
     assert got == want
+
+
+def test_merge_triangles_incremental_equals_batch(spark):
+    import random
+    from graphscope_spark.streaming.incremental import (
+        IncrementalTriangles, merge_triangles,
+    )
+    from graphscope_spark.algorithms.triangles import triangle_count
+    from graphscope_spark.graph import Graph
+
+    rng = random.Random(44)
+    n = 30
+    und = set()
+    while len(und) < 90:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    rows = sorted(und)
+    # 4 chained batches, with one duplicated edge to prove idempotence
+    chunks = [rows[0:25], rows[25:50], rows[50:70], rows[70:] + rows[0:1]]
+    sink = IncrementalTriangles(num_partitions=4)
+    prefix = []
+    for i, ch in enumerate(chunks):
+        sink(spark.createDataFrame(ch, "src long, dst long"), i)
+        prefix.extend([e for e in ch if e not in prefix])
+        e = spark.createDataFrame(prefix, "src long, dst long")
+        g = Graph(e, directed=False, num_partitions=4)
+        assert sink.count == triangle_count(g), f"batch {i}"
+    # replaying an entire batch is a no-op
+    adj, cnt = merge_triangles(
+        sink.adj, sink.count,
+        spark.createDataFrame(chunks[1], "src long, dst long"), 4,
+    )
+    assert cnt == sink.count
