@@ -23,3 +23,4 @@ from graphscope_spark.operators.skew import (  # noqa: F401
     skew_isolated_join,
     top_degree_keys,
 )
+from graphscope_spark.operators import expressions  # noqa: F401
