@@ -53,7 +53,7 @@ __all__ = ["CypherSession"]
 
 _NODE = re.compile(r"\(\s*(\w*)\s*(?::\s*(\w+))?\s*\)")
 _REL = re.compile(
-    r"^\s*(<-|-)\s*\[\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*(->|-)\s*"
+    r"^\s*(<-|-)\s*\[\s*(?:(\*)\s*(?:(\d+)\s*\.\.\s*(\d+))?)?\s*\]\s*(->|-)\s*"
 )
 _OPS = {
     "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
@@ -71,6 +71,7 @@ class _Rel:
     direction: str          # 'out' | 'in' | 'both'
     lo: int | None = None   # variable-length bounds (PathExpand)
     hi: int | None = None
+    unbounded: bool = False  # bare [*] — only shortestPath() accepts it
 
 
 @dataclass
@@ -112,7 +113,7 @@ def _parse_pattern(text: str, anon: list[int]) -> tuple[list[_Rel], list[str]]:
         rm = _REL.match(rest)
         if not rm:
             raise ValueError(f"expected relationship at: {rest!r}")
-        left, lo, hi, right = rm.groups()
+        left, star, lo, hi, right = rm.groups()
         if left == "<-" and right == "-":
             d = "in"
         elif left == "-" and right == "->":
@@ -121,15 +122,16 @@ def _parse_pattern(text: str, anon: list[int]) -> tuple[list[_Rel], list[str]]:
             d = "both"
         else:
             raise ValueError(f"bad relationship arrows: {rest!r}")
-        prev_rel = [(d, int(lo) if lo else None, int(hi) if hi else None)]
+        prev_rel = [(d, int(lo) if lo else None, int(hi) if hi else None,
+                     bool(star) and lo is None)]
         prev = var
         pos += rm.end()
     return rels, nodes
 
 
 def _pending_rel(spec, a, b) -> _Rel:
-    d, lo, hi = spec
-    return _Rel(a=a, b=b, direction=d, lo=lo, hi=hi)
+    d, lo, hi, unbounded = spec
+    return _Rel(a=a, b=b, direction=d, lo=lo, hi=hi, unbounded=unbounded)
 
 
 def _split_top(text: str, sep: str = ",") -> list[str]:
@@ -245,6 +247,11 @@ class CypherSession:
 
     def _rel_df(self, rel: _Rel) -> DataFrame:
         """Binding table (a, b) for one relationship pattern."""
+        if rel.unbounded:
+            raise ValueError(
+                "unbounded [*] is only supported inside shortestPath(); "
+                "give bounds, e.g. [*1..4]"
+            )
         if rel.lo is not None:
             from graphscope_spark.operators.traversal import path_expand
             starts = self.graph.vertices.select(F.col("id").alias("v"))
@@ -380,8 +387,81 @@ class CypherSession:
         out = bind.select(*[c.alias(a) for c, a in plain])
         return out.distinct() if distinct else out
 
+    # ------------------------------------------------- shortestPath()
+    _SP = re.compile(
+        r"(?is)^\s*MATCH\s+(?P<pvar>\w+)\s*=\s*shortestPath\s*"
+        r"\(\s*(?P<pat>.*?)\s*\)\s*"
+        r"WHERE\s+(?P<where>.*?)\s+RETURN\s+(?P<ret>.*?)"
+        r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?"
+        r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$"
+    )
+
+    def _run_shortest_path(self, m) -> DataFrame:
+        """MATCH p = shortestPath((a)-[*]->(b)) WHERE a = X AND b = Y —
+        the anchored shortestPath form (GOpt supports shortestPath as a
+        PathExpand with hop-count weight, algebra.proto:358-383; the
+        anchored shape is what its examples exercise). Lowers to
+        :func:`graphscope_spark.algorithms.simple_paths.shortest_path_
+        expand`, which enumerates ONLY the shortest-path DAG. RETURN terms:
+        ``p`` (the path string), ``length(p)`` (hops), plus the endpoint
+        variables."""
+        from graphscope_spark.algorithms.simple_paths import (
+            shortest_path_expand,
+        )
+        anon = [0]
+        rels, _nodes = _parse_pattern(m.group("pat"), anon)
+        if len(rels) != 1:
+            raise ValueError("shortestPath() takes a single (a)-[*]-(b)")
+        rel = rels[0]
+        anchors: dict[str, int] = {}
+        for cond in _split_top(m.group("where"), ","):
+            for part in re.split(r"(?i)\s+AND\s+", cond):
+                cm = re.match(r"^\s*(\w+)\s*=\s*(\d+)\s*$", part)
+                if not cm:
+                    raise ValueError(
+                        f"shortestPath WHERE must anchor endpoints: {part!r}"
+                    )
+                anchors[cm.group(1)] = int(cm.group(2))
+        if rel.a not in anchors or rel.b not in anchors:
+            raise ValueError("both shortestPath endpoints must be anchored")
+        g = self.graph
+        if rel.direction == "both" and g.directed:
+            g = g.to_undirected()
+        elif rel.direction == "in":
+            rel = _Rel(a=rel.b, b=rel.a, direction="out")
+        paths = shortest_path_expand(g, anchors[rel.a], anchors[rel.b])
+        pvar = m.group("pvar")
+        cols: dict[str, Column] = {
+            pvar: F.col("path_str"),
+            f"length({pvar})": F.col("hops"),
+            rel.a: F.lit(anchors[rel.a]),
+            rel.b: F.lit(anchors[rel.b]),
+        }
+        _, items = _parse_items(m.group("ret"))
+        sel = []
+        for expr, alias in items:
+            key = re.sub(r"\s+", "", expr)
+            if key not in cols:
+                raise ValueError(f"unsupported shortestPath RETURN: {expr!r}")
+            sel.append(cols[key].alias(alias))
+        out = paths.select(*sel)
+        if m.group("order"):
+            obs = []
+            for ob in _split_top(m.group("order")):
+                om = re.match(r"(?is)^(\S+)(?:\s+(ASC|DESC))?$", ob.strip())
+                obs.append(F.col(om.group(1)).desc()
+                           if om.group(2) and om.group(2).upper() == "DESC"
+                           else F.col(om.group(1)).asc())
+            out = out.orderBy(*obs)
+        if m.group("limit"):
+            out = out.limit(int(m.group("limit")))
+        return out
+
     # ------------------------------------------------------------- run
     def run(self, query: str) -> DataFrame:
+        spm = self._SP.match(query)
+        if spm:
+            return self._run_shortest_path(spm)
         q = _parse(query)
         bind = None
         rel_vars = {r.a for r in q.rels} | {r.b for r in q.rels}

@@ -171,3 +171,33 @@ def test_string_operators(cs):
         "WITH b, count(a) AS c RETURN b, c ORDER BY b"
     ).collect()
     assert [(r["b"], r["c"]) for r in rows] == [(4, 1)]
+
+
+def test_shortest_path_anchored(spark):
+    from graphscope_spark.cypher import CypherSession
+    # diamond 0->1->3, 0->2->3 plus a longer detour 0->4->5->3
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (4, 5), (5, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph(e, directed=True, num_partitions=2)
+    cs = CypherSession(g)
+    out = cs.run(
+        "MATCH p = shortestPath((a)-[*]->(b)) WHERE a = 0 AND b = 3 "
+        "RETURN p AS path, length(p) AS hops ORDER BY path"
+    ).collect()
+    assert [r["path"] for r in out] == ["0->1->3", "0->2->3"]
+    assert all(r["hops"] == 2 for r in out)
+    # undirected arrows traverse the reverse graph too
+    out2 = cs.run(
+        "MATCH p = shortestPath((a)-[*]-(b)) WHERE a = 3 AND b = 0 "
+        "RETURN length(p) AS hops LIMIT 1"
+    ).collect()
+    assert out2[0]["hops"] == 2
+    # unreachable → empty
+    g2 = Graph(spark.createDataFrame([(7, 8)], "src long, dst long"),
+               spark.createDataFrame([(7,), (8,), (9,)], "id long"),
+               directed=True, num_partitions=2)
+    cs2 = CypherSession(g2)
+    assert cs2.run(
+        "MATCH p = shortestPath((a)-[*]->(b)) WHERE a = 7 AND b = 9 "
+        "RETURN p AS path"
+    ).count() == 0
