@@ -275,6 +275,14 @@ def _q_betweenness(spark, sf_dir):
     )
 
 
+def _q_closeness_weighted(spark, sf_dir):
+    from graphscope_spark.algorithms.paths import closeness_centrality
+    g = tg.supplier_chain_graph(spark, sf_dir)
+    return closeness_centrality(g, None, weight_col="w").select(
+        "id", F.round("closeness", RD).alias("closeness")
+    )
+
+
 def _q_betweenness_weighted(spark, sf_dir):
     # the Dijkstra branch of betweenness_centrality_generic.h:69-77, exact
     # (all sources) on the supplier chain+skip graph whose tied 2-hop paths
@@ -999,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": _q_betweenness,
         "betweenness_endpoints": _q_betweenness_endpoints,
         "betweenness_weighted": _q_betweenness_weighted,
+        "closeness_weighted": _q_closeness_weighted,
         "flash_cc": _q_flash_cc,
         "louvain": _q_louvain,
         "sssp_path": _q_sssp_path,
@@ -1130,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": tg.betweenness_sql(mod=20),
         "betweenness_endpoints": tg.betweenness_sql(mod=20, endpoints=True),
         "betweenness_weighted": tg.betweenness_weighted_sql(),
+        "closeness_weighted": tg.closeness_weighted_sql(),
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "path_expand": tg.path_expand_sql(mod=50),
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),

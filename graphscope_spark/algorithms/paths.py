@@ -145,13 +145,17 @@ def all_pairs_shortest_path_length(g: Graph, max_iter: int = 10_000) -> DataFram
 
 
 def closeness_centrality(
-    g: Graph, sources: DataFrame | None = None, wf_improved: bool = True
+    g: Graph, sources: DataFrame | None = None, wf_improved: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(id, closeness) — closeness over incoming shortest paths from
     ``sources`` (exact when sources=None). wf_improved scales by the
-    reached fraction (closeness_centrality.h / networkx)."""
+    reached fraction (closeness_centrality.h / networkx).
+    ``weight_col`` switches distances to weighted shortest paths
+    (the Dijkstra branch, via the batched multi_source_weighted pass)."""
     n = g.num_vertices
-    pairs = multi_source_bfs(g, sources)
+    pairs = (multi_source_weighted(g, sources, weight_col)
+             if weight_col else multi_source_bfs(g, sources))
     into = (
         pairs.filter(F.col("dist") > 0)
         .groupBy("id")
@@ -168,14 +172,17 @@ def closeness_centrality(
 
 
 def harmonic_centrality(
-    g: Graph, sources: DataFrame | None = None
+    g: Graph, sources: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(id, harmonic) — H(v) = Σ_s 1/d(s, v) over incoming shortest paths
     from ``sources`` (flash/centrality/harmonic.h:64-86 accumulates
     d.val += 1/i the round a source's BFS bit first reaches v; exact when
     sources=None, source-sampled otherwise — the reference samples 500
-    random sources, harmonic.h:48,62-66)."""
-    pairs = multi_source_bfs(g, sources)
+    random sources, harmonic.h:48,62-66). ``weight_col`` switches to
+    weighted shortest-path distances."""
+    pairs = (multi_source_weighted(g, sources, weight_col)
+             if weight_col else multi_source_bfs(g, sources))
     into = (
         pairs.filter(F.col("dist") > 0)
         .groupBy("id")

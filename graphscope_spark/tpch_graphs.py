@@ -1925,3 +1925,36 @@ SELECT v.id,
              {FLOAT_DECIMALS}) AS betweenness
 FROM verts v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id""")
     return _materialized("WITH " + "".join(parts))
+
+
+def closeness_weighted_sql(relax_rounds: int = 16) -> str:
+    """Twin of paths.py::closeness_centrality(weight_col=) on the supplier
+    chain+skip graph — unrolled weighted relaxation, then the wf_improved
+    closeness formula over reached pairs."""
+    parts = [SUPPLIER_CHAIN_CTE.rstrip(), """,
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+d0 AS (SELECT id AS src, id, 0.0 AS dist FROM verts)"""]
+    for k in range(1, relax_rounds + 1):
+        p = f"d{k-1}"
+        parts.append(f""",
+rx{k} AS (
+  SELECT p.src, e.dst AS id, MIN(p.dist + e.w) AS nd
+  FROM {p} p JOIN wboth e ON e.src = p.id
+  GROUP BY p.src, e.dst
+),
+d{k} AS (
+  SELECT COALESCE(a.src, b.src) AS src, COALESCE(a.id, b.id) AS id,
+         LEAST(COALESCE(a.dist, b.nd), COALESCE(b.nd, a.dist)) AS dist
+  FROM {p} a FULL JOIN rx{k} b ON a.src = b.src AND a.id = b.id
+)""")
+    parts.append(f""",
+intod AS (
+  SELECT id, CAST(COUNT(*) AS DOUBLE) AS r, SUM(dist) AS total
+  FROM d{relax_rounds} WHERE dist > 0 GROUP BY id
+)
+SELECT v.id,
+       ROUND(COALESCE((i.r / i.total) * i.r
+                      / ((SELECT n FROM nv) - 1), 0.0),
+             {FLOAT_DECIMALS}) AS closeness
+FROM verts v LEFT JOIN intod i ON v.id = i.id ORDER BY v.id""")
+    return _materialized("WITH " + "".join(parts))

@@ -109,3 +109,49 @@ def test_weighted_betweenness_endpoints(spark):
                g, None, "w", normalized=False, endpoints=True).collect()}
     for v in verts:
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_weighted_closeness_and_harmonic(spark):
+    from graphscope_spark.algorithms.paths import (
+        closeness_centrality, harmonic_centrality,
+    )
+    g, verts, rows = _graph(spark, seed=41, n=18, m=30)
+    adj = {v: [] for v in verts}
+    for u, v, w in rows:
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+
+    def dijkstra(s):
+        dist = {s: 0.0}
+        heap = [(0.0, s)]
+        done = set()
+        while heap:
+            d, v = heapq.heappop(heap)
+            if v in done:
+                continue
+            done.add(v)
+            for u, w in adj[v]:
+                if d + w < dist.get(u, float("inf")):
+                    dist[u] = d + w
+                    heapq.heappush(heap, (d + w, u))
+        return dist
+
+    n = len(verts)
+    want_c = {}
+    want_h = {}
+    into = {v: [] for v in verts}
+    for s in verts:
+        for v, d in dijkstra(s).items():
+            if d > 0:
+                into[v].append(d)
+    for v in verts:
+        ds = into[v]
+        want_c[v] = (len(ds) / sum(ds)) * len(ds) / (n - 1) if ds else 0.0
+        want_h[v] = sum(1.0 / d for d in ds)
+    got_c = {r["id"]: r["closeness"]
+             for r in closeness_centrality(g, None, weight_col="w").collect()}
+    got_h = {r["id"]: r["harmonic"]
+             for r in harmonic_centrality(g, None, weight_col="w").collect()}
+    for v in verts:
+        assert abs(got_c[v] - want_c[v]) < 1e-9, v
+        assert abs(got_h[v] - want_h[v]) < 1e-9, v
