@@ -574,3 +574,13 @@ def betweenness_centrality_weighted(
         except Exception:
             pass
     return out
+
+
+def all_pairs_weighted_shortest_path_length(
+    g: Graph, weight_col: str, max_iter: int = 10_000
+) -> DataFrame:
+    """(src, id, dist) — weighted APSP lengths for reached pairs: the
+    weighted twin of all_pairs_shortest_path_length (the reference's
+    apsp app runs per-source Dijkstra when the projected graph carries an
+    edge property; here one batched multi-source relaxation)."""
+    return multi_source_weighted(g, None, weight_col, max_iter)
