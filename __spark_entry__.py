@@ -11,8 +11,11 @@ different orders.
 Queries WITHOUT an oracle entry (rows-only check, reasons inline):
 bcc / bridges / articulation_points (BFS-forest-dependent labels; exact
 Tarjan oracle in pytest), louvain / fluid_community (multi-pass
-heuristics; planted-structure pytest oracles), ann_ivf (k-means
-quantizer), node2vec (float inverse-CDF pick). Everything
+heuristics; planted-structure pytest oracles), lpa_by_color /
+fluid_by_color (color-scheduled Gauss–Seidel; exact sequential-replay
+pytest oracles — class count is data-dependent so a fixed SQL unroll
+would be fragile), ann_ivf (k-means quantizer), node2vec (float
+inverse-CDF pick). Everything
 else — including every deterministic fixpoint (matching family, peels,
 coloring, MSF, tolerance PageRank: idempotent loops unroll to generous
 fixed depth, flash_oracles.py) and the full corpus path (corpus_oracles.py

@@ -50,3 +50,14 @@ from graphscope_spark.algorithms.simple_paths import (  # noqa: F401
     all_simple_paths, bfs_edges, bfs_parents, bfs_successors, is_simple_path,
     sampling_path, shortest_path_expand,
 )
+from graphscope_spark.algorithms.cc_variants import (  # noqa: F401
+    cc_block, cc_opt, cc_pull,
+)
+from graphscope_spark.algorithms.measurement import msf_block  # noqa: F401
+from graphscope_spark.algorithms.cdlp import lpa_by_color  # noqa: F401
+from graphscope_spark.algorithms.fluid import fluid_by_color  # noqa: F401
+from graphscope_spark.algorithms.clustering import lcc_directed  # noqa: F401
+from graphscope_spark.algorithms.paths import (  # noqa: F401
+    all_pairs_weighted_shortest_path_length, betweenness_centrality_weighted,
+    multi_source_weighted,
+)
