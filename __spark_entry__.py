@@ -286,6 +286,24 @@ def _q_closeness_weighted(spark, sf_dir):
     )
 
 
+def _q_harmonic_weighted(spark, sf_dir):
+    from graphscope_spark.algorithms.paths import harmonic_centrality
+    g = tg.supplier_chain_graph(spark, sf_dir)
+    return harmonic_centrality(g, None, weight_col="w").select(
+        "id", F.round("harmonic", RD).alias("harmonic")
+    )
+
+
+def _q_apsp_weighted(spark, sf_dir):
+    from graphscope_spark.algorithms.paths import (
+        all_pairs_weighted_shortest_path_length,
+    )
+    g = tg.supplier_chain_graph(spark, sf_dir)
+    return all_pairs_weighted_shortest_path_length(g, "w").select(
+        "src", "id", F.round("dist", RD).alias("dist")
+    )
+
+
 def _q_betweenness_weighted(spark, sf_dir):
     # the Dijkstra branch of betweenness_centrality_generic.h:69-77, exact
     # (all sources) on the supplier chain+skip graph whose tied 2-hop paths
@@ -858,6 +876,43 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from graphscope_spark.functions.text import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_gopher_filter(spark, sf_dir):
+    # keep is CAST to BIGINT on both sides (engine-portable value hash)
+    from graphscope_spark.functions.text import gopher_filter
+    return gopher_filter(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("keep").cast("long").alias("keep")
+    )
+
+
+def _q_pii_mask(spark, sf_dir):
+    # the synthetic documents carry no PII, so inject it deterministically
+    # (same CASE expression as do.pii_mask_sql) and verify mask + counts
+    from graphscope_spark.functions.text import mask_pii
+    d = _docs(spark, sf_dir)
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com"),
+                F.lit(" see http://ex"), F.col("doc_id").cast("string"),
+                F.lit(".test id 1234567"),
+                (F.col("doc_id") % 10).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return mask_pii(injected).select(
+        "doc_id", F.sha2(F.col("masked"), 256).alias("masked_sha"),
+        "n_emails", "n_urls", "n_ids",
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from graphscope_spark.functions.dedup import dedup_clusters
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.2)
@@ -1011,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_endpoints": _q_betweenness_endpoints,
         "betweenness_weighted": _q_betweenness_weighted,
         "closeness_weighted": _q_closeness_weighted,
+        "harmonic_weighted": _q_harmonic_weighted,
+        "apsp_weighted": _q_apsp_weighted,
         "flash_cc": _q_flash_cc,
         "louvain": _q_louvain,
         "sssp_path": _q_sssp_path,
@@ -1088,6 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "token_histogram": _q_token_histogram,
         "stratified_sample": _q_stratified_sample,
+        "repetition_stats": _q_repetition_stats,
+        "gopher_filter": _q_gopher_filter,
+        "pii_mask": _q_pii_mask,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1143,6 +1203,8 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_endpoints": tg.betweenness_sql(mod=20, endpoints=True),
         "betweenness_weighted": tg.betweenness_weighted_sql(),
         "closeness_weighted": tg.closeness_weighted_sql(),
+        "harmonic_weighted": tg.harmonic_weighted_sql(),
+        "apsp_weighted": tg.apsp_weighted_sql(),
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "path_expand": tg.path_expand_sql(mod=50),
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),
@@ -1224,6 +1286,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": do.dedup_clusters_sql(threshold=0.2),
         "token_histogram": do.token_histogram_sql(min_count=2),
         "stratified_sample": do.stratified_sample_sql("lang", 0.3, seed=0),
+        "repetition_stats": do.repetition_stats_sql(),
+        "gopher_filter": do.gopher_filter_sql(),
+        "pii_mask": do.pii_mask_sql(),
         "ann_topk": do.ann_topk_sql(k=5, n_queries=10),
         "simhash": do.simhash_sql(),
         "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),

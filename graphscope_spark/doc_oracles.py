@@ -329,3 +329,105 @@ def stratified_sample_sql(strata_col: str, fraction: float,
     return f"""
 SELECT doc_id, {strata_col}
 FROM documents WHERE {h} < {bound}"""
+
+
+_REP_BASE = f"""
+t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+rep_base AS (
+  SELECT doc_id,
+         ROUND(1 - len(list_distinct(string_split(text, chr(10))))
+               / CAST(len(string_split(text, chr(10))) AS DOUBLE),
+               {FLOAT_DECIMALS}) AS dup_line_frac,
+         ROUND(1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE),
+               {FLOAT_DECIMALS}) AS dup_word_frac
+  FROM t),
+bg AS (
+  SELECT doc_id, length(text) AS nc,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t),
+rep_top AS (
+  SELECT doc_id,
+         ROUND(MAX(CASE WHEN c >= 2 THEN c * length(gram) END)
+               / CAST(nc AS DOUBLE),
+               {FLOAT_DECIMALS}) AS top_bigram_char_frac
+  FROM (SELECT doc_id, nc, gram, COUNT(*) AS c
+        FROM bg GROUP BY doc_id, nc, gram) g
+  GROUP BY doc_id, nc),
+rep AS (
+  SELECT b.doc_id, b.dup_line_frac, b.dup_word_frac,
+         COALESCE(p.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
+  FROM rep_base b LEFT JOIN rep_top p ON b.doc_id = p.doc_id)"""
+
+
+def repetition_stats_sql() -> str:
+    """Twin of functions/text.py::repetition_stats (Gopher-style
+    repetition signals; list exprs for the line/word fractions, a
+    grouped bigram pass for the top-2-gram character share)."""
+    return f"""
+WITH {_REP_BASE}
+SELECT doc_id, dup_line_frac, dup_word_frac, top_bigram_char_frac
+FROM rep ORDER BY doc_id"""
+
+
+def gopher_filter_sql(
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_dup_line_frac: float = 0.30,
+    max_dup_word_frac: float = 0.70,
+    max_top_bigram_char_frac: float = 0.20,
+) -> str:
+    """Twin of functions/text.py::gopher_filter — recomputes the same
+    (rounded) doc_stats + repetition_stats features and applies the same
+    rule conjunction; ``keep`` is CAST to BIGINT on both sides so the
+    value-hash compares integers, not engine-specific booleans."""
+    return f"""
+WITH {_REP_BASE},
+st AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         ROUND(length(array_to_string(toks, ''))
+               / CAST(len(toks) AS DOUBLE), {FLOAT_DECIMALS}) AS avg_token_len
+  FROM t)
+SELECT st.doc_id,
+       CAST(st.n_tokens >= {min_tokens} AND st.n_tokens <= {max_tokens}
+            AND st.avg_token_len >= {min_avg_token_len}
+            AND st.avg_token_len <= {max_avg_token_len}
+            AND rep.dup_line_frac <= {max_dup_line_frac}
+            AND rep.dup_word_frac <= {max_dup_word_frac}
+            AND rep.top_bigram_char_frac <= {max_top_bigram_char_frac}
+            AS BIGINT) AS keep
+FROM st JOIN rep ON st.doc_id = rep.doc_id ORDER BY st.doc_id"""
+
+
+def pii_mask_sql() -> str:
+    """Twin of __spark_entry__._q_pii_mask: deterministically inject
+    synthetic PII (the documents table carries none), then mask with the
+    SAME patterns (functions/text.py::PII_*_RE — chosen to compile
+    identically under Java regex and RE2) and count matches. DuckDB
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all default."""
+    from graphscope_spark.functions.text import (
+        PII_EMAIL_RE, PII_ID_RE, PII_URL_RE,
+    )
+    inj = ("CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id"
+           " || '@example.com see http://ex' || doc_id"
+           " || '.test id 1234567' || (doc_id % 10) ELSE text END")
+    m1 = f"regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    m2 = f"regexp_replace(m1, '{PII_URL_RE}', '<URL>', 'g')"
+    m3 = f"regexp_replace(m2, '{PII_ID_RE}', '<ID>', 'g')"
+    return f"""
+WITH inj AS (SELECT doc_id, {inj} AS text FROM documents),
+s1 AS (SELECT doc_id, text,
+              len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+              {m1} AS m1 FROM inj),
+s2 AS (SELECT doc_id, n_emails,
+              len(regexp_extract_all(m1, '{PII_URL_RE}')) AS n_urls,
+              {m2} AS m2 FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_urls,
+              len(regexp_extract_all(m2, '{PII_ID_RE}')) AS n_ids,
+              {m3} AS m3 FROM s2)
+SELECT doc_id, sha256(m3) AS masked_sha, n_emails, n_urls, n_ids
+FROM s3 ORDER BY doc_id"""

@@ -153,6 +153,143 @@ def token_histogram(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dup_line_frac, dup_word_frac, top_bigram_char_frac) —
+    Gopher-style repetition signals (Rae et al. 2021, appendix A1.1:
+    duplicate line / paragraph fractions and top-n-gram character
+    fractions are the strongest cheap indicators of boilerplate and
+    degenerate text):
+
+      * ``dup_line_frac``  = 1 − distinct lines / lines,
+      * ``dup_word_frac``  = 1 − distinct tokens / tokens,
+      * ``top_bigram_char_frac`` = max over REPEATED word-2-grams
+        (occurrences ≥ 2) of (occurrences × gram length) / n_chars — the
+        character share a single repeated bigram can explain; 0 when no
+        bigram repeats (deterministic: a max over numbers, no argmax
+        tie-break needed).
+
+    Plan shape: the line/word fractions are pure array expressions
+    (whole-stage codegen, zero shuffle); the bigram pass is one explode +
+    one two-level groupBy whose shuffle carries (doc, gram, partial-count)
+    — map-side combining bounds it by per-partition vocabulary, the same
+    property token_histogram relies on at 100 TB."""
+    text = F.col(text_col)
+    toks = tokenize(text_col)
+    lines = F.split(text, "\n")
+    base = docs.select(
+        F.col(id_col),
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+            FLOAT_DECIMALS,
+        ).alias("dup_line_frac"),
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)) / F.size(toks),
+            FLOAT_DECIMALS,
+        ).alias("dup_word_frac"),
+    )
+    grams = docs.select(
+        F.col(id_col),
+        F.length(text).alias("_nc"),
+        F.explode(
+            F.zip_with(
+                F.expr(f"slice(split(trim({text_col}), '\\\\s+'), 1, "
+                       f"size(split(trim({text_col}), '\\\\s+')) - 1)"),
+                F.expr(f"slice(split(trim({text_col}), '\\\\s+'), 2, "
+                       f"size(split(trim({text_col}), '\\\\s+')) - 1)"),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy(id_col, "_nc", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "_nc")
+        .agg(
+            F.max(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("gram"))
+            ).alias("_tb")
+        )
+        .select(
+            id_col,
+            F.round(F.col("_tb") / F.col("_nc"), FLOAT_DECIMALS)
+            .alias("top_bigram_char_frac"),
+        )
+    )
+    return base.join(top, id_col, "left").select(
+        id_col, "dup_line_frac", "dup_word_frac",
+        F.coalesce(F.col("top_bigram_char_frac"), F.lit(0.0))
+        .alias("top_bigram_char_frac"),
+    )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_dup_line_frac: float = 0.30,
+    max_dup_word_frac: float = 0.70,
+    max_top_bigram_char_frac: float = 0.20,
+) -> DataFrame:
+    """(id, keep) — a Gopher-style document quality rule set: token-count
+    and mean-token-length windows plus the repetition caps from
+    :func:`repetition_stats`. Fixed, documented thresholds (the published
+    rules' shape; the exact numbers are corpus-tuning knobs exposed as
+    arguments). A doc is kept iff every rule passes."""
+    s = doc_stats(docs, text_col, id_col)
+    r = repetition_stats(docs, text_col, id_col)
+    j = s.join(r, id_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("avg_token_len") >= min_avg_token_len)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_bigram_char_frac") <= max_top_bigram_char_frac)
+    )
+    return j.select(F.col(id_col), keep.alias("keep"))
+
+
+#: PII patterns — identical strings compile under Java regex and RE2
+#: (no lookaround, no \S shorthand inside classes), so the Spark op and
+#: the DuckDB twin share them verbatim.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^ ]+"
+PII_ID_RE = r"[0-9]{7,}"
+
+
+def mask_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, masked, n_emails, n_urls, n_ids) — deterministic PII scrubbing
+    for training-data curation: emails → ``<EMAIL>``, URLs → ``<URL>``,
+    long digit runs (ids/phones) → ``<ID>``, with per-document match
+    counts for audit. Masking order matters and is fixed: emails before
+    URLs before digit runs (an email is never part of a URL here and
+    digit runs inside either are already masked). Pure JVM regex
+    projection — single-pass, scan-bound at 100 TB."""
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0))
+    masked = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    n_urls = F.size(F.regexp_extract_all(masked, F.lit(PII_URL_RE), 0))
+    masked = F.regexp_replace(masked, PII_URL_RE, "<URL>")
+    n_ids = F.size(F.regexp_extract_all(masked, F.lit(PII_ID_RE), 0))
+    masked = F.regexp_replace(masked, PII_ID_RE, "<ID>")
+    return docs.select(
+        F.col(id_col),
+        masked.alias("masked"),
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_ids.alias("n_ids"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,

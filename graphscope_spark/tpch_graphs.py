@@ -1931,8 +1931,25 @@ def closeness_weighted_sql(relax_rounds: int = 16) -> str:
     """Twin of paths.py::closeness_centrality(weight_col=) on the supplier
     chain+skip graph — unrolled weighted relaxation, then the wf_improved
     closeness formula over reached pairs."""
-    parts = [SUPPLIER_CHAIN_CTE.rstrip(), """,
+    return _materialized(_weighted_relax_cte(relax_rounds) + f""",
 nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+intod AS (
+  SELECT id, CAST(COUNT(*) AS DOUBLE) AS r, SUM(dist) AS total
+  FROM d{relax_rounds} WHERE dist > 0 GROUP BY id
+)
+SELECT v.id,
+       ROUND(COALESCE((i.r / i.total) * i.r
+                      / ((SELECT n FROM nv) - 1), 0.0),
+             {FLOAT_DECIMALS}) AS closeness
+FROM verts v LEFT JOIN intod i ON v.id = i.id ORDER BY v.id""")
+
+
+def _weighted_relax_cte(relax_rounds: int) -> str:
+    """Shared prefix of the weighted oracles: SUPPLIER_CHAIN_CTE plus
+    ``relax_rounds`` unrolled Bellman-Ford relaxations starting from every
+    vertex (d0 = all self-pairs at dist 0) — expression-equal to
+    paths.py::multi_source_weighted on the same graph."""
+    parts = [SUPPLIER_CHAIN_CTE.rstrip(), """,
 d0 AS (SELECT id AS src, id, 0.0 AS dist FROM verts)"""]
     for k in range(1, relax_rounds + 1):
         p = f"d{k-1}"
@@ -1947,14 +1964,27 @@ d{k} AS (
          LEAST(COALESCE(a.dist, b.nd), COALESCE(b.nd, a.dist)) AS dist
   FROM {p} a FULL JOIN rx{k} b ON a.src = b.src AND a.id = b.id
 )""")
-    parts.append(f""",
-intod AS (
-  SELECT id, CAST(COUNT(*) AS DOUBLE) AS r, SUM(dist) AS total
+    return "WITH " + "".join(parts)
+
+
+def harmonic_weighted_sql(relax_rounds: int = 16) -> str:
+    """Twin of paths.py::harmonic_centrality(weight_col=) on the supplier
+    chain+skip graph — H(v) = SUM_s 1/d(s, v) over weighted shortest-path
+    distances (the weight branch of flash/centrality/harmonic.h's
+    accumulation, exact sources)."""
+    return _materialized(_weighted_relax_cte(relax_rounds) + f""",
+intoh AS (
+  SELECT id, SUM(1.0 / dist) AS h
   FROM d{relax_rounds} WHERE dist > 0 GROUP BY id
 )
-SELECT v.id,
-       ROUND(COALESCE((i.r / i.total) * i.r
-                      / ((SELECT n FROM nv) - 1), 0.0),
-             {FLOAT_DECIMALS}) AS closeness
-FROM verts v LEFT JOIN intod i ON v.id = i.id ORDER BY v.id""")
-    return _materialized("WITH " + "".join(parts))
+SELECT v.id, ROUND(COALESCE(i.h, 0.0), {FLOAT_DECIMALS}) AS harmonic
+FROM verts v LEFT JOIN intoh i ON v.id = i.id ORDER BY v.id""")
+
+
+def apsp_weighted_sql(relax_rounds: int = 16) -> str:
+    """Twin of paths.py::all_pairs_weighted_shortest_path_length on the
+    supplier chain+skip graph: every reached (src, id) pair with its
+    weighted distance (integer-valued by construction — exact compare)."""
+    return _materialized(_weighted_relax_cte(relax_rounds) + f"""
+SELECT src, id, ROUND(dist, {FLOAT_DECIMALS}) AS dist
+FROM d{relax_rounds} ORDER BY src, id""")

@@ -307,3 +307,63 @@ def test_stratified_sample_deterministic_and_proportional(docs):
     s3 = {r["doc_id"] for r in
           stratified_sample(docs, "lang", 0.5, seed=4).collect()}
     assert s3 != s1
+
+
+def test_repetition_stats_exact(spark):
+    from graphscope_spark.functions.text import repetition_stats
+    d = spark.createDataFrame(
+        [
+            # 4 lines, one duplicated; "a b" bigram appears twice
+            (1, "a b c\na b d\na b c\nx y"),
+            # no repetition at all
+            (2, "p q r s"),
+            # single token: no bigrams
+            (3, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(d).collect()}
+    # doc 1: 4 lines, 3 distinct -> 0.25; 11 tokens, 6 distinct
+    assert rows[1].dup_line_frac == 0.25
+    assert abs(rows[1].dup_word_frac - (1 - 6 / 11)) < 1e-6
+    # doc 1 text has 21 chars; top bigram "a b" (len 3) occurs 3 times
+    assert abs(rows[1].top_bigram_char_frac - 9 / 21) < 1e-6
+    assert rows[2].dup_line_frac == 0.0
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[3].top_bigram_char_frac == 0.0
+
+
+def test_gopher_filter_rules(spark):
+    from graphscope_spark.functions.text import gopher_filter
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "spam spam spam spam spam spam spam spam"),  # dup words
+            (3, "too short"),  # < min_tokens
+        ],
+        ["doc_id", "text"],
+    )
+    keep = {r.doc_id: r.keep for r in gopher_filter(d).collect()}
+    assert keep[1] is True
+    assert keep[2] is False
+    assert keep[3] is False
+
+
+def test_mask_pii_exact(spark):
+    from graphscope_spark.functions.text import mask_pii
+    d = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or call 5551234567"),
+            (2, "see https://example.com/a?b=1 and http://x.io ok"),
+            (3, "clean text with short digits 123"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in mask_pii(d).collect()}
+    assert rows[1].masked == "mail me at <EMAIL> or call <ID>"
+    assert (rows[1].n_emails, rows[1].n_urls, rows[1].n_ids) == (1, 0, 1)
+    assert rows[2].masked == "see <URL> and <URL> ok"
+    assert rows[2].n_urls == 2
+    assert rows[3].masked == rows[3].masked.replace("<", "<")  # unchanged
+    assert (rows[3].n_emails, rows[3].n_urls, rows[3].n_ids) == (0, 0, 0)
+    assert rows[3].masked == "clean text with short digits 123"
