@@ -16,7 +16,7 @@ from graphscope_spark.operators.traversal import (  # noqa: F401
 )
 from graphscope_spark.operators.relational import (  # noqa: F401
     apply_subquery, dedup, group_by, join, limit, order_by, project, sample,
-    scan, select, union, unfold,
+    scan, select, union, unfold, vertex_range,
 )
 from graphscope_spark.operators.skew import (  # noqa: F401
     salted_join,

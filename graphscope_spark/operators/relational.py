@@ -130,3 +130,19 @@ def apply_subquery(df: DataFrame, subquery, kind: str = "semi") -> DataFrame:
     sub = subquery(df)
     key = [c for c in df.columns if c in sub.columns]
     return join(df, sub, key, kind)
+
+
+def vertex_range(df: DataFrame, begin: int | None = None,
+                 end: int | None = None, id_col: str = "id") -> DataFrame:
+    """GAE context ``vertex_range=[begin, end)`` slicing
+    (python/graphscope/framework/context.py:137-160 — results restricted
+    to the half-open oid range over the sorted vertex order; tested in
+    test_app.py:141-149). A pure range predicate: Catalyst pushes it into
+    the scan as min/max filters, so slicing a 100 TB result set prunes row
+    groups rather than sorting anything."""
+    out = df
+    if begin is not None:
+        out = out.filter(F.col(id_col) >= begin)
+    if end is not None:
+        out = out.filter(F.col(id_col) < end)
+    return out

@@ -159,3 +159,13 @@ def test_salted_join_parity_and_hub_isolation(spark, g, graph_data):
     assert len(hub_rows) == 4 and hub_rows[0]["deg"] >= hub_rows[-1]["deg"]
     isolated = skew_isolated_join(e, msgs, "src", hubs)
     assert sorted(map(tuple, isolated.collect())) == want
+
+
+def test_vertex_range_slicing(spark):
+    from graphscope_spark.operators import vertex_range
+    df = spark.range(100).withColumnRenamed("id", "id")
+    got = sorted(r.id for r in vertex_range(df, 10, 20).collect())
+    assert got == list(range(10, 20))
+    assert vertex_range(df, None, 5).count() == 5
+    assert vertex_range(df, 95, None).count() == 5
+    assert vertex_range(df).count() == 100
