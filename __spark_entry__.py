@@ -913,6 +913,11 @@ def _q_pii_mask(spark, sf_dir):
     )
 
 
+def _q_pack_documents(spark, sf_dir):
+    from graphscope_spark.functions.text import pack_documents
+    return pack_documents(_docs(spark, sf_dir), max_tokens=64, n_shards=8)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from graphscope_spark.functions.dedup import dedup_clusters
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.2)
@@ -1148,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "gopher_filter": _q_gopher_filter,
         "pii_mask": _q_pii_mask,
+        "pack_documents": _q_pack_documents,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1289,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": do.repetition_stats_sql(),
         "gopher_filter": do.gopher_filter_sql(),
         "pii_mask": do.pii_mask_sql(),
+        "pack_documents": do.pack_documents_sql(max_tokens=64, n_shards=8),
         "ann_topk": do.ann_topk_sql(k=5, n_queries=10),
         "simhash": do.simhash_sql(),
         "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),

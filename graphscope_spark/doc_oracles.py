@@ -431,3 +431,26 @@ s3 AS (SELECT doc_id, n_emails, n_urls,
               {m3} AS m3 FROM s2)
 SELECT doc_id, sha256(m3) AS masked_sha, n_emails, n_urls, n_ids
 FROM s3 ORDER BY doc_id"""
+
+
+def pack_documents_sql(max_tokens: int, n_shards: int = 32,
+                       seed: int = 0) -> str:
+    """Twin of functions/text.py::pack_documents — same portable hash,
+    same (h, doc_id) per-shard total order, same window cumsum; division
+    forced to DOUBLE on both sides so FLOOR(start/max_tokens) rounds
+    identically (IEEE)."""
+    h = hash64_sql(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {h} AS h, len({TOKS}) AS n_tokens,
+         {h} % {n_shards} AS shard
+  FROM documents),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id)
+              - n_tokens AS BIGINT) AS start
+  FROM base)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(start / {max_tokens}.0) AS BIGINT) AS bin,
+       start % {max_tokens} AS "offset"
+FROM cum ORDER BY doc_id"""

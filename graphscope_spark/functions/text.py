@@ -11,7 +11,7 @@ Catalyst prunes to the columns used.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphscope_spark.functions.hashing import hash64
@@ -287,6 +287,45 @@ def mask_pii(
         n_emails.alias("n_emails"),
         n_urls.alias("n_urls"),
         n_ids.alias("n_ids"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, shard, n_tokens, bin, offset) — deterministic sequence packing
+    for pretraining batch assembly (the concatenate-and-chunk scheme:
+    documents are laid end-to-end in a fixed order and cut into
+    ``max_tokens``-sized bins; a document may span a bin boundary, exactly
+    as pretraining token streams do).
+
+    Determinism and scale come from the same trick as stratified_sample:
+    each doc is assigned a portable 60-bit hash h(id, seed); ``shard`` =
+    h mod n_shards partitions the corpus into independent streams, and
+    within a shard docs are ordered by (h, id) — a total order both
+    engines reproduce bit-exactly. The running token offset is one window
+    cumsum per shard; ``bin`` = floor(start / max_tokens) and ``offset`` =
+    start mod max_tokens locate the doc in its stream. At 100 TB the sort
+    is per-shard (pick n_shards ∝ cluster width; each shard sorts
+    independently after one hash exchange), never global."""
+    h = hash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    base = docs.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
+        F.pmod(h, F.lit(n_shards)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col, "shard", "n_tokens",
+        F.floor(start / max_tokens).cast("long").alias("bin"),
+        (start % max_tokens).alias("offset"),
     )
 
 

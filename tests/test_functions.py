@@ -367,3 +367,34 @@ def test_mask_pii_exact(spark):
     assert rows[3].masked == rows[3].masked.replace("<", "<")  # unchanged
     assert (rows[3].n_emails, rows[3].n_urls, rows[3].n_ids) == (0, 0, 0)
     assert rows[3].masked == "clean text with short digits 123"
+
+
+def test_pack_documents_invariants(docs):
+    from graphscope_spark.functions.text import pack_documents
+    packed = pack_documents(docs, max_tokens=64, n_shards=4).cache()
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+    # per-shard stream: offsets restart, bins increase with stream position
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.offset < 64
+        assert r.bin >= 0
+        by_shard.setdefault(r.shard, []).append(r)
+    # replay each shard's stream: start offsets must be the running cumsum
+    from graphscope_spark.functions.hashing import hash64
+    import pyspark.sql.functions as F
+    hcol = hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":0")))
+    order = {
+        r.doc_id: (r.h, r.doc_id)
+        for r in docs.select("doc_id", hcol.alias("h")).collect()
+    }
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: order[r.doc_id])
+        cum = 0
+        for r in rs:
+            assert r.bin == cum // 64
+            assert r.offset == cum % 64
+            cum += r.n_tokens
+    # determinism
+    again = pack_documents(docs, max_tokens=64, n_shards=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
