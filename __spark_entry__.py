@@ -913,6 +913,13 @@ def _q_pii_mask(spark, sf_dir):
     )
 
 
+def _q_ego_network(spark, sf_dir):
+    from graphscope_spark.sampling import ego_network
+    g = tg.copurchase_graph(spark, sf_dir)
+    seeds = g.vertices.filter(F.col("id") % 50 == 0)
+    return ego_network(g, seeds, k=2).distinct()
+
+
 def _q_pack_documents(spark, sf_dir):
     from graphscope_spark.functions.text import pack_documents
     return pack_documents(_docs(spark, sf_dir), max_tokens=64, n_shards=8)
@@ -1154,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "pii_mask": _q_pii_mask,
         "pack_documents": _q_pack_documents,
+        "ego_network": _q_ego_network,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1296,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": do.gopher_filter_sql(),
         "pii_mask": do.pii_mask_sql(),
         "pack_documents": do.pack_documents_sql(max_tokens=64, n_shards=8),
+        "ego_network": tg.ego_network_sql(k=2, seed_mod=50),
         "ann_topk": do.ann_topk_sql(k=5, n_queries=10),
         "simhash": do.simhash_sql(),
         "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),

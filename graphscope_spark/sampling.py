@@ -43,6 +43,7 @@ __all__ = [
     "random_walks",
     "negative_sample",
     "node2vec_walks",
+    "ego_network",
 ]
 
 
@@ -367,4 +368,36 @@ def negative_sample(
         g.out_edges.select("src", F.col("dst").alias("neg")).distinct(),
         ["src", "neg"],
         "left_anti",
+    )
+
+
+def ego_network(g: Graph, seeds: DataFrame, k: int = 2,
+                id_col: str = "id") -> DataFrame:
+    """(seed, src, dst) — the induced edge set of every seed's k-hop
+    out-neighborhood: the GNN mini-batch SubGraph induction step
+    (GraphLearn's full-neighbor sampler feeding an induced subgraph; the
+    vendored traversal surface is python/graphscope/learning/graph.py:
+    218-267). Reach sets are built with k frontier-proportional hops
+    (each hop ONE join against the src-partitioned edge cache, expanding
+    only the newly reached frontier), then the induced edges come from two
+    semi-style joins keyed on (seed, endpoint) — work proportional to
+    Σ_seed |ego(seed)|, never O(V·seeds)."""
+    edges = g.out_edges.select("src", "dst")
+    reach = seeds.select(
+        F.col(id_col).alias("seed"), F.col(id_col).alias("v")
+    ).distinct()
+    frontier = reach
+    for _ in range(k):
+        nxt = (
+            frontier.join(edges.withColumnRenamed("src", "v"), "v")
+            .select("seed", F.col("dst").alias("v"))
+            .distinct()
+            .join(reach, ["seed", "v"], "left_anti")
+        )
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+    return (
+        edges.join(reach.withColumnRenamed("v", "src"), "src")
+        .join(reach.withColumnRenamed("v", "dst"), ["seed", "dst"])
+        .select("seed", "src", "dst")
     )

@@ -1988,3 +1988,27 @@ def apsp_weighted_sql(relax_rounds: int = 16) -> str:
     return _materialized(_weighted_relax_cte(relax_rounds) + f"""
 SELECT src, id, ROUND(dist, {FLOAT_DECIMALS}) AS dist
 FROM d{relax_rounds} ORDER BY src, id""")
+
+
+def ego_network_sql(k: int = 2, seed_mod: int = 50) -> str:
+    """Twin of sampling.ego_network on the co-purchase graph with seeds =
+    vertices where id % seed_mod == 0: k unrolled reach expansions, then
+    the induced-edge join keyed on (seed, endpoint)."""
+    ctes = [COPURCHASE_CTE.rstrip(),
+            f"r0 AS (SELECT id AS seed, id AS v FROM verts "
+            f"WHERE id % {seed_mod} = 0)"]
+    prev = "r0"
+    for hop in range(1, k + 1):
+        ctes.append(f"""r{hop} AS (
+  SELECT seed, v FROM {prev}
+  UNION
+  SELECT f.seed, e.dst AS v
+  FROM {prev} f JOIN edges e ON e.src = f.v
+)""")
+        prev = f"r{hop}"
+    return _materialized("WITH " + ",\n".join(ctes) + f"""
+SELECT DISTINCT a.seed, e.src, e.dst
+FROM (SELECT DISTINCT src, dst FROM edges) e
+JOIN {prev} a ON a.v = e.src
+JOIN {prev} b ON b.seed = a.seed AND b.v = e.dst
+ORDER BY a.seed, e.src, e.dst""")

@@ -241,3 +241,23 @@ def test_sample_neighbors_weighted_oracle(spark):
     # overwhelmingly likely in 3 draws — and must appear iff the oracle
     # says so (exactness already guaranteed above).
     assert (1, 1, 1, 11) in exp or (1, 1, 1, 11) not in got
+
+
+def test_ego_network_exact(spark):
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.sampling import ego_network
+    import pyspark.sql.functions as F
+    # path 1->2->3->4 plus a back-edge 3->1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (3, 1)], ["src", "dst"]
+    )
+    g = Graph(edges, directed=True)
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    got = {(r.seed, r.src, r.dst)
+           for r in ego_network(g, seeds, k=2).collect()}
+    # 2-hop reach of 1 = {1,2,3}; induced edges among them
+    assert got == {(1, 1, 2), (1, 2, 3), (1, 3, 1)}
+    # k=3 adds vertex 4 and edge 3->4
+    got3 = {(r.seed, r.src, r.dst)
+            for r in ego_network(g, seeds, k=3).collect()}
+    assert got3 == got | {(1, 3, 4)}
