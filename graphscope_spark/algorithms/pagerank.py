@@ -41,6 +41,7 @@ def pagerank(
     checkpoint_every: int = 0,
     run_id: str | None = None,
     resume: bool = False,
+    init_state: DataFrame | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is ``(id: long, rank: double,
     out_deg: long)`` (out_deg rides along so no per-round degree join).
@@ -48,6 +49,13 @@ def pagerank(
     ``tol=None`` reproduces the fixed-round app; ``tol`` set reproduces
     pagerank_nx L1 convergence (alpha=0.85, max_iter=100, tol=1e-6 defaults
     in python/graphscope/analytical/app/pagerank.py:91-121).
+
+    ``init_state`` ((id, rank), any subset of vertices) warm-starts the
+    power iteration — the PIE IncEval pattern: after a graph change,
+    resume from the previous fixpoint and rounds-to-reconverge track the
+    perturbation, not the graph size. Vertices absent from init_state
+    start at 1/N; the vector is renormalized to unit mass (the fixed
+    point is init-independent, so this only shortens convergence).
     """
     spark = g.spark
     n = g.num_vertices
@@ -69,6 +77,20 @@ def pagerank(
             F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
         )
     )
+    if init_state is not None:
+        seeded = (
+            init.drop("rank")
+            .join(init_state.select("id", F.col("rank").alias("_r")),
+                  "id", "left")
+            .select(
+                "id", "out_deg",
+                F.coalesce(F.col("_r"), F.lit(1.0 / n)).alias("rank"),
+            )
+        )
+        mass = seeded.agg(F.sum("rank").alias("_m"))
+        init = seeded.crossJoin(F.broadcast(mass)).select(
+            "id", (F.col("rank") / F.col("_m")).alias("rank"), "out_deg"
+        )
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
         # scalar "allreduce": dangling mass of the current ranks — the

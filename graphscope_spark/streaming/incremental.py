@@ -318,3 +318,67 @@ class IncrementalTriangles:
         self.adj, self.count = merge_triangles(
             self.adj, self.count, batch_df, self.num_partitions
         )
+
+
+def merge_pagerank(
+    edges: DataFrame | None,
+    ranks: DataFrame | None,
+    batch: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_partitions: int = 8,
+) -> tuple[DataFrame, DataFrame, int]:
+    """IncEval for PageRank: fold a batch of new directed edges into the
+    edge set, then re-run the tolerance power iteration WARM-STARTED from
+    the previous ranks (pagerank(init_state=...)). The fixpoint is
+    init-independent, so the maintained ranks equal a from-scratch solve
+    at the same tolerance; the IncEval win is rounds-to-reconverge
+    tracking the perturbation (a small batch near an old fixpoint
+    converges in a handful of rounds). Returns (edges, ranks, rounds)."""
+    from graphscope_spark.algorithms.pagerank import pagerank
+
+    spark = batch.sparkSession
+    new = batch.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    if edges is None:
+        edges = spark.createDataFrame([], "src long, dst long")
+    edges = (
+        edges.unionByName(new).distinct()
+        .repartition(num_partitions, "src")
+        .localCheckpoint(eager=True)
+    )
+    g = Graph(edges, directed=True, num_partitions=num_partitions)
+    res = pagerank(g, alpha=alpha, tol=tol, max_iter=max_iter,
+                   init_state=ranks)
+    new_ranks = res.state.select("id", "rank").localCheckpoint(eager=True)
+    g.unpersist()
+    return edges, new_ranks, res.rounds
+
+
+class IncrementalPageRank:
+    """foreachBatch sink maintaining PageRank over an edge stream — pair
+    with :func:`edge_stream`. After each batch ``.ranks`` matches a
+    from-scratch tolerance solve on everything ingested (same fixpoint);
+    ``.rounds_last`` exposes the reconvergence cost, which shrinks for
+    small perturbations (the IncEval property, pytest-verified)."""
+
+    def __init__(self, alpha: float = 0.85, tol: float = 1e-6,
+                 max_iter: int = 100, num_partitions: int = 8):
+        self.edges: DataFrame | None = None
+        self.ranks: DataFrame | None = None
+        self.alpha, self.tol, self.max_iter = alpha, tol, max_iter
+        self.num_partitions = num_partitions
+        self.rounds_last = 0
+        self.batches = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        prev = self.ranks
+        self.edges, self.ranks, self.rounds_last = merge_pagerank(
+            self.edges, prev, batch_df, self.alpha, self.tol,
+            self.max_iter, self.num_partitions,
+        )
+        if prev is not None:
+            prev.unpersist()
+        self.batches += 1

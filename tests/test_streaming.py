@@ -172,3 +172,46 @@ def test_merge_triangles_incremental_equals_batch(spark):
         spark.createDataFrame(chunks[1], "src long, dst long"), 4,
     )
     assert cnt == sink.count
+
+
+def test_merge_pagerank_warm_start_matches_and_reconverges_fast(spark):
+    import numpy as np
+    from graphscope_spark.algorithms.pagerank import pagerank
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.streaming.incremental import merge_pagerank
+
+    # a 40-vertex ring with chords; the last batch is a SMALL perturbation
+    # (2 edges) so warm-start reconvergence must beat the cold solve
+    ring = [(i, (i + 1) % 40) for i in range(40)]
+    chords = [(i, (i * 7 + 3) % 40) for i in range(0, 40, 4)]
+    all_edges = [e for e in ring + chords if e[0] != e[1]]
+    b1, b2, b3 = all_edges[:25], all_edges[25:-2], all_edges[-2:]
+
+    edges = ranks = None
+    rounds = []
+    # the 4th batch replays two ALREADY-INGESTED edges: the graph is
+    # unchanged, so the warm start sits at the previous fixpoint
+    for b in (b1, b2, b3, all_edges[:2]):
+        bdf = spark.createDataFrame(b, ["src", "dst"])
+        edges, ranks, r = merge_pagerank(
+            edges, ranks, bdf, tol=1e-6, num_partitions=4
+        )
+        rounds.append(r)
+
+    # same fixpoint as a from-scratch tolerance solve on everything
+    g = Graph(spark.createDataFrame(all_edges, ["src", "dst"]),
+              directed=True, num_partitions=4)
+    cold = pagerank(g, tol=1e-6, max_iter=100)
+    got = {r.id: r.rank for r in ranks.collect()}
+    want = {r.id: r.rank for r in cold.state.collect()}
+    assert set(got) == set(want)
+    assert np.allclose(
+        [got[k] for k in sorted(got)], [want[k] for k in sorted(want)],
+        atol=1e-5,
+    )
+    # IncEval property: a zero-perturbation batch reconverges from the
+    # warm start almost immediately, while the cold solve needs many
+    # rounds from uniform init
+    assert rounds[-1] <= 3 < cold.rounds
+    # mass invariant survives warm starts
+    assert abs(sum(got.values()) - 1.0) < 1e-9
