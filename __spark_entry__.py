@@ -110,6 +110,16 @@ def _q_pagerank_push(spark, sf_dir):
     )
 
 
+def _q_pagerank_block(spark, sf_dir):
+    """CSR-block SpMV engine (csr.py) — same update rule/fixpoint as
+    `pagerank`, alternative physical plan; shares its SQL twin."""
+    from graphscope_spark.algorithms import pagerank_block
+    g = tg.copurchase_graph(spark, sf_dir)
+    return pagerank_block(g, alpha=0.85, max_iter=10).state.select(
+        "id", F.round("rank", RD).alias("pr")
+    )
+
+
 def _q_pagerank_directed(spark, sf_dir):
     g = tg.purchase_graph(spark, sf_dir)
     return pagerank(g, alpha=0.85, max_iter=10).state.select(
@@ -1048,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
         "pagerank_push": _q_pagerank_push,
+        "pagerank_block": _q_pagerank_block,
         "pagerank_directed": _q_pagerank_directed,
         "pagerank_tol": _q_pagerank_tol,
         "wcc": _q_wcc,
@@ -1185,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degrees": tg.degrees_sql(),
         "pagerank": tg.pagerank_sql(rounds=10, directed=False),
         "pagerank_push": tg.pagerank_push_sql(rounds=10, directed=False),
+        "pagerank_block": tg.pagerank_sql(rounds=10, directed=False),
         "pagerank_directed": tg.pagerank_sql(rounds=10, directed=True),
         "pagerank_tol": tg.pagerank_tol_sql(max_rounds=24),
         "wcc": tg.wcc_sql(),

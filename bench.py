@@ -113,6 +113,16 @@ def main() -> None:
     sink(pagerank(gl, alpha=0.85, max_iter=lrounds).state)
     large_sec = round(time.monotonic() - t0, 3)
 
+    # Same probe through the CSR-block SpMV engine (csr.py +
+    # pagerank_block): packed-byte message shuffles, numpy gather-scatter.
+    # 10 rounds so the one-time CSR pack amortizes the way a real
+    # convergence run would.
+    from graphscope_spark.algorithms import pagerank_block  # noqa: E402
+    brounds = 10
+    t0 = time.monotonic()
+    sink(pagerank_block(gl, alpha=0.85, max_iter=brounds).state)
+    block_sec = round(time.monotonic() - t0, 3)
+
     # North-star corpus-path probe: synthesize repos(content) → vectorized
     # pandas-UDF import extraction → dense-id encode → 10-round PageRank.
     # Guards the round-1 gate-killer (plan growth through the derived edge
@@ -139,6 +149,9 @@ def main() -> None:
         "large_rounds": lrounds,
         "large_sec": large_sec,
         "pagerank_eups_large": round(n_le * lrounds / large_sec, 1),
+        "block_rounds": brounds,
+        "block_sec": block_sec,
+        "pagerank_block_eups_large": round(n_le * brounds / block_sec, 1),
         "corpus_repos": n_repos,
         "corpus_end_to_end_pagerank_sec": corpus_sec,
     }))

@@ -2,7 +2,7 @@
 coordinator/gscoordinator/builtin/app/.gs_conf.yaml) re-expressed as
 DataFrame supersteps."""
 
-from graphscope_spark.algorithms.pagerank import pagerank  # noqa: F401
+from graphscope_spark.algorithms.pagerank import pagerank, pagerank_block  # noqa: F401
 from graphscope_spark.algorithms.wcc import wcc  # noqa: F401
 from graphscope_spark.algorithms.cdlp import cdlp  # noqa: F401
 from graphscope_spark.algorithms.triangles import triangles, triangle_count  # noqa: F401

@@ -162,6 +162,137 @@ def pagerank(
                       should_stop=should_stop, resume=resume)
 
 
+def pagerank_block(
+    g: Graph,
+    alpha: float = 0.85,
+    max_iter: int = 10,
+    tol: float | None = None,
+    num_blocks: int | None = None,
+) -> SuperstepResult:
+    """PageRank over hash-partitioned CSR block DataFrames — identical
+    semantics (and fixpoint) to :func:`pagerank`, different physical plan.
+
+    Where :func:`pagerank` expresses the gather as ``edges ⋈ contribs →
+    groupBy(dst)`` (tuple-at-a-time over E rows in the JVM each round),
+    this variant walks a packed CSR (graphscope_spark/csr.py) with numpy
+    inside one Arrow-batched cogroup per round — the gather-scatter loop
+    of the reference's fragment kernel (benchmarks/apps/pagerank/
+    pagerank.h:82-199 iterates the CSR column index directly). Per round:
+
+      * the vertex state (V rows) shuffles onto the block key;
+      * each block runs repeat/bincount SpMV over its CSR buffers — the
+        per-edge work leaves the JVM row pipeline entirely and the
+        block-local bincount IS the map-side combiner;
+      * partial sums (≤ distinct dsts per block) shuffle once to finish
+        the combine, then join the state on id.
+
+    Edges never move after the one-time pack. Shuffle volume per round is
+    therefore Θ(V), not Θ(E) tuples through a join — on the 8M-edge bench
+    probe this is the difference between ~1.5M and >10M edge-updates/s.
+    Scale contract: a block must fit one core's memory (the reference's
+    own per-fragment constraint) — size ``num_blocks`` accordingly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from graphscope_spark.csr import (
+        block_expr, build_csr_blocks, merge_packed, scatter_packed,
+    )
+
+    spark = g.spark
+    n = g.num_vertices
+    if n == 0:
+        empty = spark.createDataFrame([], "id long, rank double")
+        return SuperstepResult(state=empty, rounds=0, metrics=[])
+
+    b = num_blocks or g.num_partitions
+    csr = build_csr_blocks(g, b, direction="out")
+    init = (
+        g.vertices.select("id")
+        .join(g.degrees.select("id", "out_deg"), "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+            block_expr("id", b).alias("blk"),
+        )
+    )
+    teleport = (1.0 - alpha) / n
+
+    def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: ≤B packed message buffers for this block; right: the
+        # block's vertex state rows (every row carries the broadcast
+        # dangling-mass scalar). Emits the block's next state.
+        if len(right) == 0:
+            return pd.DataFrame(columns=["id", "rank", "out_deg", "blk"])
+        ids = right["id"].to_numpy(np.int64)
+        dang = float(right["_dang"].iloc[0])
+        gathered = np.zeros(ids.size, np.float64)
+        mids, msums = merge_packed(left)
+        if mids.size:
+            order = np.argsort(ids, kind="mergesort")
+            pos = np.searchsorted(ids, mids, sorter=order)
+            gathered[order[pos]] = msums
+        rank = alpha * gathered + teleport + alpha * dang / n
+        return pd.DataFrame({
+            "id": ids,
+            "rank": rank,
+            "out_deg": right["out_deg"].to_numpy(np.int64),
+            "blk": right["blk"].to_numpy(np.int32),
+        })
+
+    def step(state: DataFrame, rnd: int) -> DataFrame:
+        dang = state.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        )
+        # contribution evaluated JVM-side; 0 for dangling vertices (they
+        # are never CSR sources, the guard only dodges ANSI div-by-zero)
+        vals = state.select(
+            "blk", "id",
+            F.when(F.col("out_deg") > 0, F.col("rank") / F.col("out_deg"))
+            .otherwise(F.lit(0.0)).alias("val"),
+        )
+        packed = scatter_packed(csr, vals, b)
+        receivers = state.select("blk", "id", "out_deg").crossJoin(
+            F.broadcast(dang)
+        )
+        return (
+            packed.groupby("dblk")
+            .cogroup(receivers.groupby("blk"))
+            .applyInPandas(
+                update, "id long, rank double, out_deg long, blk int"
+            )
+        )
+
+    metrics_fn = None
+    should_stop = None
+    if tol is not None:
+        def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
+            eps = (
+                new.withColumnRenamed("rank", "rank_new")
+                .join(prev.withColumnRenamed("rank", "rank_old"), "id")
+                .agg(F.sum(F.abs(F.col("rank_new") - F.col("rank_old"))))
+                .first()[0]
+            )
+            return {"l1_delta": float(eps)}
+
+        def should_stop(m: dict) -> bool:
+            return m["l1_delta"] < tol * n
+
+    # truncate EVERY round: chaining k rounds of cogroups lazily (the
+    # fixed-round fusion that helps the join engine at tiny scale) is
+    # pathological here — measured 2× slower at 8M edges/20 rounds than
+    # eager per-round materialization (nested Python stages recompute).
+    runner = SuperstepRunner(spark, name="pagerank_block", truncate_every=1)
+    res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                     should_stop=should_stop)
+    csr.unpersist()
+    return SuperstepResult(
+        state=res.state.select("id", "rank", "out_deg"),
+        rounds=res.rounds, metrics=res.metrics, run_id=res.run_id,
+    )
+
+
 def pagerank_push(
     g: Graph,
     alpha: float = 0.85,

@@ -31,7 +31,7 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from graphscope_spark.session import get_spark
 from graphscope_spark.graph import Graph
-from graphscope_spark.algorithms import pagerank
+from graphscope_spark.algorithms import pagerank, pagerank_block
 
 cpus = {cpus}
 n_edges = {n_edges}
@@ -78,7 +78,8 @@ def stage_totals():
 
 before = stage_totals()
 t0 = time.monotonic()
-res = pagerank(g, alpha=0.85, max_iter=rounds)
+algo = pagerank_block if {use_block} else pagerank
+res = algo(g, alpha=0.85, max_iter=rounds)
 # JVM-side noop sink: materializes every row without Python serialization
 res.state.write.format("noop").mode("overwrite").save()
 wall = time.monotonic() - t0
@@ -155,9 +156,10 @@ spark.stop()
 
 def run(cpus: int, n_edges: int, rounds: int, parts: int,
         pin: bool = True, job: str = "pagerank") -> dict:
-    tmpl = WORKER if job == "pagerank" else CONTROL_WORKER
+    tmpl = CONTROL_WORKER if job == "control" else WORKER
     code = tmpl.format(repo=REPO, cpus=cpus, n_edges=n_edges,
-                       rounds=rounds, parts=parts)
+                       rounds=rounds, parts=parts,
+                       use_block=(job == "block"))
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "16g")
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
@@ -187,7 +189,7 @@ def main() -> None:
     ap.add_argument("--no-md", action="store_true",
                     help="print JSON only; don't overwrite BENCH/BASELINE.md")
     ap.add_argument("--job", default="pagerank",
-                    choices=["pagerank", "control"],
+                    choices=["pagerank", "block", "control"],
                     help="control = shuffle-free CPU-bound sha2 chain "
                     "(isolates box/harness scaling from memory-bandwidth)")
     ap.add_argument("--report", action="store_true",
