@@ -138,10 +138,28 @@ def _q_wcc(spark, sf_dir):
     return wcc(tg.copurchase_graph(spark, sf_dir)).state.select("id", "comp")
 
 
+def _q_wcc_block(spark, sf_dir):
+    """CSR-block min-combiner engine (csr.py scatter_packed_min) — same
+    min-label fixpoint as `wcc`, alternative physical plan; shares its
+    SQL twin."""
+    from graphscope_spark.algorithms import wcc_block
+    g = tg.copurchase_graph(spark, sf_dir)
+    return wcc_block(g).state.select("id", "comp")
+
+
 def _q_cdlp(spark, sf_dir):
     return cdlp(tg.copurchase_graph(spark, sf_dir), max_iter=10).state.select(
         "id", "label"
     )
+
+
+def _q_cdlp_block(spark, sf_dir):
+    """CSR-block label-histogram engine (csr.py scatter_packed_counts) —
+    same LDBC most-frequent/ties→min rule as `cdlp`, alternative physical
+    plan; shares its SQL twin."""
+    from graphscope_spark.algorithms import cdlp_block
+    g = tg.copurchase_graph(spark, sf_dir)
+    return cdlp_block(g, max_iter=10).state.select("id", "label")
 
 
 def _q_triangles(spark, sf_dir):
@@ -1062,7 +1080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_directed": _q_pagerank_directed,
         "pagerank_tol": _q_pagerank_tol,
         "wcc": _q_wcc,
+        "wcc_block": _q_wcc_block,
         "cdlp": _q_cdlp,
+        "cdlp_block": _q_cdlp_block,
         "triangles": _q_triangles,
         "triangle_count": _q_triangle_count,
         # breadth algorithms
@@ -1200,7 +1220,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_directed": tg.pagerank_sql(rounds=10, directed=True),
         "pagerank_tol": tg.pagerank_tol_sql(max_rounds=24),
         "wcc": tg.wcc_sql(),
+        "wcc_block": tg.wcc_sql(),
         "cdlp": tg.cdlp_sql(rounds=10),
+        "cdlp_block": tg.cdlp_sql(rounds=10),
         "triangles": tg.triangles_sql(),
         "triangle_count": tg.triangle_count_sql(),
         "bfs": tg.bfs_sql(),

@@ -3,8 +3,8 @@ coordinator/gscoordinator/builtin/app/.gs_conf.yaml) re-expressed as
 DataFrame supersteps."""
 
 from graphscope_spark.algorithms.pagerank import pagerank, pagerank_block  # noqa: F401
-from graphscope_spark.algorithms.wcc import wcc  # noqa: F401
-from graphscope_spark.algorithms.cdlp import cdlp  # noqa: F401
+from graphscope_spark.algorithms.wcc import wcc, wcc_block  # noqa: F401
+from graphscope_spark.algorithms.cdlp import cdlp, cdlp_block  # noqa: F401
 from graphscope_spark.algorithms.triangles import triangles, triangle_count  # noqa: F401
 from graphscope_spark.algorithms.sssp import (  # noqa: F401
     bfs, sssp, sssp_average_length, sssp_has_path, sssp_path,

@@ -80,6 +80,77 @@ def cdlp(
     return runner.run(init, step, max_iter, resume=resume)
 
 
+def cdlp_block(
+    g: Graph,
+    max_iter: int = 10,
+    num_blocks: int | None = None,
+) -> SuperstepResult:
+    """CDLP over hash-partitioned CSR block DataFrames — identical
+    semantics to :func:`cdlp` (LDBC most-frequent-neighbor-label, ties →
+    min, synchronous fixed rounds), alternative physical plan
+    (graphscope_spark/csr.py; see pagerank_block for the architecture).
+
+    The join engine's per-round ``groupBy(id, label).count`` + window
+    argmax shuffles Θ(E) message rows then Θ(distinct (id,label)) count
+    rows. Here each CSR block run-length-counts its own (dst, label)
+    pairs in numpy (the map-side partial of the histogram), ships them as
+    ≤B packed (ids, labels, counts) buffers per block, and the receive
+    cogroup finishes the count-sum + (count DESC, label ASC) argmax —
+    integer arithmetic throughout, so the result is deterministic and
+    hash-matches the join engine's SQL twin exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from graphscope_spark.csr import (
+        argmax_packed_labels, block_expr, build_csr_blocks,
+        scatter_packed_counts,
+    )
+
+    spark = g.spark
+    if g.num_vertices == 0:
+        empty = spark.createDataFrame([], "id long, label long")
+        return SuperstepResult(state=empty, rounds=0, metrics=[])
+
+    b = num_blocks or g.num_partitions
+    csr = build_csr_blocks(g, b, direction="both")
+    init = g.vertices.select(
+        "id", F.col("id").alias("label"), block_expr("id", b).alias("blk")
+    )
+
+    def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            return pd.DataFrame(columns=["id", "label", "blk"])
+        ids = right["id"].to_numpy(np.int64)
+        new = right["label"].to_numpy(np.int64).copy()
+        mids, mlabs = argmax_packed_labels(left)
+        if mids.size:
+            order = np.argsort(ids, kind="mergesort")
+            pos = np.searchsorted(ids, mids, sorter=order)
+            new[order[pos]] = mlabs
+        return pd.DataFrame({
+            "id": ids,
+            "label": new,
+            "blk": right["blk"].to_numpy(np.int32),
+        })
+
+    def step(state: DataFrame, rnd: int) -> DataFrame:
+        vals = state.select("blk", "id", F.col("label").alias("val"))
+        packed = scatter_packed_counts(csr, vals, b)
+        return (
+            packed.groupby("dblk")
+            .cogroup(state.groupby("blk"))
+            .applyInPandas(update, "id long, label long, blk int")
+        )
+
+    runner = SuperstepRunner(spark, name="cdlp_block", truncate_every=1)
+    res = runner.run(init, step, max_iter)
+    csr.unpersist()
+    return SuperstepResult(
+        state=res.state.select("id", "label"),
+        rounds=res.rounds, metrics=res.metrics, run_id=res.run_id,
+    )
+
+
 def lpa_by_color(g: Graph, max_rounds: int = 10) -> DataFrame:
     """(id, label) — color-scheduled (Gauss–Seidel) label propagation,
     flash/clustering/lpa-by-color.h:44-146.

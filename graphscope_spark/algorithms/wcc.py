@@ -100,6 +100,91 @@ def wcc(
     return res
 
 
+def wcc_block(
+    g: Graph,
+    max_iter: int = 200,
+    num_blocks: int | None = None,
+) -> SuperstepResult:
+    """WCC over hash-partitioned CSR block DataFrames — identical
+    semantics (and fixpoint) to :func:`wcc`, alternative physical plan
+    (graphscope_spark/csr.py; see pagerank_block for the architecture).
+
+    Per round the changed frontier (``(blk, id, comp)`` rows) cogroups
+    with its CSR block; numpy computes per-destination label MINIMA
+    block-locally (the Pregel min combiner) and ships them as ≤B packed
+    binary buffers per source block; the receive cogroup merges and
+    keeps-smaller against the current state. Row-shaped shuffle per
+    round is Θ(frontier) + Θ(V); per-edge volume crosses as packed
+    bytes. Terminates when no label changes (vote checked every 2
+    rounds — min-label is monotone, late votes are free)."""
+    import numpy as np
+    import pandas as pd
+
+    from graphscope_spark.csr import (
+        block_expr, build_csr_blocks, merge_packed_min, scatter_packed_min,
+    )
+
+    spark = g.spark
+    if g.num_vertices == 0:
+        empty = spark.createDataFrame([], "id long, comp long, changed boolean")
+        return SuperstepResult(state=empty, rounds=0, metrics=[])
+
+    b = num_blocks or g.num_partitions
+    csr = build_csr_blocks(g, b, direction="both")
+    init = g.vertices.select(
+        "id",
+        F.col("id").alias("comp"),
+        F.lit(True).alias("changed"),
+        block_expr("id", b).alias("blk"),
+    )
+
+    def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            return pd.DataFrame(columns=["id", "comp", "changed", "blk"])
+        ids = right["id"].to_numpy(np.int64)
+        comp = right["comp"].to_numpy(np.int64)
+        new = comp.copy()
+        mids, mmins = merge_packed_min(left)
+        if mids.size:
+            order = np.argsort(ids, kind="mergesort")
+            pos = np.searchsorted(ids, mids, sorter=order)
+            tgt = order[pos]
+            new[tgt] = np.minimum(new[tgt], mmins)
+        return pd.DataFrame({
+            "id": ids,
+            "comp": new,
+            "changed": new < comp,
+            "blk": right["blk"].to_numpy(np.int32),
+        })
+
+    def step(state: DataFrame, rnd: int) -> DataFrame:
+        frontier = state.filter("changed").select(
+            "blk", "id", F.col("comp").alias("val")
+        )
+        packed = scatter_packed_min(csr, frontier, b)
+        receivers = state.select("blk", "id", "comp")
+        return (
+            packed.groupby("dblk")
+            .cogroup(receivers.groupby("blk"))
+            .applyInPandas(update, "id long, comp long, changed boolean, blk int")
+        )
+
+    def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
+        return {"frontier": int(new.filter("changed").count())}
+
+    def should_stop(m: dict) -> bool:
+        return m["frontier"] == 0
+
+    runner = SuperstepRunner(spark, name="wcc_block", truncate_every=1)
+    res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                     should_stop=should_stop, check_every=2)
+    csr.unpersist()
+    return SuperstepResult(
+        state=res.state.select("id", "comp", "changed"),
+        rounds=res.rounds, metrics=res.metrics, run_id=res.run_id,
+    )
+
+
 def cc_log(g: Graph, max_iter: int = 64) -> DataFrame:
     """(id, comp) — connected components in O(log n) rounds via hooking +
     pointer jumping (flash/connectivity/cc-log.h:57-135, the FLASH

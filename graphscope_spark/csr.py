@@ -100,8 +100,11 @@ def build_csr_blocks(
 
     ``direction='out'`` keys blocks by src (gather-over-out-edges push);
     ``'in'`` keys by dst with (src,dst) swapped into the CSR so the same
-    SpMV kernel computes a pull. One edge shuffle total — the CSR build
-    cost the reference pays at fragment load (docs/frag_intro.md).
+    SpMV kernel computes a pull; ``'both'`` unions the two orientations
+    (a directed edge u→v appears as u→v AND v→u, multiplicity preserved
+    — the neighbor multiset WCC/CDLP iterate, wcc_projected.h:92-106).
+    One edge shuffle total — the CSR build cost the reference pays at
+    fragment load (docs/frag_intro.md).
     """
     b = num_blocks or g.num_partitions
     if direction == "out":
@@ -110,8 +113,15 @@ def build_csr_blocks(
         e = g.in_edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
+    elif direction == "both":
+        e = g.out_edges.select("src", "dst")
+        if g.directed:
+            # undirected Graphs already store both orientations
+            e = e.union(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
     else:
-        raise ValueError("direction must be 'out' or 'in'")
+        raise ValueError("direction must be 'out', 'in' or 'both'")
     blocks = (
         e.withColumn("blk", block_expr("src", b))
         .groupBy("blk")
@@ -122,6 +132,56 @@ def build_csr_blocks(
     # off so the InMemoryRelation reports HashPartitioning — the same
     # CSR-stays-put discipline Graph applies to out_edges/in_edges).
     return persist_partitioned(blocks.repartition(b, "blk"))
+
+
+def _gather_edges(
+    row, ids_s: np.ndarray, val_s: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """One CSR block row × sorted (ids_s, val_s) vertex values → the
+    per-edge (dst, val(src)) pairs, restricted to sources PRESENT in
+    ids_s (frontier-tolerant: a source missing from the value table
+    contributes no edges — the DenseVertexSet frontier semantics)."""
+    srcs = np.frombuffer(row.srcs, dtype=np.int64)
+    indptr = np.frombuffer(row.indptr, dtype=np.int64)
+    dsts = np.frombuffer(row.dsts, dtype=np.int64)
+    counts = np.diff(indptr)
+    if ids_s.size == 0:
+        return dsts[:0], val_s[:0]
+    idx = np.searchsorted(ids_s, srcs)
+    idx_c = np.minimum(idx, ids_s.size - 1)
+    valid = ids_s[idx_c] == srcs
+    if valid.all():
+        return dsts, np.repeat(val_s[idx_c], counts)
+    per_edge = np.repeat(val_s[idx_c], np.where(valid, counts, 0))
+    return dsts[np.repeat(valid, counts)], per_edge
+
+
+def _split_by_dblk(
+    num_blocks: int, sblk: int, uniq: np.ndarray, extras: dict[str, np.ndarray]
+) -> list[dict]:
+    """Split per-dst combined arrays (uniq sorted ascending) by destination
+    block into packed rows ``{sblk, dblk, ids, <extras as bytes>}``. A
+    stable sort on dblk keeps ids sorted inside each slice."""
+    if uniq.size == 0:
+        return []
+    dblk = (uniq % num_blocks).astype(np.int32)
+    o = np.argsort(dblk, kind="mergesort")
+    uniq, dblk = uniq[o], dblk[o]
+    bounds = np.flatnonzero(np.diff(dblk)) + 1
+    starts = np.concatenate(([0], bounds))
+    id_parts = np.split(uniq, bounds)
+    extra_parts = {k: np.split(v[o], bounds) for k, v in extras.items()}
+    out = []
+    for i, part_ids in enumerate(id_parts):
+        row = {
+            "sblk": int(sblk),
+            "dblk": int(dblk[starts[i]]),
+            "ids": part_ids.tobytes(),
+        }
+        for k, parts in extra_parts.items():
+            row[k] = parts[i].tobytes()
+        out.append(row)
+    return out
 
 
 def scatter_packed(
@@ -155,29 +215,12 @@ def scatter_packed(
         ids_s, val_s = ids[order], val[order]
         rows: list[dict] = []
         for row in left.itertuples(index=False):
-            srcs = np.frombuffer(row.srcs, dtype=np.int64)
-            indptr = np.frombuffer(row.indptr, dtype=np.int64)
-            dsts = np.frombuffer(row.dsts, dtype=np.int64)
-            pos = np.searchsorted(ids_s, srcs)
-            per_edge = np.repeat(val_s[pos], np.diff(indptr))
+            dsts, per_edge = _gather_edges(row, ids_s, val_s)
             uniq, inv = np.unique(dsts, return_inverse=True)
             sums = np.bincount(inv, weights=per_edge, minlength=uniq.size)
-            # split the combined messages by destination block; uniq is
-            # sorted, so a stable sort on dblk keeps ids sorted per slice
-            dblk = (uniq % num_blocks).astype(np.int32)
-            o = np.argsort(dblk, kind="mergesort")
-            uniq, sums, dblk = uniq[o], sums[o], dblk[o]
-            bounds = np.flatnonzero(np.diff(dblk)) + 1
-            for part_ids, part_sums, b0 in zip(
-                np.split(uniq, bounds), np.split(sums, bounds),
-                dblk[np.concatenate(([0], bounds))] if uniq.size else [],
-            ):
-                rows.append({
-                    "sblk": int(row.blk),
-                    "dblk": int(b0),
-                    "ids": part_ids.tobytes(),
-                    "sums": part_sums.tobytes(),
-                })
+            rows.extend(
+                _split_by_dblk(num_blocks, row.blk, uniq, {"sums": sums})
+            )
         return pd.DataFrame(rows) if rows else empty
 
     return (
@@ -185,6 +228,155 @@ def scatter_packed(
         .cogroup(vals.groupby("blk"))
         .applyInPandas(gather, "sblk int, dblk int, ids binary, sums binary")
     )
+
+
+def scatter_packed_min(
+    csr: DataFrame, vals: DataFrame, num_blocks: int
+) -> DataFrame:
+    """Min-combine gather-scatter over the CSR blocks: for each edge
+    (u→v) with u present in ``vals``, v receives ``val(u)`` (int64); the
+    block combines per-dst MINIMA before shipping (the Pregel min
+    combiner — the message kernel of WCC's min-label exchange,
+    wcc_projected.h:83-121). ``vals`` is ``(blk, id, val:int64)`` and MAY
+    be a frontier subset: absent sources send nothing. Output rows
+    ``(sblk, dblk, ids binary, mins binary)``; merge with
+    :func:`merge_packed_min`."""
+
+    def gather(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "sblk": pd.Series(dtype=np.int32),
+            "dblk": pd.Series(dtype=np.int32),
+            "ids": pd.Series(dtype=object),
+            "mins": pd.Series(dtype=object),
+        })
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ids = right["id"].to_numpy(np.int64)
+        val = right["val"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        ids_s, val_s = ids[order], val[order]
+        rows: list[dict] = []
+        for row in left.itertuples(index=False):
+            dsts, per_edge = _gather_edges(row, ids_s, val_s)
+            if dsts.size == 0:
+                continue
+            # per-dst min: sort by (dst, val), take the first of each run
+            o = np.lexsort((per_edge, dsts))
+            d_s, v_s = dsts[o], per_edge[o]
+            first = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+            rows.extend(_split_by_dblk(
+                num_blocks, row.blk, d_s[first], {"mins": v_s[first]}
+            ))
+        return pd.DataFrame(rows) if rows else empty
+
+    return (
+        csr.groupby("blk")
+        .cogroup(vals.groupby("blk"))
+        .applyInPandas(gather, "sblk int, dblk int, ids binary, mins binary")
+    )
+
+
+def merge_packed_min(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Combine the ≤B packed min-buffers addressed to one block into
+    (ids, mins), ids sorted ascending. Integer min is order-free —
+    deterministic without pinning the buffer order."""
+    if len(pdf) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    all_ids = np.concatenate(
+        [np.frombuffer(b, dtype=np.int64) for b in pdf["ids"]]
+    )
+    all_mins = np.concatenate(
+        [np.frombuffer(b, dtype=np.int64) for b in pdf["mins"]]
+    )
+    o = np.lexsort((all_mins, all_ids))
+    i_s, m_s = all_ids[o], all_mins[o]
+    first = np.concatenate(([True], i_s[1:] != i_s[:-1]))
+    return i_s[first], m_s[first]
+
+
+def scatter_packed_counts(
+    csr: DataFrame, vals: DataFrame, num_blocks: int
+) -> DataFrame:
+    """Label-histogram gather-scatter: for each edge (u→v), v receives
+    label ``val(u)`` (int64); the block pre-combines per (dst, label)
+    COUNTS before shipping — the map-side partial of CDLP's most-frequent
+    -label aggregation (grape CDLP / flash lpa.h:33-80). Output rows
+    ``(sblk, dblk, ids, labels, counts)`` (ids may repeat across labels;
+    sorted by (id, label) inside each buffer). Finish with
+    :func:`argmax_packed_labels`."""
+
+    def gather(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "sblk": pd.Series(dtype=np.int32),
+            "dblk": pd.Series(dtype=np.int32),
+            "ids": pd.Series(dtype=object),
+            "labels": pd.Series(dtype=object),
+            "counts": pd.Series(dtype=object),
+        })
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ids = right["id"].to_numpy(np.int64)
+        val = right["val"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        ids_s, val_s = ids[order], val[order]
+        rows: list[dict] = []
+        for row in left.itertuples(index=False):
+            dsts, per_edge = _gather_edges(row, ids_s, val_s)
+            if dsts.size == 0:
+                continue
+            # run-length count of (dst, label) pairs
+            o = np.lexsort((per_edge, dsts))
+            d_s, l_s = dsts[o], per_edge[o]
+            first = np.concatenate(
+                ([True], (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1]))
+            )
+            starts = np.flatnonzero(first)
+            cnt = np.diff(np.append(starts, d_s.size)).astype(np.int64)
+            rows.extend(_split_by_dblk(
+                num_blocks, row.blk, d_s[starts],
+                {"labels": l_s[starts], "counts": cnt},
+            ))
+        return pd.DataFrame(rows) if rows else empty
+
+    return (
+        csr.groupby("blk")
+        .cogroup(vals.groupby("blk"))
+        .applyInPandas(
+            gather,
+            "sblk int, dblk int, ids binary, labels binary, counts binary",
+        )
+    )
+
+
+def argmax_packed_labels(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Finish the CDLP combine for one block: merge the ≤B (id, label,
+    count) buffers, sum counts per (id, label), and pick per id the most
+    frequent label, ties → minimum label (the LDBC-deterministic rule).
+    Integer sums → order-free → deterministic. Returns (ids, labels),
+    ids sorted ascending (one row per id that received any message)."""
+    if len(pdf) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    ids = np.concatenate([np.frombuffer(b, np.int64) for b in pdf["ids"]])
+    labels = np.concatenate(
+        [np.frombuffer(b, np.int64) for b in pdf["labels"]]
+    )
+    counts = np.concatenate(
+        [np.frombuffer(b, np.int64) for b in pdf["counts"]]
+    )
+    # combine counts of equal (id, label) across buffers
+    o = np.lexsort((labels, ids))
+    i_s, l_s, c_s = ids[o], labels[o], counts[o]
+    first = np.concatenate(
+        ([True], (i_s[1:] != i_s[:-1]) | (l_s[1:] != l_s[:-1]))
+    )
+    gid = np.cumsum(first) - 1
+    c_tot = np.bincount(gid, weights=c_s).astype(np.int64)
+    i_u, l_u = i_s[first], l_s[first]
+    # argmax per id: sort by (id asc, count desc, label asc), take first
+    o2 = np.lexsort((l_u, -c_tot, i_u))
+    i_o, l_o = i_u[o2], l_u[o2]
+    lead = np.concatenate(([True], i_o[1:] != i_o[:-1]))
+    return i_o[lead], l_o[lead]
 
 
 def merge_packed(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from graphscope_spark.graph import materialized_checkpoint
+
 
 @dataclass
 class SuperstepResult:
@@ -184,8 +186,13 @@ class SuperstepRunner:
             new_state = step(state, rnd)
 
             if rnd % self.truncate_every == 0:
-                # eager lineage cut: materializes and drops the plan prefix
-                new_state = new_state.localCheckpoint(eager=True)
+                # eager lineage cut: materializes and drops the plan prefix.
+                # materialized_checkpoint (not bare localCheckpoint) because
+                # steps that reference `state` more than once (block-engine
+                # frontier+receiver cogroups, pointer-jumping self-joins)
+                # would otherwise square the inherited sizeInBytes estimate
+                # every round — see graph.materialized_checkpoint's docstring.
+                new_state = materialized_checkpoint(new_state)
             else:
                 new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
 
