@@ -196,6 +196,19 @@ def _q_sssp(spark, sf_dir):
     return sssp(g, _min_id(g), weight_col="w").state.select("id", "dist")
 
 
+def _q_sssp_block(spark, sf_dir):
+    """Weighted CSR-block relaxation engine (csr.py scatter_packed_relax)
+    — bit-identical fixpoint to `sssp` (same two-operand relax adds,
+    order-free float min), alternative physical plan; shares its SQL
+    twin."""
+    from graphscope_spark.algorithms import sssp_block
+    e = tg.copurchase_edges(spark, sf_dir).withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 10 + 1).cast("double")
+    )
+    g = Graph(e, directed=True)  # symmetric edge list already
+    return sssp_block(g, _min_id(g), weight_col="w").state.select("id", "dist")
+
+
 def _q_sssp_delta(spark, sf_dir):
     """Delta-stepping: same distances as sssp (bucketed scheduling only),
     so it shares the unrolled Bellman-Ford oracle."""
@@ -1090,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_push": _q_bfs_push,
         "bfs_pull": _q_bfs_pull,
         "sssp": _q_sssp,
+        "sssp_block": _q_sssp_block,
         "sssp_delta": _q_sssp_delta,
         "degree_centrality": _q_degree_centrality,
         "clustering": _q_clustering,
@@ -1231,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_push": tg.bfs_sql(),
         "bfs_pull": tg.bfs_sql(),
         "sssp": tg.sssp_sql(),
+        "sssp_block": tg.sssp_sql(),
         "sssp_delta": tg.sssp_sql(),
         "sssp_path": tg.sssp_path_sql(),
         "degree_centrality": tg.degree_centrality_sql(),

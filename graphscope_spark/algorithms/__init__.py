@@ -7,7 +7,7 @@ from graphscope_spark.algorithms.wcc import wcc, wcc_block  # noqa: F401
 from graphscope_spark.algorithms.cdlp import cdlp, cdlp_block  # noqa: F401
 from graphscope_spark.algorithms.triangles import triangles, triangle_count  # noqa: F401
 from graphscope_spark.algorithms.sssp import (  # noqa: F401
-    bfs, sssp, sssp_average_length, sssp_has_path, sssp_path,
+    bfs, sssp, sssp_average_length, sssp_block, sssp_has_path, sssp_path,
 )
 from graphscope_spark.algorithms.louvain import louvain  # noqa: F401
 from graphscope_spark.algorithms.paths import (  # noqa: F401

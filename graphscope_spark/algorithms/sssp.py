@@ -97,6 +97,101 @@ def sssp(
                       check_every=2)
 
 
+def sssp_block(
+    g: Graph,
+    source: int,
+    weight_col: str | None = None,
+    max_iter: int = 10_000,
+    num_blocks: int | None = None,
+) -> SuperstepResult:
+    """SSSP over hash-partitioned weighted CSR block DataFrames —
+    identical semantics AND bit-identical fixpoint to :func:`sssp`
+    (each relax candidate is the same two-operand double add, and float
+    min is order-free), alternative physical plan
+    (graphscope_spark/csr.py; see pagerank_block for the architecture).
+
+    Per round the changed frontier cogroups with its weighted CSR block;
+    numpy computes per-destination candidate MINIMA (dist(u)+w, the relax
+    + min combiner of grape SSSPOpt) block-locally and ships ≤B packed
+    (ids, mins) buffers; the receive cogroup keeps-smaller against the
+    current state. Row-shaped shuffle per round is Θ(frontier) + Θ(V);
+    per-edge volume crosses as packed bytes. Returns state
+    ``(id, dist, changed)`` with NULL dist for unreachable vertices —
+    the same surface as :func:`sssp`."""
+    import numpy as np
+    import pandas as pd
+
+    from graphscope_spark.csr import (
+        block_expr, build_csr_blocks_weighted, merge_packed_fmin,
+        scatter_packed_relax,
+    )
+
+    spark = g.spark
+    if g.num_vertices == 0:
+        empty = spark.createDataFrame([], "id long, dist double, changed boolean")
+        return SuperstepResult(state=empty, rounds=0, metrics=[])
+
+    b = num_blocks or g.num_partitions
+    csr = build_csr_blocks_weighted(g, b, weight_col=weight_col)
+    inf = float("inf")
+    # +inf spells "unreachable" inside the loop (NaN would poison numpy
+    # mins); converted to the NULL surface at the end.
+    init = g.vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0))
+        .otherwise(F.lit(inf)).alias("dist"),
+        (F.col("id") == source).alias("changed"),
+        block_expr("id", b).alias("blk"),
+    )
+
+    def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            return pd.DataFrame(columns=["id", "dist", "changed", "blk"])
+        ids = right["id"].to_numpy(np.int64)
+        dist = right["dist"].to_numpy(np.float64)
+        new = dist.copy()
+        mids, mmins = merge_packed_fmin(left)
+        if mids.size:
+            order = np.argsort(ids, kind="mergesort")
+            pos = np.searchsorted(ids, mids, sorter=order)
+            tgt = order[pos]
+            new[tgt] = np.minimum(new[tgt], mmins)
+        return pd.DataFrame({
+            "id": ids,
+            "dist": new,
+            "changed": new < dist,
+            "blk": right["blk"].to_numpy(np.int32),
+        })
+
+    def step(state: DataFrame, rnd: int) -> DataFrame:
+        frontier = state.filter("changed").select(
+            "blk", "id", F.col("dist").alias("val")
+        )
+        packed = scatter_packed_relax(csr, frontier, b)
+        receivers = state.select("blk", "id", "dist")
+        return (
+            packed.groupby("dblk")
+            .cogroup(receivers.groupby("blk"))
+            .applyInPandas(update, "id long, dist double, changed boolean, blk int")
+        )
+
+    def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
+        return {"frontier": int(new.filter("changed").count())}
+
+    runner = SuperstepRunner(spark, name="sssp_block", truncate_every=1)
+    res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                     should_stop=lambda m: m["frontier"] == 0, check_every=2)
+    csr.unpersist()
+    return SuperstepResult(
+        state=res.state.select(
+            "id",
+            F.when(F.col("dist") != float("inf"), F.col("dist")).alias("dist"),
+            "changed",
+        ),
+        rounds=res.rounds, metrics=res.metrics, run_id=res.run_id,
+    )
+
+
 def bfs(g: Graph, source: int, **kw) -> SuperstepResult:
     """BFS levels (apps/bfs/bfs_generic.h output_format='level'): unit-weight
     SSSP; state ``(id, dist)`` where dist = hop count, NULL = unreachable."""

@@ -395,3 +395,150 @@ def merge_packed(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     )
     uniq, inv = np.unique(all_ids, return_inverse=True)
     return uniq, np.bincount(inv, weights=all_sums, minlength=uniq.size)
+
+
+def _pack_weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            columns=["blk", "n_src", "n_edge", "srcs", "indptr", "dsts", "ws"]
+        )
+    if len(pdf) > _MAX_BLOCK_EDGES:
+        raise ValueError(
+            f"CSR block of {len(pdf)} edges exceeds the 2 GiB Arrow binary "
+            "cap; rebuild with more blocks (num_blocks)"
+        )
+    pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    w = pdf["w"].to_numpy(np.float64)
+    srcs, counts = np.unique(src, return_counts=True)
+    indptr = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return pd.DataFrame(
+        [
+            {
+                "blk": int(pdf["blk"].iloc[0]),
+                "n_src": int(srcs.size),
+                "n_edge": int(dst.size),
+                "srcs": srcs.tobytes(),
+                "indptr": indptr.tobytes(),
+                "dsts": dst.tobytes(),
+                "ws": w.tobytes(),
+            }
+        ]
+    )
+
+
+_PACK_W_SCHEMA = _PACK_SCHEMA + ", ws binary"
+
+
+def build_csr_blocks_weighted(
+    g: Graph, num_blocks: int | None = None, weight_col: str | None = None
+) -> DataFrame:
+    """Weighted out-CSR blocks: :func:`build_csr_blocks` plus a float64
+    ``ws`` buffer aligned with ``dsts`` (the per-edge weight column of the
+    reference's fragment edata, sssp_property.h edge data access).
+    ``weight_col=None`` packs unit weights (BFS levels = unit SSSP).
+    Out-direction only — relaxation pushes over out-edges; undirected
+    Graphs already store both orientations."""
+    b = num_blocks or g.num_partitions
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = g.out_edges.select("src", "dst", w.alias("w"))
+    blocks = (
+        e.withColumn("blk", block_expr("src", b))
+        .groupBy("blk")
+        .applyInPandas(_pack_weighted, _PACK_W_SCHEMA)
+    )
+    return persist_partitioned(blocks.repartition(b, "blk"))
+
+
+def _gather_edges_weighted(
+    row, ids_s: np.ndarray, val_s: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`_gather_edges` over a weighted block: returns
+    (dsts, val(src) per edge, w per edge), restricted to sources present
+    in ``ids_s``."""
+    srcs = np.frombuffer(row.srcs, dtype=np.int64)
+    indptr = np.frombuffer(row.indptr, dtype=np.int64)
+    dsts = np.frombuffer(row.dsts, dtype=np.int64)
+    ws = np.frombuffer(row.ws, dtype=np.float64)
+    counts = np.diff(indptr)
+    if ids_s.size == 0:
+        return dsts[:0], val_s[:0], ws[:0]
+    idx = np.searchsorted(ids_s, srcs)
+    idx_c = np.minimum(idx, ids_s.size - 1)
+    valid = ids_s[idx_c] == srcs
+    if valid.all():
+        return dsts, np.repeat(val_s[idx_c], counts), ws
+    per_edge = np.repeat(val_s[idx_c], np.where(valid, counts, 0))
+    emask = np.repeat(valid, counts)
+    return dsts[emask], per_edge, ws[emask]
+
+
+def scatter_packed_relax(
+    csr: DataFrame, frontier: DataFrame, num_blocks: int
+) -> DataFrame:
+    """Distance-relaxation gather-scatter over weighted CSR blocks: for
+    each edge (u→v, w) with u in the frontier, v receives the candidate
+    ``dist(u) + w``; the block combines per-dst MINIMA before shipping
+    (the relax + min combiner of SSSPOpt / sssp_property.h:118-151).
+    ``frontier`` is ``(blk, id, val:double)`` — the changed vertices only.
+    Each candidate is one two-operand double add, identical to the join
+    engine's ``dist + w`` per edge, and float min is order-free — so the
+    fixpoint is bit-equal to :func:`~graphscope_spark.algorithms.sssp`.
+    Output rows ``(sblk, dblk, ids binary, mins binary)``; merge with
+    :func:`merge_packed_fmin`."""
+
+    def gather(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "sblk": pd.Series(dtype=np.int32),
+            "dblk": pd.Series(dtype=np.int32),
+            "ids": pd.Series(dtype=object),
+            "mins": pd.Series(dtype=object),
+        })
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ids = right["id"].to_numpy(np.int64)
+        val = right["val"].to_numpy(np.float64)
+        order = np.argsort(ids, kind="mergesort")
+        ids_s, val_s = ids[order], val[order]
+        rows: list[dict] = []
+        for row in left.itertuples(index=False):
+            dsts, dist_e, w_e = _gather_edges_weighted(row, ids_s, val_s)
+            if dsts.size == 0:
+                continue
+            cand = dist_e + w_e
+            o = np.lexsort((cand, dsts))
+            d_s, c_s = dsts[o], cand[o]
+            first = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+            rows.extend(_split_by_dblk(
+                num_blocks, row.blk, d_s[first], {"mins": c_s[first]}
+            ))
+        return pd.DataFrame(rows) if rows else empty
+
+    return (
+        csr.groupby("blk")
+        .cogroup(frontier.groupby("blk"))
+        .applyInPandas(gather, "sblk int, dblk int, ids binary, mins binary")
+    )
+
+
+def merge_packed_fmin(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Combine the ≤B packed float-min buffers addressed to one block into
+    (ids, mins), ids sorted ascending. Float min is order-free (no
+    summation) — deterministic without pinning the buffer order."""
+    if len(pdf) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.float64))
+    all_ids = np.concatenate(
+        [np.frombuffer(b, dtype=np.int64) for b in pdf["ids"]]
+    )
+    all_mins = np.concatenate(
+        [np.frombuffer(b, dtype=np.float64) for b in pdf["mins"]]
+    )
+    o = np.lexsort((all_mins, all_ids))
+    i_s, m_s = all_ids[o], all_mins[o]
+    first = np.concatenate(([True], i_s[1:] != i_s[:-1]))
+    return i_s[first], m_s[first]

@@ -130,3 +130,60 @@ def test_argmax_packed_labels_ldbc_ties():
     assert labels.tolist() == [3, 9]
     e_ids, e_labels = argmax_packed_labels(pdf.iloc[0:0])
     assert e_ids.size == 0 and e_labels.size == 0
+
+
+# ------------------------------------------------------------------ #
+# sssp_block (weighted CSR relaxation, csr.py scatter_packed_relax)
+# ------------------------------------------------------------------ #
+
+from graphscope_spark.algorithms import sssp, sssp_block  # noqa: E402
+from tests.oracles import oracle_sssp  # noqa: E402
+
+
+def _weighted(edges):
+    return [(s, d, float((s + d) % 10 + 1)) for s, d in edges]
+
+
+@pytest.fixture(scope="module")
+def gw(spark, graph_data):
+    vertices, edges = graph_data
+    ew = _weighted(edges)
+    e = spark.createDataFrame(ew, "src long, dst long, w double")
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    return Graph(e, v, directed=True, num_partitions=8)
+
+
+def test_sssp_block_matches_oracle(gw, graph_data):
+    vertices, edges = graph_data
+    src = min(vertices)
+    got = _as_dict(sssp_block(gw, src, weight_col="w").state, "id", "dist")
+    assert got == oracle_sssp(_weighted(edges), vertices, src)
+
+
+def test_sssp_block_bit_identical_to_join_engine(gw, graph_data):
+    vertices, _ = graph_data
+    src = min(vertices)
+    a = _as_dict(sssp(gw, src, weight_col="w").state, "id", "dist")
+    b = _as_dict(sssp_block(gw, src, weight_col="w").state, "id", "dist")
+    assert a == b  # exact ==, incl. None for unreachable — no tolerance
+
+
+def test_sssp_block_unit_weights_are_bfs_levels(g, graph_data):
+    vertices, _ = graph_data
+    src = min(vertices)
+    from graphscope_spark.algorithms import bfs
+    a = _as_dict(bfs(g, src).state, "id", "dist")
+    b = _as_dict(sssp_block(g, src).state, "id", "dist")
+    assert a == b
+
+
+def test_sssp_block_unreachable_is_null(spark):
+    e = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    g2 = Graph(e, directed=True, num_partitions=4)
+    got = _as_dict(sssp_block(g2, 1).state, "id", "dist")
+    assert got == {1: 0.0, 2: 1.0, 3: None, 4: None}
+
+
+def test_sssp_block_empty_graph(spark):
+    g2 = Graph(spark.createDataFrame([], "src long, dst long"), directed=True)
+    assert sssp_block(g2, 0).state.count() == 0
