@@ -971,6 +971,17 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.2)
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination counts: eval set = doc_id % 97 == 0
+    (deterministic subset); hits = distinct 3-gram shingles shared with
+    the eval union. Broadcast eval-shingle join — the corpus never
+    shuffles its text."""
+    from graphscope_spark.functions.dedup import contamination
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination(docs, ev, k=3)
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1200,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": _q_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "contamination": _q_contamination,
         "token_histogram": _q_token_histogram,
         "stratified_sample": _q_stratified_sample,
         "repetition_stats": _q_repetition_stats,
@@ -1347,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash": do.minhash_sql(num_hashes=16),
         "ngram_jaccard": do.ngram_jaccard_sql(threshold=0.2),
         "dedup_clusters": do.dedup_clusters_sql(threshold=0.2),
+        "contamination": do.contamination_sql(k=3, eval_mod=97),
         "token_histogram": do.token_histogram_sql(min_count=2),
         "stratified_sample": do.stratified_sample_sql("lang", 0.3, seed=0),
         "repetition_stats": do.repetition_stats_sql(),

@@ -454,3 +454,27 @@ SELECT doc_id, shard, n_tokens,
        CAST(FLOOR(start / {max_tokens}.0) AS BIGINT) AS bin,
        start % {max_tokens} AS "offset"
 FROM cum ORDER BY doc_id"""
+
+
+def contamination_sql(k: int = 3, eval_mod: int = 97) -> str:
+    """Twin of functions/dedup.py::contamination with the gate's
+    deterministic eval set (doc_id % eval_mod == 0)."""
+    parts = ", ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - {k - 1}, 1) + 1)) AS i
+  FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', {parts}) AS shingle FROM idx
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {eval_mod} = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS hits
+  FROM sh s JOIN ev ON s.shingle = ev.shingle
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, COALESCE(h.hits, 0) AS hits
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id"""

@@ -347,3 +347,59 @@ def dedup_clusters(
             .alias("keep"),
         )
     )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(id, hits) per training doc — the count of its distinct word
+    k-gram shingles that appear anywhere in ``eval_docs`` (the union of
+    eval shingles). Docs with zero overlap are included with hits = 0.
+
+    Benchmark-decontamination for pretraining corpora (the GPT-3
+    appendix-C / Dolma recipe): a training doc sharing k-grams with an
+    eval set is suspect. 100 TB shape: eval sets are MB-scale next to the
+    corpus, so the eval shingle set is BROADCAST — the corpus pays one
+    shingle explode + map-side hash-join + one groupBy(id) shuffle; the
+    corpus text itself never shuffles. Set ``broadcast_eval=False`` only
+    for abnormally large eval unions (falls back to a shuffle join).
+    """
+    tr = doc_shingles(docs, text_col, id_col, k)
+    ev = doc_shingles(eval_docs, text_col, id_col, k).select(
+        "shingle"
+    ).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlaps: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(id) — the keep set: training docs sharing fewer than
+    ``min_overlaps`` distinct k-gram shingles with the eval set.
+    Composition of :func:`contamination`; same broadcast shape."""
+    cont = contamination(
+        docs, eval_docs, text_col, id_col, k, broadcast_eval
+    )
+    return cont.filter(F.col("hits") < min_overlaps).select(id_col)

@@ -398,3 +398,63 @@ def test_pack_documents_invariants(docs):
     # determinism
     again = pack_documents(docs, max_tokens=64, n_shards=4)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+# ------------------------------------------------------------------ #
+# contamination / decontaminate (benchmark n-gram decontamination)
+# ------------------------------------------------------------------ #
+
+
+def test_contamination_python_oracle(spark):
+    from graphscope_spark.functions.dedup import contamination
+
+    rows = [
+        (1, "the cat sat on the mat today"),
+        (2, "dogs bark loudly at night always"),
+        (3, "completely unrelated words here entirely now"),
+    ]
+    ev_rows = [(100, "the cat sat on the mat")]  # overlaps doc 1 only
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+    got = {r.doc_id: r.hits for r in contamination(docs, ev, k=3).collect()}
+
+    def sh3(t):
+        toks = t.split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    ev_sh = set().union(*[sh3(t) for _, t in ev_rows])
+    want = {i: len(sh3(t) & ev_sh) for i, t in rows}
+    assert got == want
+    assert got[3] == 0  # clean doc present with zero hits
+
+
+def test_decontaminate_keeps_clean_docs(spark):
+    from graphscope_spark.functions.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    keep = {r.doc_id for r in decontaminate(docs, ev, k=3).collect()}
+    assert keep == {2}
+    # min_overlaps above the overlap count keeps everything
+    keep2 = {r.doc_id
+             for r in decontaminate(docs, ev, k=3, min_overlaps=5).collect()}
+    assert keep2 == {1, 2}
+
+
+def test_contamination_eval_subset_is_fully_contaminated(docs):
+    from graphscope_spark.functions.dedup import contamination
+
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    got = contamination(docs, ev, k=3)
+    # every eval doc overlaps itself: hits >= 1 on the eval subset
+    n_eval = ev.count()
+    n_hit = got.join(ev.select("doc_id"), "doc_id").filter("hits >= 1").count()
+    assert n_hit == n_eval
+    assert got.count() == docs.select("doc_id").distinct().count()
