@@ -815,6 +815,27 @@ def _q_property_project(spark, sf_dir):
     return g.degrees.filter(F.col("out_deg") > 0).select("id", "out_deg")
 
 
+def _q_stream_sssp(spark, sf_dir):
+    """Incremental SSSP (streaming/incremental.py::merge_sssp): fold the
+    weighted edge table in 4 deterministic micro-batches — monotone
+    IncEval relaxation from each batch's seed frontier must converge to
+    the same fixpoint as one-shot sssp (valid-upper-bound warm starts;
+    relax adds are two-operand, so the float fixpoint is bit-equal)."""
+    from graphscope_spark.streaming import merge_sssp
+
+    e = tg.copurchase_edges(spark, sf_dir).withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 10 + 1).cast("double")
+    )
+    g_full = Graph(e, directed=True)
+    source = _min_id(g_full)
+    g_full.unpersist()
+    edges = dists = None
+    for i in range(4):
+        chunk = e.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(4)) == i)
+        edges, dists, _ = merge_sssp(edges, dists, chunk, source)
+    return dists.select("id", "dist")
+
+
 def _q_stream_wcc(spark, sf_dir):
     """Incremental WCC (streaming/incremental.py): fold the edge table in
     4 deterministic micro-batches through merge_components — the converged
@@ -1149,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_no_out": _q_gremlin_no_out,
         "gremlin_match": _q_gremlin_match,
         "stream_wcc": _q_stream_wcc,
+        "stream_sssp": _q_stream_sssp,
         "property_project": _q_property_project,
         # round-2 additions
         "ppr": _q_ppr,
@@ -1292,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_match": tg.gremlin_match_sql(),
         # incremental merge converges to the same min-label components
         "stream_wcc": tg.wcc_sql(),
+        "stream_sssp": tg.sssp_sql(),
         "property_project": tg.property_project_sql(),
         "ppr": tg.ppr_sql(rounds=10),
         "articlerank": tg.articlerank_sql(rounds=10),

@@ -34,12 +34,23 @@ def sssp(
     checkpoint_every: int = 0,
     run_id: str | None = None,
     resume: bool = False,
+    init_state: DataFrame | None = None,
 ) -> SuperstepResult:
     """Returns state ``(id, dist, changed)``; ``dist`` is NULL for
     unreachable vertices (the reference prints ∞/max — NULL is our
     relational spelling, filter or fillna at the edge).
 
     ``weight_col=None`` gives unit weights — which *is* BFS levels.
+
+    ``init_state`` ((id, dist, changed), any subset of vertices)
+    warm-starts the relaxation — the PIE IncEval pattern for edge
+    INSERTIONS: distances from the previous fixpoint stay valid upper
+    bounds, so re-relaxing only from the ``changed`` seed frontier
+    reconverges in rounds proportional to the perturbation's reach, not
+    the graph diameter. Vertices absent from init_state start unreached;
+    the source is re-pinned to 0 (and seeded into the frontier if it was
+    previously unreached) regardless of what init_state says, so a
+    late-arriving source still triggers a full solve.
     """
     spark = g.spark
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
@@ -53,6 +64,22 @@ def sssp(
         F.when(F.col("id") == source, F.lit(0.0)).alias("dist"),
         (F.col("id") == source).alias("changed"),
     )
+    if init_state is not None:
+        init = (
+            g.vertices.select("id")
+            .join(init_state.select("id", F.col("dist").alias("_d"),
+                                    F.col("changed").alias("_c")),
+                  "id", "left")
+            .select(
+                "id",
+                F.when(F.col("id") == source, F.lit(0.0))
+                 .otherwise(F.col("_d")).alias("dist"),
+                (
+                    F.coalesce(F.col("_c"), F.lit(False))
+                    | ((F.col("id") == source) & F.col("_d").isNull())
+                ).alias("changed"),
+            )
+        )
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
         frontier = state.filter("changed").select("id", "dist")

@@ -215,3 +215,99 @@ def test_merge_pagerank_warm_start_matches_and_reconverges_fast(spark):
     assert rounds[-1] <= 3 < cold.rounds
     # mass invariant survives warm starts
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_merge_sssp_matches_cold_solve_and_reconverges_fast(spark):
+    from graphscope_spark.algorithms.sssp import sssp
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.streaming.incremental import merge_sssp
+
+    # weighted chain 0→1→…→19 with shortcut chords; the last batch is a
+    # SHORTCUT near the source that improves a long suffix of distances
+    chain = [(i, i + 1, 3.0) for i in range(19)]
+    chords = [(i, i + 4, 5.0) for i in range(0, 16, 5)]
+    shortcut = [(0, 10, 1.0)]
+    all_edges = chain + chords + shortcut
+    b1, b2, b3 = chain[:12], chain[12:] + chords, shortcut
+
+    edges = dists = None
+    rounds = []
+    for b in (b1, b2, b3, b2[:2]):  # 4th batch replays ingested edges
+        bdf = spark.createDataFrame(b, "src long, dst long, w double")
+        edges, dists, r = merge_sssp(edges, dists, bdf, source=0,
+                                     num_partitions=4)
+        rounds.append(r)
+
+    g = Graph(spark.createDataFrame(all_edges, "src long, dst long, w double"),
+              directed=True, num_partitions=4)
+    cold = sssp(g, 0, weight_col="w")
+    got = {r.id: r.dist for r in dists.collect()}
+    want = {r.id: r.dist for r in cold.state.collect()}
+    assert got == want  # exact: relaxation adds are order-free float mins
+    # the shortcut batch re-relaxed only the improved suffix; the replay
+    # batch found an empty improvement frontier and stopped immediately
+    assert rounds[-1] <= 2 < cold.rounds
+    # the shortcut genuinely improved distances (guards the fixture):
+    # 0→10 shortcut (1) + 10→14 chord (5) + 14→15 (3) + 15→19 chord (5)
+    assert want[19] == 14.0
+
+
+def test_merge_sssp_late_arriving_source(spark):
+    """The source vertex only appears in the SECOND batch — the warm
+    start must still pin it to 0 and solve outward."""
+    from graphscope_spark.algorithms.sssp import sssp
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.streaming.incremental import merge_sssp
+
+    b1 = [(5, 6, 1.0), (6, 7, 1.0)]
+    b2 = [(0, 5, 2.0)]
+    edges = dists = None
+    for b in (b1, b2):
+        bdf = spark.createDataFrame(b, "src long, dst long, w double")
+        edges, dists, _ = merge_sssp(edges, dists, bdf, source=0,
+                                     num_partitions=2)
+    g = Graph(spark.createDataFrame(b1 + b2, "src long, dst long, w double"),
+              directed=True, num_partitions=2)
+    want = {r.id: r.dist for r in sssp(g, 0, weight_col="w").state.collect()}
+    got = {r.id: r.dist for r in dists.collect()}
+    assert got == want == {0: 0.0, 5: 2.0, 6: 3.0, 7: 4.0}
+
+
+def test_incremental_sssp_file_stream(spark, tmp_path):
+    import pyspark.sql.functions as SF
+    from graphscope_spark.algorithms.sssp import sssp
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.streaming import IncrementalSSSP, edge_stream
+
+    rows = [(i, j, float((i + j) % 5 + 1))
+            for i in range(12) for j in range(12) if (i * 7 + j) % 9 == 0
+            and i != j]
+    srcdir = tmp_path / "edges-in"
+    srcdir.mkdir()
+    for k in range(3):
+        chunk = [r for n, r in enumerate(rows) if n % 3 == k]
+        spark.createDataFrame(chunk, "src long, dst long, w double") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(srcdir / f"b{k}"))
+    # register each batch dir as its own file in one stream source dir
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    import shutil
+    for k in range(3):
+        src = next((srcdir / f"b{k}").glob("part-*.parquet"))
+        shutil.copy(src, stream_dir / f"{k}.parquet")
+
+    inc = IncrementalSSSP(source=0, num_partitions=4)
+    q = (edge_stream(spark, str(stream_dir),
+                     schema="src long, dst long, w double")
+         .writeStream.foreachBatch(inc)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert inc.batches >= 1
+
+    g = Graph(spark.createDataFrame(rows, "src long, dst long, w double"),
+              directed=True, num_partitions=4)
+    want = {r.id: r.dist for r in sssp(g, 0, weight_col="w").state.collect()}
+    got = {r.id: r.dist for r in inc.dists.collect()}
+    assert got == want
