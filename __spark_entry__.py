@@ -992,6 +992,14 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.2)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span stats (Lee et al. ACL'22 signal):
+    per-doc fraction of distinct 5-gram shingles occurring in >= 2 docs.
+    Shingles shuffle as 60-bit hashes on both sides."""
+    from graphscope_spark.functions.dedup import dup_span_stats
+    return dup_span_stats(_docs(spark, sf_dir), k=5)
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark decontamination counts: eval set = doc_id % 97 == 0
     (deterministic subset); hits = distinct 3-gram shingles shared with
@@ -1234,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "contamination": _q_contamination,
+        "dup_spans": _q_dup_spans,
         "token_histogram": _q_token_histogram,
         "stratified_sample": _q_stratified_sample,
         "repetition_stats": _q_repetition_stats,
@@ -1383,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": do.ngram_jaccard_sql(threshold=0.2),
         "dedup_clusters": do.dedup_clusters_sql(threshold=0.2),
         "contamination": do.contamination_sql(k=3, eval_mod=97),
+        "dup_spans": do.dup_spans_sql(k=5),
         "token_histogram": do.token_histogram_sql(min_count=2),
         "stratified_sample": do.stratified_sample_sql("lang", 0.3, seed=0),
         "repetition_stats": do.repetition_stats_sql(),

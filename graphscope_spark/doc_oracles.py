@@ -456,6 +456,23 @@ SELECT doc_id, shard, n_tokens,
 FROM cum ORDER BY doc_id"""
 
 
+def dup_spans_sql(k: int = 5) -> str:
+    """Twin of functions/dedup.py::dup_span_stats — shingle hashes,
+    doc-frequency, per-doc duplicated-shingle counts and fraction."""
+    h = hash64_sql("shingle")
+    return f"""
+WITH {_shingle_cte(k)},
+hs AS (SELECT DISTINCT doc_id, {h} AS h FROM sh),
+docfreq AS (SELECT h, count(*) AS df FROM hs GROUP BY h)
+SELECT hs.doc_id,
+       count(*) AS total_shingles,
+       count(CASE WHEN docfreq.df >= 2 THEN 1 END) AS dup_shingles,
+       ROUND(CAST(count(CASE WHEN docfreq.df >= 2 THEN 1 END) AS DOUBLE)
+             / count(*), {FLOAT_DECIMALS}) AS dup_frac
+FROM hs JOIN docfreq ON hs.h = docfreq.h
+GROUP BY hs.doc_id"""
+
+
 def contamination_sql(k: int = 3, eval_mod: int = 97) -> str:
     """Twin of functions/dedup.py::contamination with the gate's
     deterministic eval set (doc_id % eval_mod == 0)."""

@@ -16,7 +16,8 @@ from graphscope_spark.functions.text import (  # noqa: F401
     doc_stats, fingerprint, lang_id, quality_score, tokenize,
 )
 from graphscope_spark.functions.dedup import (  # noqa: F401
-    contamination, decontaminate, dedup_exact, minhash_lsh_pairs,
+    contamination, decontaminate, dedup_exact, dup_span_stats,
+    minhash_lsh_pairs,
     minhash_signatures, ngram_jaccard_pairs, shingles, simhash64,
 )
 from graphscope_spark.functions.similarity import (  # noqa: F401

@@ -403,3 +403,51 @@ def decontaminate(
         docs, eval_docs, text_col, id_col, k, broadcast_eval
     )
     return cont.filter(F.col("hits") < min_overlaps).select(id_col)
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """(id, total_shingles, dup_shingles, dup_frac) — per-doc distinct
+    word k-gram shingles, and how many of them also occur in at least one
+    OTHER document. The cross-document duplicated-span signal of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL'22): a high ``dup_frac`` marks boilerplate-heavy documents whose
+    spans are repeated across the corpus even when no whole-document
+    near-dup fires.
+
+    100 TB shape: shingles cross the shuffle as 60-bit hashes
+    (functions/hashing.py), never as text; the plan is two
+    hash-partitioned aggregations (doc-frequency by shingle hash, then
+    per-doc counts over the joined flag) with map-side combine on both —
+    all-pairs never materializes. Within-doc repeats of a shingle count
+    once (distinct shingle set, the ngram_jaccard/minhash convention).
+    """
+    from graphscope_spark.functions.text import FLOAT_DECIMALS
+
+    sh = (
+        docs.select(
+            F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+        )
+        .select(id_col, hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    docfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(docfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.count(F.when(F.col("df") >= 2, F.lit(1))).alias("dup_shingles"),
+        )
+        .select(
+            id_col, "total_shingles", "dup_shingles",
+            F.round(
+                F.col("dup_shingles") / F.col("total_shingles"),
+                FLOAT_DECIMALS,
+            ).alias("dup_frac"),
+        )
+    )

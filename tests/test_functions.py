@@ -458,3 +458,37 @@ def test_contamination_eval_subset_is_fully_contaminated(docs):
     n_hit = got.join(ev.select("doc_id"), "doc_id").filter("hits >= 1").count()
     assert n_hit == n_eval
     assert got.count() == docs.select("doc_id").distinct().count()
+
+
+def test_dup_span_stats_python_oracle(spark):
+    from graphscope_spark.functions.dedup import dup_span_stats
+
+    # docs 1 and 2 share the 3-gram span "big red fox jumps"; doc 3 is
+    # clean; doc 4 repeats a shingle INTERNALLY only (counts once, not dup)
+    rows = [
+        (1, "the big red fox jumps over logs"),
+        (2, "a big red fox jumps again"),
+        (3, "completely unrelated words appear here"),
+        (4, "go go go go go"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.total_shingles, r.dup_shingles, r.dup_frac)
+           for r in dup_span_stats(docs, k=3).collect()}
+
+    def sh3(t):
+        toks = t.split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh3(t) for i, t in rows}
+    want = {}
+    for i, s in sets.items():
+        dup = sum(1 for x in s
+                  if any(x in o for j, o in sets.items() if j != i))
+        want[i] = (len(s), dup, round(dup / len(s), 6))
+    assert got == want
+    assert got[3][1] == 0  # clean doc has zero duplicated spans
+    # internal repeats collapse to ONE distinct shingle and are not dups
+    assert got[4] == (1, 0, 0.0)
+    assert got[1][1] == 2 and got[2][1] == 2  # "big red fox", "red fox jumps"
