@@ -1038,6 +1038,18 @@ def _q_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
 
+def _q_multimodal_decode(spark, sf_dir):
+    """REAL media decode: synthesize genuine P6 PPM / PCM WAV bytes, then
+    decode them with numpy/stdlib inside an Arrow-batched mapInPandas
+    (multimodal.decode_image/decode_audio). The twin recomputes the
+    expected metadata from the generator's closed-form id formulas, so
+    the hash matches iff decode exactly inverts the encoder."""
+    from graphscope_spark.functions.multimodal import (
+        decode_media_meta, synthesize_media,
+    )
+    return decode_media_meta(synthesize_media(spark, 240))
+
+
 def _q_multimodal_meta(spark, sf_dir):
     return media_metadata(documents_as_media(_docs(spark, sf_dir))).select(
         "media_id", "kind", "n_bytes", "sha256"
@@ -1255,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_decode": _q_multimodal_decode,
         # remaining FLASH compositions
         "k_core_search": _q_k_core_search,
         "random_multi_bfs": _q_random_multi_bfs,
@@ -1404,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": do.simhash_sql(),
         "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),
         "multimodal_meta": do.multimodal_meta_sql(),
+        "multimodal_decode": do.multimodal_decode_sql(240),
         "k_core_search": tg.k_core_search_sql(k=3),
         "random_multi_bfs": tg.random_multi_bfs_sql(k=8, seed=42),
         "dfs": tg.dfs_sql(),

@@ -456,6 +456,24 @@ SELECT doc_id, shard, n_tokens,
 FROM cum ORDER BY doc_id"""
 
 
+def multimodal_decode_sql(n_items: int = 240) -> str:
+    """Twin of multimodal.decode_media_meta over synthesize_media(n):
+    the Spark side DECODES real PPM/WAV bytes; this side recomputes the
+    expected metadata from the generator's closed-form id formulas — the
+    hash matches iff decode exactly inverts the encoder."""
+    return f"""
+WITH m AS (SELECT unnest(range({n_items})) AS media_id)
+SELECT media_id,
+  CASE WHEN media_id % 2 = 0 THEN 8 + media_id % 25 END AS width,
+  CASE WHEN media_id % 2 = 0 THEN 8 + media_id % 17 END AS height,
+  CASE WHEN media_id % 2 = 0 THEN 3 ELSE 1 END AS n_channels,
+  CASE WHEN media_id % 2 = 1 THEN 8000 END AS sample_rate,
+  CASE WHEN media_id % 2 = 1 THEN 800 + media_id % 1600 END AS n_samples,
+  CASE WHEN media_id % 2 = 1
+       THEN ROUND((800 + media_id % 1600) / 8000.0, 6) END AS duration_s
+FROM m"""
+
+
 def dup_spans_sql(k: int = 5) -> str:
     """Twin of functions/dedup.py::dup_span_stats — shingle hashes,
     doc-frequency, per-doc duplicated-shingle counts and fraction."""

@@ -24,6 +24,8 @@ from graphscope_spark.functions.similarity import (  # noqa: F401
     ann_brute_force, ann_lsh, embedding_neardup_pairs,
 )
 from graphscope_spark.functions.multimodal import (  # noqa: F401
-    documents_as_media, fake_decode_meta, frame_sample_plan, media_metadata,
+    decode_audio, decode_image, decode_media_meta, documents_as_media,
+    fake_decode_meta, frame_sample_plan, image_grid_features,
+    media_metadata, synthesize_media,
 )
 from graphscope_spark.functions.dedup import simhash_neardup_pairs  # noqa: F401
