@@ -926,6 +926,13 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-pretokenizer token counts (single-pass JVM
+    projection; the BPE regex is the RE2-portable GPT-2 subset)."""
+    from graphscope_spark.functions.text import token_counts
+    return token_counts(_docs(spark, sf_dir))
+
+
 def _q_token_histogram(spark, sf_dir):
     from graphscope_spark.functions.text import token_histogram
     return token_histogram(_docs(spark, sf_dir), min_count=2)
@@ -1256,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "dup_spans": _q_dup_spans,
         "token_histogram": _q_token_histogram,
+        "token_counts": _q_token_counts,
         "stratified_sample": _q_stratified_sample,
         "repetition_stats": _q_repetition_stats,
         "gopher_filter": _q_gopher_filter,
@@ -1407,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": do.contamination_sql(k=3, eval_mod=97),
         "dup_spans": do.dup_spans_sql(k=5),
         "token_histogram": do.token_histogram_sql(min_count=2),
+        "token_counts": do.token_counts_sql(),
         "stratified_sample": do.stratified_sample_sql("lang", 0.3, seed=0),
         "repetition_stats": do.repetition_stats_sql(),
         "gopher_filter": do.gopher_filter_sql(),

@@ -456,6 +456,23 @@ SELECT doc_id, shard, n_tokens,
 FROM cum ORDER BY doc_id"""
 
 
+def token_counts_sql() -> str:
+    """Twin of functions/text.py::token_counts — whitespace-word and
+    BPE-pretokenizer counts. ws_tokens must be len(regexp_split) to match
+    Spark's split() (both count empty-string tokens of a blank text as 1);
+    the BPE pattern is the RE2-portable subset by construction."""
+    from graphscope_spark.functions.text import BPE_PRETOKEN_RE
+
+    bpe = f"len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}'))"
+    return f"""
+SELECT doc_id,
+       len({TOKS}) AS ws_tokens,
+       {bpe} AS bpe_tokens,
+       ROUND(CAST(length(text) AS DOUBLE) / greatest({bpe}, 1),
+             {FLOAT_DECIMALS}) AS chars_per_bpe_token
+FROM documents"""
+
+
 def multimodal_decode_sql(n_items: int = 240) -> str:
     """Twin of multimodal.decode_media_meta over synthesize_media(n):
     the Spark side DECODES real PPM/WAV bytes; this side recomputes the

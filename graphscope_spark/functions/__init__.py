@@ -13,7 +13,8 @@ correctness gate.
 
 from graphscope_spark.functions.hashing import hash64  # noqa: F401
 from graphscope_spark.functions.text import (  # noqa: F401
-    doc_stats, fingerprint, lang_id, quality_score, tokenize,
+    doc_stats, fingerprint, lang_id, quality_score, token_counts,
+    tokenize,
 )
 from graphscope_spark.functions.dedup import (  # noqa: F401
     contamination, decontaminate, dedup_exact, dup_span_stats,

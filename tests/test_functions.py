@@ -615,3 +615,24 @@ def test_image_grid_features_real_pixels(spark):
     want = want / np.maximum(cnt, 1)
     want = want / np.linalg.norm(want)
     assert np.allclose(feats[2], want, atol=1e-12)
+
+
+def test_token_counts_python_oracle(spark):
+    import re as _re
+    from graphscope_spark.functions.text import BPE_PRETOKEN_RE, token_counts
+
+    rows = [
+        (1, "Hello world, it's 2024!"),
+        (2, "  spaced   out\ttabs\nand newlines  "),
+        (3, "no-punct words only here"),
+        (4, "12345 67 a1b2c3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.ws_tokens, r.bpe_tokens, r.chars_per_bpe_token)
+           for r in token_counts(docs).collect()}
+    for i, t in rows:
+        ws = len(t.strip().split())
+        bpe = len(_re.findall(BPE_PRETOKEN_RE, t))
+        assert got[i] == (ws, bpe, round(len(t) / max(bpe, 1), 6)), i
+    # BPE splits "it's" into 3 pieces (it / ' / s) and glues " world" as one
+    assert got[1][1] > got[1][0]
