@@ -137,6 +137,7 @@ class Graph:
         num_partitions: int | None = None,
         persist: bool = True,
         assume_symmetric: bool = False,
+        assume_src_bucketed: bool = False,
     ):
         self.spark: SparkSession = edges.sparkSession
         if num_partitions is None:
@@ -183,8 +184,15 @@ class Graph:
         # per-round sort of the edges — only the vertex-sized side sorts.
         # Paid once at load, exactly like the reference's CSR construction
         # (docs/frag_intro.md).
+        # ``assume_src_bucketed`` (load_bucketed): the scan of an edges
+        # table bucketed+sorted by src into num_partitions buckets ALREADY
+        # reports the hash distribution and ordering this repartition+sort
+        # would build — skipping them makes the out-CSR load exchange-free
+        # AND sort-free (the on-disk bucket layout is the CSR).
         self.out_edges = (
-            edges.repartition(num_partitions, "src").sortWithinPartitions("src")
+            edges if assume_src_bucketed
+            else edges.repartition(num_partitions, "src")
+                      .sortWithinPartitions("src")
         )
         self.in_edges = (
             edges.repartition(num_partitions, "dst").sortWithinPartitions("dst")
@@ -437,6 +445,46 @@ class Graph:
             directed=bool(meta["directed"]),
             num_partitions=num_partitions or int(meta["num_partitions"]),
             assume_symmetric=True,
+        )
+
+    def save_bucketed(self, name: str, mode: str = "error") -> None:
+        """Archive this graph as BUCKETED catalog tables: edges bucketed +
+        sorted by ``src`` into ``num_partitions`` buckets (``<name>_edges``),
+        vertices bucketed by ``id`` (``<name>_vertices``), and a one-row
+        ``<name>_meta``. The 100 TB cold-start lever the plain parquet
+        archive (:meth:`save`) lacks: a bucketed scan already satisfies the
+        hash distribution the superstep join/groupBy needs, so the first
+        pass over a reloaded graph skips the edge-side Exchange entirely
+        (plan-asserted in tests/test_graph_io.py) — the on-disk layout IS
+        the fragment partitioning, exactly how the reference's persisted
+        fragments reload pre-partitioned (docs/frag_intro.md:24-112).
+        Requires a catalog (in-memory catalog locally; Hive/Glue on a
+        cluster, where the registration also survives restarts)."""
+        (self.edges.write.mode(mode)
+         .bucketBy(self.num_partitions, "src").sortBy("src")
+         .format("parquet").saveAsTable(f"{name}_edges"))
+        (self.vertices.write.mode(mode)
+         .bucketBy(self.num_partitions, "id")
+         .format("parquet").saveAsTable(f"{name}_vertices"))
+        meta = self.spark.createDataFrame(
+            [(self.directed, self.num_partitions, 1)],
+            "directed boolean, num_partitions int, version int",
+        )
+        meta.write.mode(mode).format("parquet").saveAsTable(f"{name}_meta")
+
+    @classmethod
+    def load_bucketed(cls, spark: SparkSession, name: str) -> "Graph":
+        """Restore a graph archived by :meth:`save_bucketed`. The edge
+        DataFrame comes from the bucketed catalog table, so downstream
+        src-keyed joins/aggregations read it exchange-free."""
+        meta = spark.table(f"{name}_meta").first()
+        return cls(
+            spark.table(f"{name}_edges"),
+            spark.table(f"{name}_vertices"),
+            directed=bool(meta["directed"]),
+            num_partitions=int(meta["num_partitions"]),
+            assume_symmetric=True,
+            assume_src_bucketed=True,
         )
 
     def unpersist(self) -> None:
