@@ -420,12 +420,17 @@ def dup_span_stats(
     near-dup fires.
 
     100 TB shape: shingles cross the shuffle as 60-bit hashes
-    (functions/hashing.py), never as text; the plan is two
-    hash-partitioned aggregations (doc-frequency by shingle hash, then
-    per-doc counts over the joined flag) with map-side combine on both —
-    all-pairs never materializes. Within-doc repeats of a shingle count
-    once (distinct shingle set, the ngram_jaccard/minhash convention).
+    (functions/hashing.py), never as text, and the corpus is scanned and
+    exploded exactly ONCE: doc-frequency is a window count over the
+    shingle-hash partitioning instead of a separate aggregate joined
+    back (which would recompute the explode subtree — plan-audited, see
+    PLANS.md). Three thin exchanges (distinct, window, per-doc agg), all
+    8-byte keys; all-pairs never materializes. Within-doc repeats of a
+    shingle count once (distinct shingle set, the ngram_jaccard/minhash
+    convention).
     """
+    from pyspark.sql import Window
+
     from graphscope_spark.functions.text import FLOAT_DECIMALS
 
     sh = (
@@ -435,10 +440,12 @@ def dup_span_stats(
         .select(id_col, hash64(F.col("shingle")).alias("h"))
         .distinct()
     )
-    docfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per = sh.select(
+        id_col,
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("df"),
+    )
     return (
-        sh.join(docfreq, "h")
-        .groupBy(id_col)
+        per.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("total_shingles"),
             F.count(F.when(F.col("df") >= 2, F.lit(1))).alias("dup_shingles"),
