@@ -29,8 +29,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from pyspark.storagelevel import StorageLevel
+
 from graphscope_spark.functions.hashing import hash64
 from graphscope_spark.functions.text import tokenize
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a small per-doc derived table that the downstream plan
+    references more than once — without it Spark recomputes the whole
+    corpus scan+explode PER REFERENCE (plan-audited, PLANS.md:
+    ngram_jaccard read the source parquet 6x, minhash-LSH 6x, simhash
+    2x). What gets pinned is the derived table (ids + hashes/shingles/
+    signatures), orders of magnitude smaller than the text; eviction is
+    safe — lineage recomputes."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands × 4 rows with 16 hashes
@@ -109,7 +122,7 @@ def minhash_lsh_pairs(
     exact shingle-set Jaccard ≥ threshold (returns (a, b, jaccard))."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, k)
+    sig = _pin(minhash_signatures(docs, text_col, id_col, num_hashes, k))
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -134,7 +147,9 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    jac = _jaccard_on_pairs(cand, doc_shingles(docs, text_col, id_col, k), id_col)
+    jac = _jaccard_on_pairs(
+        cand, _pin(doc_shingles(docs, text_col, id_col, k)), id_col
+    )
     return jac.filter(F.col("jaccard") >= verify_threshold)
 
 
@@ -170,7 +185,7 @@ def ngram_jaccard_pairs(
     (pairs sharing ≥1 shingle). ``max_doc_freq`` drops hub shingles from
     candidate *generation* only (Jaccard itself stays exact), bounding the
     candidate blowup that common n-grams cause at scale."""
-    sh = doc_shingles(docs, text_col, id_col, k)
+    sh = _pin(doc_shingles(docs, text_col, id_col, k))
     gen = sh
     if max_doc_freq is not None:
         rare = (
@@ -253,7 +268,7 @@ def simhash_neardup_pairs(
             "guarantee (need max_hamming+1 chunks); rebuild with more "
             "chunks instead of silently losing pairs"
         )
-    sh = simhash64(docs, text_col, id_col)
+    sh = _pin(simhash64(docs, text_col, id_col))
     chunks = sh.select(
         F.col(id_col), "simhash",
         F.explode(
