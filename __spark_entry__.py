@@ -1030,6 +1030,11 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
 
 
+def _q_semdedup(spark, sf_dir):
+    from graphscope_spark.functions.similarity import semdedup
+    return semdedup(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN — rows-only at the gate (the k-means
     quantizer is not SQL-expressible); recall + exhaustive-equals-exact
@@ -1273,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "semdedup": _q_semdedup,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
@@ -1425,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": do.ann_topk_sql(k=5, n_queries=10),
         "simhash": do.simhash_sql(),
         "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),
+        "semdedup": do.semdedup_sql(threshold=0.4),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),
         "k_core_search": tg.k_core_search_sql(k=3),

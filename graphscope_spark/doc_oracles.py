@@ -530,3 +530,70 @@ hits AS (
 SELECT d.doc_id, COALESCE(h.hits, 0) AS hits
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+
+def semdedup_sql(threshold: float = 0.3, dim: int = 64, n_planes: int = 4,
+                 n_tables: int = 8, seed: int = 42, rounds: int = 8) -> str:
+    """Twin of functions/similarity.py::semdedup: the deterministic
+    md5-Rademacher sign-LSH buckets (same construction as ann_lsh_sql)
+    generate the candidate self-join; pairs at ROUND(cosine,6) >=
+    threshold form the dup graph; unrolled min-label propagation finds
+    the semantic-duplicate groups; cluster id = min member vec_id,
+    keep = (vec_id = cluster_id)."""
+    parts = [f"""WITH planes AS (
+  SELECT t.t, p.p, j.j,
+         CASE WHEN CAST('0x' || substr(md5(
+                CAST({seed} + 1000 * t.t AS VARCHAR) || '|' ||
+                CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)
+              ), 1, 15) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range({n_tables})) AS t) t
+  CROSS JOIN (SELECT unnest(range({n_planes})) AS p) p
+  CROSS JOIN (SELECT unnest(range({dim})) AS j) j
+),
+comps AS (
+  SELECT vec_id, j.j, CAST(embedding[j.j + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range({dim})) AS j) j
+),
+dots AS (
+  SELECT c.vec_id, pl.t, pl.p, SUM(c.x * pl.w) AS dot
+  FROM comps c JOIN planes pl ON pl.j = c.j
+  GROUP BY c.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM buckets a
+  JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs2 AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b
+  WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]), 6)
+        >= {threshold}
+),
+pe AS (SELECT a AS src, b AS dst FROM pairs2
+       UNION ALL SELECT b AS src, a AS dst FROM pairs2),
+l0 AS (SELECT vec_id AS id, vec_id AS comp FROM embeddings)"""]
+    for r in range(1, rounds + 1):
+        p = f"l{r-1}"
+        parts.append(f""",
+l{r} AS (
+  SELECT l.id, LEAST(l.comp, COALESCE(m.c, l.comp)) AS comp
+  FROM {p} l LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.comp) AS c
+    FROM pe e JOIN {p} p ON e.src = p.id GROUP BY e.dst
+  ) m ON l.id = m.id
+)""")
+    parts.append(f"""
+SELECT id AS vec_id, comp AS cluster_id, (id = comp) AS keep
+FROM l{rounds} ORDER BY vec_id""")
+    from graphscope_spark.tpch_graphs import _materialized
+    return _materialized("".join(parts))

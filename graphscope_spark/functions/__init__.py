@@ -22,7 +22,7 @@ from graphscope_spark.functions.dedup import (  # noqa: F401
     minhash_signatures, ngram_jaccard_pairs, shingles, simhash64,
 )
 from graphscope_spark.functions.similarity import (  # noqa: F401
-    ann_brute_force, ann_lsh, embedding_neardup_pairs,
+    ann_brute_force, ann_lsh, embedding_neardup_pairs, semdedup,
 )
 from graphscope_spark.functions.multimodal import (  # noqa: F401
     decode_audio, decode_image, decode_media_meta, documents_as_media,

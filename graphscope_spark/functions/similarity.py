@@ -254,6 +254,57 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 64,
+) -> DataFrame:
+    """(vec_id, cluster_id, keep) — SemDeDup-style semantic deduplication
+    (Abbas et al. 2023, arXiv:2303.09540): group embeddings whose cosine
+    similarity reaches ``threshold`` and keep ONE representative per
+    semantic-duplicate group (min vec_id). Filtering on ``keep`` yields
+    the semantically deduplicated corpus.
+
+    The paper clusters with k-means then prunes within clusters; here the
+    candidate stage is the deterministic multi-table sign-LSH bucketed
+    self-join (:func:`embedding_neardup_pairs`) — same role (never
+    all-pairs; shuffle ∝ bucket sizes), but a pure function of
+    (seed, dim), so a DuckDB oracle reproduces the exact candidate set
+    and the gate value-hash-matches (doc_oracles.semdedup_sql). Dup
+    groups = connected components of the pair graph via the
+    O(log n)-round hook+jump kernel — pair-graph-sized, orders of
+    magnitude below the corpus."""
+    from graphscope_spark.algorithms.wcc import cc_log
+    from graphscope_spark.graph import Graph
+
+    pairs = embedding_neardup_pairs(
+        corpus, threshold, dim, n_planes, n_tables, seed, id_col, vec_col
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    pair_graph = Graph(
+        edges.localCheckpoint(eager=True),
+        directed=True,  # cc_log symmetrizes
+        persist=False,
+    )
+    comp = cc_log(pair_graph, max_iter=max_iter)
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("comp"), F.col("vec_id")).alias("cluster_id"),
+            (F.coalesce(F.col("comp"), F.col("vec_id")) == F.col("vec_id"))
+            .alias("keep"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # --------------------------------------------------------------------- #

@@ -636,3 +636,26 @@ def test_token_counts_python_oracle(spark):
         assert got[i] == (ws, bpe, round(len(t) / max(bpe, 1), 6)), i
     # BPE splits "it's" into 3 pieces (it / ' / s) and glues " world" as one
     assert got[1][1] > got[1][0]
+
+
+def test_semdedup_planted_duplicates(emb, spark):
+    """Exact-copy embeddings collide in every LSH table (same buckets) and
+    score cosine 1.0, so semdedup must cluster each copy with its original
+    and keep only the min vec_id; untouched vectors stay singleton keeps."""
+    from graphscope_spark.functions.similarity import semdedup
+
+    base = emb.filter(F.col("vec_id") < 10)
+    copies = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    res = {r["vec_id"]: (r["cluster_id"], r["keep"])
+           for r in semdedup(corpus, threshold=0.999).collect()}
+    assert len(res) == emb.count() + 10
+    for i in range(10):
+        assert res[i + 1_000_000] == (i, False), i
+        assert res[i][0] == i and res[i][1], i
+    # a vector with no planted copy and no accidental 0.999-neighbor
+    # remains its own cluster representative
+    lonely = [v for v in range(10, 100) if res[v] == (v, True)]
+    assert len(lonely) > 50
