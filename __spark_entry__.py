@@ -1030,6 +1030,20 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
 
 
+def _q_mixture_sample(spark, sf_dir):
+    from graphscope_spark.functions.mixing import mixture_sample
+    return mixture_sample(
+        _docs(spark, sf_dir), temperature=0.5, target_rows=200
+    ).select("doc_id", "source", "n_chars")
+
+
+def _q_importance_resample(spark, sf_dir):
+    from graphscope_spark.functions.mixing import importance_resample
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return importance_resample(docs, target, n_select=200)
+
+
 def _q_semdedup(spark, sf_dir):
     from graphscope_spark.functions.similarity import semdedup
     return semdedup(_emb(spark, sf_dir), threshold=0.4)
@@ -1279,6 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "semdedup": _q_semdedup,
+        "mixture_sample": _q_mixture_sample,
+        "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
@@ -1432,6 +1448,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": do.simhash_sql(),
         "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),
         "semdedup": do.semdedup_sql(threshold=0.4),
+        "mixture_sample": do.mixture_sample_sql(0.5, 200),
+        "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),
         "k_core_search": tg.k_core_search_sql(k=3),

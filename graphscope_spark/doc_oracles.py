@@ -597,3 +597,81 @@ SELECT id AS vec_id, comp AS cluster_id, (id = comp) AS keep
 FROM l{rounds} ORDER BY vec_id""")
     from graphscope_spark.tpch_graphs import _materialized
     return _materialized("".join(parts))
+
+
+def mixture_sample_sql(temperature: float, target_rows: int,
+                       seed: int = 0) -> str:
+    """Twin of functions/mixing.py::mixture_sample over the documents
+    table (strata = source): per-source keep rate min(1, target·n^T/Σn^T/n)
+    as a 60-bit hash bound, row survives iff hash64(id:source:seed) falls
+    under it. pow/division are double-identical across engines; the bound
+    is floor()ed in both so truncation direction matches."""
+    h = hash64_sql(f"CAST(d.doc_id AS VARCHAR) || ':' || d.source || ':{seed}'")
+    return f"""
+WITH counts AS (
+  SELECT source AS stratum, count(*) AS n FROM documents GROUP BY source
+),
+powed AS (
+  SELECT stratum, n, pow(CAST(n AS DOUBLE), {temperature}) AS w FROM counts
+),
+tot AS (SELECT SUM(w) AS tot FROM powed),
+bounds AS (
+  SELECT stratum,
+         CAST(floor(LEAST(1.0, {float(target_rows)} * w / tot
+                          / CAST(n AS DOUBLE)) * {float(1 << 60)}) AS BIGINT)
+         AS bound
+  FROM powed CROSS JOIN tot
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN bounds b ON d.source = b.stratum
+WHERE {h} < b.bound"""
+
+
+def importance_resample_sql(n_select: int, n_buckets: int = 64,
+                            target_mod: int = 7, alpha: float = 1.0) -> str:
+    """Twin of functions/mixing.py::importance_resample with the gate's
+    deterministic target set (doc_id % target_mod == 0). Grams =
+    whitespace unigrams + adjacent bigrams; bucket = hash64(gram) %
+    n_buckets; per-bucket log-ratio rounded to {FLOAT_DECIMALS} before the
+    per-doc sum (also rounded) — mirrors the Spark rounding points."""
+    hb = hash64_sql("gram")
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+uni AS (
+  SELECT doc_id, unnest(toks) AS gram FROM t
+),
+bi AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+grams AS (
+  SELECT doc_id, gram FROM uni WHERE gram <> ''
+  UNION ALL
+  SELECT doc_id, gram FROM bi WHERE gram <> ''
+),
+gb AS (SELECT doc_id, {hb} % {n_buckets} AS bucket FROM grams),
+raw AS (SELECT bucket, count(*) AS rc FROM gb GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS tc FROM gb
+        WHERE doc_id % {target_mod} = 0 GROUP BY bucket),
+raw_tot AS (SELECT SUM(rc) AS rt FROM raw),
+tgt_tot AS (SELECT SUM(tc) AS tt FROM tgt),
+ratios AS (
+  SELECT b.bucket,
+         ROUND(ln((COALESCE(t.tc, 0) + {alpha}) / (tt + {alpha * n_buckets}))
+               - ln((COALESCE(r.rc, 0) + {alpha}) / (rt + {alpha * n_buckets})),
+               {FLOAT_DECIMALS}) AS lr
+  FROM (SELECT unnest(range({n_buckets})) AS bucket) b
+  LEFT JOIN raw r ON r.bucket = b.bucket
+  LEFT JOIN tgt t ON t.bucket = b.bucket
+  CROSS JOIN raw_tot CROSS JOIN tgt_tot
+),
+weights AS (
+  SELECT g.doc_id, ROUND(SUM(rr.lr), {FLOAT_DECIMALS}) AS weight
+  FROM gb g JOIN ratios rr ON rr.bucket = g.bucket
+  GROUP BY g.doc_id
+)
+SELECT doc_id, weight,
+       ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id ASC) AS rank
+FROM weights
+ORDER BY weight DESC, doc_id ASC
+LIMIT {n_select}"""

@@ -30,3 +30,7 @@ from graphscope_spark.functions.multimodal import (  # noqa: F401
     media_metadata, synthesize_media,
 )
 from graphscope_spark.functions.dedup import simhash_neardup_pairs  # noqa: F401
+from graphscope_spark.functions.mixing import (  # noqa: F401
+    hashed_gram_distribution, importance_resample, mixture_rates,
+    mixture_sample,
+)
