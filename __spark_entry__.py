@@ -1030,6 +1030,16 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
 
 
+def _q_link_predict(spark, sf_dir):
+    from graphscope_spark.algorithms.link_prediction import link_prediction
+    g = tg.copurchase_graph(spark, sf_dir)
+    return (
+        link_prediction(g)
+        .orderBy(F.col("cn").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(100)
+    )
+
+
 def _q_mixture_sample(spark, sf_dir):
     from graphscope_spark.functions.mixing import mixture_sample
     return mixture_sample(
@@ -1294,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "semdedup": _q_semdedup,
         "mixture_sample": _q_mixture_sample,
+        "link_predict": _q_link_predict,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1449,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": do.ann_lsh_sql(k=5, dim=64, n_planes=4, n_tables=8),
         "semdedup": do.semdedup_sql(threshold=0.4),
         "mixture_sample": do.mixture_sample_sql(0.5, 200),
+        "link_predict": tg.link_prediction_sql(top=100),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -61,3 +61,6 @@ from graphscope_spark.algorithms.paths import (  # noqa: F401
     all_pairs_weighted_shortest_path_length, betweenness_centrality_weighted,
     multi_source_weighted,
 )
+from graphscope_spark.algorithms.link_prediction import (  # noqa: F401
+    common_neighbors, link_prediction,
+)

@@ -425,6 +425,47 @@ def numeric_assortativity_coefficient(G: Graph, attribute: str) -> float:
     return numeric_assortativity(g2, "x")
 
 
+def common_neighbors(G: Graph, u: int, v: int):
+    """nx convention: iterator of nodes (the reference re-exports this
+    surface at python/graphscope/nx/classes/function.py:52)."""
+    from graphscope_spark.algorithms.link_prediction import (
+        common_neighbors as _cn,
+    )
+    return iter(sorted(r["id"] for r in
+                       _cn(G._spark_graph(), u, v).collect()))
+
+
+def _lp_scores(G: Graph, ebunch, col: str):
+    from graphscope_spark.algorithms.link_prediction import link_prediction
+    df = link_prediction(G._spark_graph())
+    scores = {(r["u"], r["v"]): r[col] for r in df.collect()}
+    if ebunch is None:
+        pairs = sorted(scores)
+    else:
+        pairs = [(min(u, v), max(u, v)) for u, v in ebunch]
+    return iter([(u, v, scores.get((u, v), 0.0)) for u, v in pairs])
+
+
+def jaccard_coefficient(G: Graph, ebunch=None):
+    """nx convention: iterator of (u, v, score) over non-adjacent pairs."""
+    return _lp_scores(G, ebunch, "jaccard")
+
+
+def adamic_adar_index(G: Graph, ebunch=None):
+    return _lp_scores(G, ebunch, "adamic_adar")
+
+
+def resource_allocation_index(G: Graph, ebunch=None):
+    return _lp_scores(G, ebunch, "resource_alloc")
+
+
+def preferential_attachment(G: Graph, ebunch=None):
+    """nx convention; note nx computes deg(u)·deg(v) for ANY pair — this
+    surface scores the non-adjacent candidate pairs (ebunch entries
+    without a common neighbor score 0, documented divergence)."""
+    return _lp_scores(G, ebunch, "pref_attach")
+
+
 def is_simple_path(G: Graph, nodes: list[int]) -> bool:
     from graphscope_spark.algorithms import is_simple_path as _isp
     return _isp(G._spark_graph(), [int(n) for n in nodes])

@@ -2012,3 +2012,39 @@ FROM (SELECT DISTINCT src, dst FROM edges) e
 JOIN {prev} a ON a.v = e.src
 JOIN {prev} b ON b.seed = a.seed AND b.v = e.dst
 ORDER BY a.seed, e.src, e.dst""")
+
+
+def link_prediction_sql(top: int = 100, min_cn: int = 1) -> str:
+    """Twin of algorithms/link_prediction.py::link_prediction on the
+    co-purchase graph: one wedge join computes cn / jaccard / adamic_adar /
+    resource_alloc / pref_attach for non-adjacent pairs; top-``top`` by
+    (cn DESC, u, v) — an integer-deterministic order, so the cut is exact
+    across engines."""
+    return _materialized(f"""WITH {COPURCHASE_CTE},
+deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+wedge AS (
+  SELECT e1.dst AS u, e2.dst AS v, e1.src AS w
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+agg AS (
+  SELECT u, v, count(*) AS cn,
+         ROUND(SUM(1.0 / ln(dw.d)), 6) AS adamic_adar,
+         ROUND(SUM(1.0 / dw.d), 6) AS resource_alloc
+  FROM wedge JOIN deg dw ON dw.id = wedge.w
+  GROUP BY u, v
+  HAVING count(*) >= {min_cn}
+),
+nonadj AS (
+  SELECT a.* FROM agg a
+  LEFT JOIN edges e ON e.src = a.u AND e.dst = a.v
+  WHERE e.src IS NULL
+),
+scored AS (
+  SELECT n.u, n.v, n.cn,
+         ROUND(CAST(n.cn AS DOUBLE) / (du.d + dv.d - n.cn), 6) AS jaccard,
+         n.adamic_adar, n.resource_alloc, du.d * dv.d AS pref_attach
+  FROM nonadj n
+  JOIN deg du ON du.id = n.u
+  JOIN deg dv ON dv.id = n.v
+)
+SELECT * FROM scored ORDER BY cn DESC, u ASC, v ASC LIMIT {top}""")

@@ -122,3 +122,17 @@ def test_generators():
     G2 = nx.gnm_random_graph(20, 30, seed=7)
     assert G1.edges == G2.edges and G1.number_of_edges() == 30
     assert nx.gnm_random_graph(20, 30, seed=8).edges != G1.edges
+
+
+def test_link_prediction_surface():
+    import graphscope_spark.nx as gnx
+    G = gnx.Graph()
+    G.add_edges_from([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    assert list(gnx.common_neighbors(G, 2, 4)) == [1, 3]
+    jc = list(gnx.jaccard_coefficient(G))
+    assert jc == [(2, 4, 1.0)]
+    aa = list(gnx.adamic_adar_index(G, [(2, 4)]))
+    import math
+    assert aa == [(2, 4, round(2 / math.log(3), 6))]
+    pa = list(gnx.preferential_attachment(G, [(4, 2)]))
+    assert pa == [(2, 4, 4)]
