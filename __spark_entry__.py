@@ -1030,6 +1030,11 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
 
 
+def _q_lm_score(spark, sf_dir):
+    from graphscope_spark.functions.text import lm_quality_score
+    return lm_quality_score(_docs(spark, sf_dir))
+
+
 def _q_link_predict(spark, sf_dir):
     from graphscope_spark.algorithms.link_prediction import link_prediction
     g = tg.copurchase_graph(spark, sf_dir)
@@ -1305,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "mixture_sample": _q_mixture_sample,
         "link_predict": _q_link_predict,
+        "lm_score": _q_lm_score,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1461,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": do.semdedup_sql(threshold=0.4),
         "mixture_sample": do.mixture_sample_sql(0.5, 200),
         "link_predict": tg.link_prediction_sql(top=100),
+        "lm_score": do.lm_score_sql(),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

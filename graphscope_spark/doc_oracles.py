@@ -675,3 +675,27 @@ SELECT doc_id, weight,
 FROM weights
 ORDER BY weight DESC, doc_id ASC
 LIMIT {n_select}"""
+
+
+def lm_score_sql(alpha: float = 1.0) -> str:
+    """Twin of functions/text.py::lm_quality_score — same Laplace unigram
+    NLL with the same two rounding points."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+per_doc AS (SELECT doc_id, token, count(*) AS k FROM tk GROUP BY doc_id, token),
+vocab AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vocab),
+nll AS (
+  SELECT token,
+         CAST(ROUND(-ln((cnt + {alpha}) / (total + {alpha} * vsize))
+                    * 1000000.0, 0) AS BIGINT) AS nll_u
+  FROM vocab CROSS JOIN stats
+)
+SELECT p.doc_id, CAST(SUM(p.k) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(p.k * n.nll_u) AS DOUBLE) / 1000000.0 / SUM(p.k),
+             {FLOAT_DECIMALS}) AS avg_nll
+FROM per_doc p JOIN nll n ON n.token = p.token
+GROUP BY p.doc_id"""

@@ -380,3 +380,64 @@ def stratified_sample(
     )
     bound = int(fraction * float(1 << 60))
     return docs.filter(h < F.lit(bound))
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_nll) — per-document mean negative
+    log-likelihood under the CORPUS's own Laplace-smoothed unigram LM:
+    the language-model quality filter (the CCNet/KenLM recipe's shape,
+    with the corpus unigram distribution standing in for the external
+    5-gram model — no model artifacts exist in this sandbox). Low
+    avg_nll = token mix typical of the corpus; high = outlier/noise/
+    gibberish. Docs with no tokens are excluded.
+
+    Scale shape: vocabulary pass (token_histogram — shuffle bounded by
+    per-partition vocabulary), then per-doc (token, k) counts joined
+    against the vocabulary ON token — the join shuffles (doc, token,
+    k) pairs, never text. Per-token NLL is carried as INTEGER micro-nats
+    (round(nll·1e6) as long): the per-doc weighted sum is then exact and
+    order-independent — float summation order varies with partitioning
+    and flips round-to-6 boundaries — so the DuckDB twin
+    (doc_oracles.lm_score_sql) value-hash-matches at any parallelism."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsize")
+    )
+    nll = (
+        vocab.crossJoin(stats)
+        .select(
+            "token",
+            F.round(
+                -F.log(
+                    (F.col("cnt") + F.lit(alpha))
+                    / (F.col("total") + F.lit(alpha) * F.col("vsize"))
+                )
+                * F.lit(1_000_000.0),
+                0,
+            ).cast("long").alias("nll_u"),
+        )
+    )
+    return (
+        per_doc.join(nll, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("k") * F.col("nll_u")).cast("double")
+                / F.lit(1_000_000.0) / F.sum("k"),
+                FLOAT_DECIMALS,
+            ).alias("avg_nll"),
+        )
+    )

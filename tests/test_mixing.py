@@ -137,3 +137,20 @@ def test_importance_resample_exact_python_oracle(spark):
     order = sorted(weights, key=lambda i: (-weights[i], i))[:10]
     expect = [(i, weights[i], r + 1) for r, i in enumerate(order)]
     assert sorted(got, key=lambda t: t[2]) == expect
+
+
+def test_lm_quality_score_exact(spark):
+    from graphscope_spark.functions.text import lm_quality_score
+    rows = [(0, "a a b"), (1, "a zzz"), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+           for r in lm_quality_score(docs).collect()}
+    # corpus: a=3, b=1, zzz=1 -> total 5, vocab 3, alpha=1
+    import math
+    def nll(c):
+        return round(-math.log((c + 1) / (5 + 3)), 6)
+    assert got[0] == (3, round((2 * nll(3) + nll(1)) / 3, 6))
+    assert got[1] == (2, round((nll(3) + nll(1)) / 2, 6))
+    assert 2 not in got  # empty doc excluded
+    # the common token is more "likely": doc 0 scores better than doc 1
+    assert got[0][1] < got[1][1]
