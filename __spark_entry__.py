@@ -1035,6 +1035,19 @@ def _q_lm_score(spark, sf_dir):
     return lm_quality_score(_docs(spark, sf_dir))
 
 
+BM25_QUERY = ["join", "window", "stream"]
+
+
+def _q_bm25(spark, sf_dir):
+    from graphscope_spark.functions.retrieval import bm25_score
+    return bm25_score(_docs(spark, sf_dir), BM25_QUERY)
+
+
+def _q_tfidf_terms(spark, sf_dir):
+    from graphscope_spark.functions.retrieval import tfidf_top_terms
+    return tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
+
+
 def _q_link_predict(spark, sf_dir):
     from graphscope_spark.algorithms.link_prediction import link_prediction
     g = tg.copurchase_graph(spark, sf_dir)
@@ -1311,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "link_predict": _q_link_predict,
         "lm_score": _q_lm_score,
+        "bm25": _q_bm25,
+        "tfidf_terms": _q_tfidf_terms,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1468,6 +1483,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": do.mixture_sample_sql(0.5, 200),
         "link_predict": tg.link_prediction_sql(top=100),
         "lm_score": do.lm_score_sql(),
+        "bm25": do.bm25_sql(BM25_QUERY),
+        "tfidf_terms": do.tfidf_terms_sql(top_n=3),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -699,3 +699,63 @@ SELECT p.doc_id, CAST(SUM(p.k) AS BIGINT) AS n_tokens,
              {FLOAT_DECIMALS}) AS avg_nll
 FROM per_doc p JOIN nll n ON n.token = p.token
 GROUP BY p.doc_id"""
+
+
+def bm25_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """Twin of functions/retrieval.py::bm25_score — Lucene idf variant,
+    same micro-unit rounding point per term contribution."""
+    terms = ", ".join(f"'{t}'" for t in query_terms if t)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tk
+  WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+df_t AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * {k1 + 1.0}
+           / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / c.avgdl))
+           * 1000000.0, 0) AS BIGINT) AS score_u
+  FROM tf JOIN df_t d USING (token) JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(score_u) AS DOUBLE) / 1000000.0,
+             {FLOAT_DECIMALS}) AS score
+FROM scored GROUP BY doc_id"""
+
+
+def tfidf_terms_sql(top_n: int = 3) -> str:
+    """Twin of functions/retrieval.py::tfidf_top_terms — smoothed idf,
+    integer micro-unit ordering with term-asc tie-break."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+df_t AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+corpus AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.token AS term,
+         CAST(ROUND(tf.tf * (ln((c.n_docs + 1.0) / (d.df + 1.0)) + 1.0)
+                    * 1000000.0, 0) AS BIGINT) AS score_u
+  FROM tf JOIN df_t d USING (token) CROSS JOIN corpus c
+),
+ranked AS (
+  SELECT doc_id, term, score_u,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_u DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(rank AS INT) AS rank,
+       ROUND(CAST(score_u AS DOUBLE) / 1000000.0, {FLOAT_DECIMALS}) AS tfidf
+FROM ranked WHERE rank <= {top_n}"""

@@ -1,0 +1,101 @@
+"""BM25 / TF-IDF retrieval scoring — exact Python oracles on tiny corpora."""
+
+import math
+
+import pytest
+
+from graphscope_spark.functions.retrieval import bm25_score, tfidf_top_terms
+from graphscope_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test-retrieval", cpus=4, shuffle_partitions=4)
+
+
+ROWS = [
+    (0, "join join window sort"),
+    (1, "join stream"),
+    (2, "sort sort sort"),
+    (3, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def _bm25_oracle(query, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in ROWS if t.strip()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {q: sum(1 for v in toks.values() if q in v) for q in query}
+    out = {}
+    for i, v in toks.items():
+        score_u, matched = 0, 0
+        for q in query:
+            tf = v.count(q)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            c = idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            score_u += round(c * 1_000_000)
+        if matched:
+            out[i] = (matched, round(score_u / 1_000_000, 6))
+    return out
+
+
+def test_bm25_exact(spark):
+    query = ["join", "stream", "nosuchterm"]
+    got = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in bm25_score(_docs(spark), query).collect()
+    }
+    assert got == _bm25_oracle(query)
+    # rarer term scores higher: doc 1 has both 'join' (df=2) and
+    # 'stream' (df=1); its per-term contributions must favor 'stream'
+    assert 2 not in got  # no query term in doc 2
+    assert 3 not in got  # empty doc
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score(_docs(spark), ["stream"]).collect()
+    }
+    common = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score(_docs(spark), ["join"]).collect()
+    }
+    # 'stream' (df=1) carries more idf than 'join' (df=2) at equal tf/dl
+    assert got[1] > common[1]
+
+
+def test_tfidf_top_terms_exact(spark):
+    got = tfidf_top_terms(_docs(spark), top_n=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tfidf"])
+        )
+    for v in by_doc.values():
+        v.sort()
+    n = 3  # docs with tokens
+    def tfidf(tf, df):
+        return round(
+            round(tf * (math.log((n + 1.0) / (df + 1.0)) + 1.0) * 1e6)
+            / 1e6,
+            6,
+        )
+    # doc 0: join tf=2 df=2, window tf=1 df=1, sort tf=1 df=2
+    assert by_doc[0] == [
+        (1, "join", tfidf(2, 2)),
+        (2, "window", tfidf(1, 1)),
+    ]
+    # doc 2: only 'sort' — a single row, rank 1
+    assert by_doc[2] == [(1, "sort", tfidf(3, 2))]
+    # tie-break: doc 1 join tf=1 df=2, stream tf=1 df=1 — stream wins on
+    # idf, not alphabet
+    assert by_doc[1][0][1] == "stream"
+    assert 3 not in by_doc
