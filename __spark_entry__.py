@@ -1048,6 +1048,12 @@ def _q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
 
 
+def _q_kmeans(spark, sf_dir):
+    from graphscope_spark.functions.kmeans import kmeans
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=8, rounds=3)
+
+
 def _q_link_predict(spark, sf_dir):
     from graphscope_spark.algorithms.link_prediction import link_prediction
     g = tg.copurchase_graph(spark, sf_dir)
@@ -1326,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "bm25": _q_bm25,
         "tfidf_terms": _q_tfidf_terms,
+        "kmeans": _q_kmeans,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1485,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": do.lm_score_sql(),
         "bm25": do.bm25_sql(BM25_QUERY),
         "tfidf_terms": do.tfidf_terms_sql(top_n=3),
+        "kmeans": do.kmeans_sql(k=8, rounds=3),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

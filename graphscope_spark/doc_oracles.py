@@ -759,3 +759,63 @@ ranked AS (
 SELECT doc_id, term, CAST(rank AS INT) AS rank,
        ROUND(CAST(score_u AS DOUBLE) / 1000000.0, {FLOAT_DECIMALS}) AS tfidf
 FROM ranked WHERE rank <= {top_n}"""
+
+
+def kmeans_sql(k: int = 8, rounds: int = 3) -> str:
+    """Twin of functions/kmeans.py::kmeans — unrolled CTE per Lloyd round.
+
+    Every step is exact integer math (micro-unit quantization, integer
+    squared distances, lexicographic (dist, cid) argmin, floor-division
+    centroid update), so the unrolled relational form is bit-equal to the
+    Spark loop; see the kmeans.py module docstring for the argument.
+    generate_subscripts is 1-based vs Spark posexplode's 0-based d — both
+    sides only use d as an internal join key, so alignment is positional.
+    """
+    parts = [
+        f"""
+WITH xu AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY {hash64_sql('CAST(vec_id AS VARCHAR)')}, vec_id
+         ) AS cid
+  FROM embeddings QUALIFY cid <= {k}
+),
+c0 AS (SELECT s.cid, x.d, x.v FROM seeds s JOIN xu x USING (vec_id))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS (
+  SELECT x.vec_id, c.cid,
+         SUM((x.v - c.v) * (x.v - c.v)) AS dist_u
+  FROM xu x JOIN c{r - 1} c USING (d)
+  GROUP BY x.vec_id, c.cid
+),
+a{r} AS (
+  SELECT vec_id, cid AS cluster, dist_u FROM d{r}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist_u, cid) = 1
+),
+c{r} AS (
+  SELECT a.cluster AS cid, x.d,
+         CAST(FLOOR(CAST(SUM(x.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM a{r} a JOIN xu x USING (vec_id)
+  GROUP BY a.cluster, x.d
+)""")
+    parts.append(f""",
+df AS (
+  SELECT x.vec_id, c.cid,
+         SUM((x.v - c.v) * (x.v - c.v)) AS dist_u
+  FROM xu x JOIN c{rounds} c USING (d)
+  GROUP BY x.vec_id, c.cid
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster,
+       CAST(dist_u AS BIGINT) AS dist_u
+FROM df
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_u, cid) = 1""")
+    return "".join(parts)

@@ -1,0 +1,48 @@
+"""Quantized k-means — planted-cluster recovery + exactness properties."""
+
+import pytest
+
+from graphscope_spark.functions.kmeans import kmeans
+from graphscope_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test-kmeans", cpus=4, shuffle_partitions=4)
+
+
+def _planted(spark, per=20, dim=8):
+    # 3 well-separated blobs on coordinate axes; deterministic jitter
+    rows = []
+    for c in range(3):
+        for i in range(per):
+            base = [0.0] * dim
+            base[c] = 10.0
+            base[(c + 3) % dim] = (i % 5) * 0.01  # tiny in-cluster spread
+            rows.append((c * per + i, base))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    emb = _planted(spark)
+    out = kmeans(emb, k=3, rounds=4).collect()
+    assert len(out) == 60
+    by_truth = {}
+    for r in out:
+        by_truth.setdefault(r["vec_id"] // 20, set()).add(r["cluster"])
+    # each planted blob maps to exactly one cluster, all distinct
+    assert all(len(s) == 1 for s in by_truth.values())
+    assert len(set.union(*by_truth.values())) == 3
+
+
+def test_kmeans_parallelism_invariant(spark):
+    emb = _planted(spark).repartition(7)
+    a = sorted(map(tuple, kmeans(emb, k=3, rounds=2).collect()))
+    b = sorted(map(tuple, kmeans(emb.coalesce(1), k=3, rounds=2).collect()))
+    assert a == b  # bit-exact under different partitionings
+
+
+def test_kmeans_k1_single_cluster(spark):
+    emb = _planted(spark)
+    out = kmeans(emb, k=1, rounds=2).collect()
+    assert {r["cluster"] for r in out} == {1}
