@@ -1048,6 +1048,23 @@ def _q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    from graphscope_spark.functions.sketches import kmv_distinct
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+def _q_count_min(spark, sf_dir):
+    from graphscope_spark.functions.sketches import count_min_sketch
+    from graphscope_spark.functions.text import tokenize
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return count_min_sketch(toks, "token", depth=4, width=64)
+
+
 def _q_kmeans(spark, sf_dir):
     from graphscope_spark.functions.kmeans import kmeans
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1333,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "tfidf_terms": _q_tfidf_terms,
         "kmeans": _q_kmeans,
+        "kmv_distinct": _q_kmv_distinct,
+        "count_min": _q_count_min,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1493,6 +1512,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25": do.bm25_sql(BM25_QUERY),
         "tfidf_terms": do.tfidf_terms_sql(top_n=3),
         "kmeans": do.kmeans_sql(k=8, rounds=3),
+        "kmv_distinct": do.kmv_distinct_sql(k=64),
+        "count_min": do.count_min_sql(depth=4, width=64),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

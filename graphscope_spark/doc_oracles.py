@@ -819,3 +819,48 @@ SELECT vec_id, CAST(cid AS INT) AS cluster,
 FROM df
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_u, cid) = 1""")
     return "".join(parts)
+
+
+def kmv_distinct_sql(k: int = 64) -> str:
+    """Twin of functions/sketches.py::kmv_distinct over
+    events(event_type, user_id)."""
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type AS grp, {h} AS h FROM events
+),
+topk AS (
+  SELECT grp, h FROM hashes
+  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= {k}
+),
+kth AS (
+  SELECT grp, count(*) AS n_kept, max(h) AS h_k FROM topk GROUP BY grp
+)
+SELECT grp AS event_type, CAST(n_kept AS BIGINT) AS n_kept,
+       ROUND(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                  ELSE {float(k - 1)} * {float(1 << 60)}
+                       / CAST(h_k AS DOUBLE) END,
+             {FLOAT_DECIMALS}) AS est_distinct
+FROM kth"""
+
+
+def count_min_sql(depth: int = 4, width: int = 64) -> str:
+    """Twin of functions/sketches.py::count_min_sketch over document
+    tokens. Spark pmod(h, w) == DuckDB h % w for the always-positive
+    60-bit hash."""
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS row,
+       {hash64_sql(f"'cm{r}|' || token")} % {width} AS bucket
+FROM tk"""
+        for r in range(depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS token FROM documents
+),
+tk AS (SELECT token FROM toks WHERE token <> ''),
+rb AS (
+{rows}
+)
+SELECT CAST(row AS INT) AS row, bucket, count(*) AS cnt
+FROM rb GROUP BY row, bucket"""
