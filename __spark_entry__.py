@@ -1048,6 +1048,15 @@ def _q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
 
 
+QUANTILE_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def _q_quantiles(spark, sf_dir):
+    from graphscope_spark.functions.quantiles import exact_quantiles
+    docs = _docs(spark, sf_dir).select(F.length("text").alias("len"))
+    return exact_quantiles(docs, "len", QUANTILE_QS)
+
+
 def _q_kmv_distinct(spark, sf_dir):
     from graphscope_spark.functions.sketches import kmv_distinct
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1352,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "kmv_distinct": _q_kmv_distinct,
         "count_min": _q_count_min,
+        "quantiles": _q_quantiles,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1514,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": do.kmeans_sql(k=8, rounds=3),
         "kmv_distinct": do.kmv_distinct_sql(k=64),
         "count_min": do.count_min_sql(depth=4, width=64),
+        "quantiles": do.quantiles_sql(QUANTILE_QS),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -864,3 +864,30 @@ rb AS (
 )
 SELECT CAST(row AS INT) AS row, bucket, count(*) AS cnt
 FROM rb GROUP BY row, bucket"""
+
+
+def quantiles_sql(qs: list[float]) -> str:
+    """Twin of functions/quantiles.py::exact_quantiles over
+    documents.length(text) — nearest-rank with the same pure-integer
+    ceil(q*n) rank arithmetic (DuckDB // == Spark div for positives)."""
+    values = ", ".join(
+        f"({float(q)}, {int(round(q * 1_000_000))})" for q in qs
+    )
+    return f"""
+WITH hist AS (
+  SELECT length(text) AS value, count(*) AS cnt FROM documents
+  WHERE length(text) IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT value, SUM(cnt) OVER (ORDER BY value
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT SUM(cnt) AS n FROM hist),
+qs AS (SELECT * FROM (VALUES {values}) AS t(q, q_u)),
+j AS (
+  SELECT q.q, c.value
+  FROM cum c CROSS JOIN tot CROSS JOIN qs q
+  WHERE c.cum >= GREATEST(1, (q.q_u * tot.n + 999999) // 1000000)
+)
+SELECT CAST(q AS DOUBLE) AS q, MIN(value) AS value FROM j GROUP BY q"""
