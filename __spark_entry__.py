@@ -1030,6 +1030,13 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
 
 
+def _q_ann_ivf_exact(spark, sf_dir):
+    from graphscope_spark.functions.similarity import ann_ivf_exact
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_exact(emb, queries, k=5, nlist=8, nprobe=2, rounds=3)
+
+
 def _q_lm_score(spark, sf_dir):
     from graphscope_spark.functions.text import lm_quality_score
     return lm_quality_score(_docs(spark, sf_dir))
@@ -1352,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_exact": _q_ann_ivf_exact,
         "semdedup": _q_semdedup,
         "mixture_sample": _q_mixture_sample,
         "link_predict": _q_link_predict,
@@ -1525,6 +1533,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": do.kmv_distinct_sql(k=64),
         "count_min": do.count_min_sql(depth=4, width=64),
         "quantiles": do.quantiles_sql(QUANTILE_QS),
+        "ann_ivf_exact": do.ann_ivf_sql(
+            k=5, nlist=8, nprobe=2, rounds=3, n_queries=10
+        ),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

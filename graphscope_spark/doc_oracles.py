@@ -761,8 +761,10 @@ SELECT doc_id, term, CAST(rank AS INT) AS rank,
 FROM ranked WHERE rank <= {top_n}"""
 
 
-def kmeans_sql(k: int = 8, rounds: int = 3) -> str:
-    """Twin of functions/kmeans.py::kmeans — unrolled CTE per Lloyd round.
+def _kmeans_ctes(k: int = 8, rounds: int = 3) -> str:
+    """Shared CTE prefix for the quantized-k-means family — unrolled CTE
+    per Lloyd round, ending at ``df`` (every vector's distance to every
+    FINAL centroid).
 
     Every step is exact integer math (micro-unit quantization, integer
     squared distances, lexicographic (dist, cid) argmin, floor-division
@@ -813,12 +815,61 @@ df AS (
          SUM((x.v - c.v) * (x.v - c.v)) AS dist_u
   FROM xu x JOIN c{rounds} c USING (d)
   GROUP BY x.vec_id, c.cid
-)
+)""")
+    return "".join(parts)
+
+
+def kmeans_sql(k: int = 8, rounds: int = 3) -> str:
+    """Twin of functions/kmeans.py::kmeans — unrolled CTE per Lloyd round
+    (see _kmeans_ctes); the final select is the argmin over the last
+    distance table."""
+    return f"""{_kmeans_ctes(k, rounds)}
 SELECT vec_id, CAST(cid AS INT) AS cluster,
        CAST(dist_u AS BIGINT) AS dist_u
 FROM df
-QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_u, cid) = 1""")
-    return "".join(parts)
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_u, cid) = 1"""
+
+
+def ann_ivf_sql(
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    rounds: int = 3,
+    n_queries: int = 10,
+) -> str:
+    """Twin of functions/similarity.py::ann_ivf_exact — replays the whole
+    IVF pipeline: quantized-k-means coarse lists (_kmeans_ctes, bit-exact),
+    integer argmin list assignment, integer top-nprobe query probing, then
+    the float cosine re-rank at the ROUND-6 parity point ann_lsh_sql
+    established."""
+    return f"""{_kmeans_ctes(nlist, rounds)},
+a_final AS (
+  SELECT vec_id AS neighbor_id, cid FROM df
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist_u, cid) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM df
+  WHERE vec_id < {n_queries}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist_u, cid) <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN a_final a USING (cid)
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      qe.embedding::DOUBLE[]), 6) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id ASC) <= {k}"""
 
 
 def kmv_distinct_sql(k: int = 64) -> str:

@@ -45,12 +45,12 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.functions.hashing import hash64
 
-__all__ = ["kmeans"]
+__all__ = ["kmeans", "kmeans_model", "quantized", "centroid_distances"]
 
 SCALE = 1_000_000.0
 
 
-def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, x: array<long>) — micro-unit coordinates."""
     return emb.select(
         F.col(id_col).alias("vec_id"),
@@ -63,18 +63,26 @@ def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, cluster, dist_u) — argmin over the broadcast centroids,
-    ties to the smaller cluster id via lexicographic struct min."""
+def centroid_distances(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist_u) — exact integer squared L2 distance of every
+    quantized point to every broadcast centroid (N × k narrow rows, no
+    explode)."""
     dist = F.aggregate(
         F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    return pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", dist.alias("dist_u")
+    )
+
+
+def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cluster, dist_u) — argmin over the broadcast centroids,
+    ties to the smaller cluster id via lexicographic struct min."""
     m = F.min(F.struct(F.col("dist_u"), F.col("cid"))).alias("m")
     return (
-        pts.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", dist.alias("dist_u"))
+        centroid_distances(pts, cent)
         .groupBy("vec_id")
         .agg(m)
         .select(
@@ -100,8 +108,22 @@ def kmeans(
     1-based seed ranks. dist_u is the squared L2 distance to the final
     centroid in micro-units² (divide by 1e12 for float² units).
     """
+    assign, _ = kmeans_model(emb, k, rounds, id_col, vec_col)
+    return assign
+
+
+def kmeans_model(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(assignments, centroids) — assignments as :func:`kmeans`;
+    centroids as (cid, c: array<long>) micro-unit coordinates, the
+    reusable model (similarity.ann_ivf_exact probes against it)."""
     spark = SparkSession.getActiveSession()
-    pts = _quantized(emb, id_col, vec_col).persist(
+    pts = quantized(emb, id_col, vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     seeds = (
@@ -142,4 +164,4 @@ def kmeans(
     cent = spark.createDataFrame(cent_rows, "cid int, c array<long>")
     out = _assign(pts, cent)
     pts.unpersist()
-    return out
+    return out, cent

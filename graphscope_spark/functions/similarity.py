@@ -434,3 +434,81 @@ def ann_ivf(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "score")
     )
+
+
+def ann_ivf_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k whose EVERY stage is oracle-verifiable: the coarse
+    quantizer is the quantized integer k-means (functions/kmeans.py —
+    bit-exact across engines), list assignment and query probing are
+    exact integer argmin / top-nprobe, and only the final cosine re-rank
+    touches floats (rounded to 6, the ann_lsh-proven parity point). The
+    DuckDB twin (doc_oracles.ann_ivf_sql) replays the whole pipeline, so
+    the driver hash-checks recall behavior, not just row counts — the
+    verifiable counterpart of ann_ivf (whose sampled numpy trainer is
+    recall-tested only).
+
+    Scale shape: identical to ann_ivf — candidates come from a join keyed
+    by cluster id (shuffle ∝ probed-list population, never n²), queries
+    broadcast, one top-k window per query.
+    """
+    from graphscope_spark.functions.kmeans import (
+        centroid_distances,
+        kmeans_model,
+        quantized,
+    )
+
+    assign, cent = kmeans_model(corpus, nlist, rounds, id_col, vec_col)
+    qd = centroid_distances(quantized(queries, id_col, vec_col), cent)
+    wq = Window.partitionBy("vec_id").orderBy("dist_u", "cid")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid"))
+    )
+    cand = (
+        assign.select(F.col("vec_id").alias("neighbor_id"), F.col("cluster").alias("cid"))
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("cvec", "qvec", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    scored = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(dot / (norm(F.col("cvec")) * norm(F.col("qvec"))), ROUND)
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )

@@ -46,3 +46,33 @@ def test_kmeans_k1_single_cluster(spark):
     emb = _planted(spark)
     out = kmeans(emb, k=1, rounds=2).collect()
     assert {r["cluster"] for r in out} == {1}
+
+
+def test_ann_ivf_exact_recall_and_exhaustive(spark):
+    from graphscope_spark.functions.similarity import (
+        ann_brute_force,
+        ann_ivf_exact,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_brute_force(emb, queries, k=5).collect()
+    }
+    # nprobe = nlist probes every list => candidate set is the full corpus
+    # minus self: results must equal brute force exactly
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_exact(
+            emb, queries, k=5, nlist=4, nprobe=4, rounds=2
+        ).collect()
+    }
+    assert full == truth
+    # partial probing keeps reasonable recall on this corpus
+    part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_exact(
+            emb, queries, k=5, nlist=4, nprobe=2, rounds=2
+        ).collect()
+    }
+    assert len(part & truth) / len(truth) >= 0.5
