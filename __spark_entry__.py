@@ -1058,6 +1058,21 @@ def _q_tfidf_terms(spark, sf_dir):
 QUANTILE_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Incremental MinHash-LSH dedup (streaming/incremental.py::
+    merge_dedup): fold the documents table in 4 deterministic chunks; the
+    accumulated pair set must equal the one-shot LSH candidate pairs
+    (collision is a per-pair predicate — fold-invariant)."""
+    from graphscope_spark.streaming import merge_dedup
+
+    docs = _docs(spark, sf_dir)
+    index = pairs = None
+    for i in range(4):
+        chunk = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == i)
+        index, pairs = merge_dedup(index, pairs, chunk)
+    return pairs
+
+
 def _q_quantiles(spark, sf_dir):
     from graphscope_spark.functions.quantiles import exact_quantiles
     docs = _docs(spark, sf_dir).select(F.length("text").alias("len"))
@@ -1370,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "count_min": _q_count_min,
         "quantiles": _q_quantiles,
+        "stream_dedup": _q_stream_dedup,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1536,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_exact": do.ann_ivf_sql(
             k=5, nlist=8, nprobe=2, rounds=3, n_queries=10
         ),
+        "stream_dedup": do.lsh_pairs_sql(num_hashes=16, bands=4, k=3),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -942,3 +942,23 @@ j AS (
   WHERE c.cum >= GREATEST(1, (q.q_u * tot.n + 999999) // 1000000)
 )
 SELECT CAST(q AS DOUBLE) AS q, MIN(value) AS value FROM j GROUP BY q"""
+
+
+def lsh_pairs_sql(num_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
+    """Twin of functions/dedup.py::minhash_lsh_pairs (candidates only) and
+    of the streaming fold (streaming/incremental.py::merge_dedup — LSH
+    collision is a per-pair predicate, so the fold's final pair set equals
+    this one-shot relational form for any chunking). Band key =
+    '_'-joined signature rows in permutation order (string_agg ORDER BY
+    perm == Spark concat_ws over element_at in index order)."""
+    r = num_hashes // bands
+    return f"""
+WITH sig AS ({minhash_sql(num_hashes, k)}),
+banded AS (
+  SELECT doc_id, perm // {r} AS band,
+         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY perm) AS key
+  FROM sig GROUP BY doc_id, perm // {r}
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x JOIN banded y USING (band, key)
+WHERE x.doc_id < y.doc_id"""

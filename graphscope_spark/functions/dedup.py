@@ -108,22 +108,22 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def lsh_band_keys(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     k: int = 3,
-    verify_threshold: float | None = None,
 ) -> DataFrame:
-    """(a, b) candidate near-duplicate pairs (a < b): docs colliding in ≥1
-    LSH band. With ``verify_threshold`` the candidates are verified with
-    exact shingle-set Jaccard ≥ threshold (returns (a, b, jaccard))."""
+    """(id, band, key) — each document's LSH bucket key per band (the
+    signature rows b*r..b*r+r-1 joined with '_'). The unit both the batch
+    pair-join (minhash_lsh_pairs) and the streaming index
+    (streaming.merge_dedup) build on."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = _pin(minhash_signatures(docs, text_col, id_col, num_hashes, k))
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -137,6 +137,21 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs (a < b): docs colliding in ≥1
+    LSH band. With ``verify_threshold`` the candidates are verified with
+    exact shingle-set Jaccard ≥ threshold (returns (a, b, jaccard))."""
+    banded = lsh_band_keys(docs, text_col, id_col, num_hashes, bands, k)
     left = banded.withColumnRenamed(id_col, "a")
     right = banded.withColumnRenamed(id_col, "b")
     cand = (

@@ -475,3 +475,89 @@ class IncrementalPageRank:
         if prev is not None:
             prev.unpersist()
         self.batches += 1
+
+
+def merge_dedup(
+    index: DataFrame | None,
+    pairs: DataFrame | None,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a batch of NEW documents into a maintained MinHash-LSH dedup
+    index. Returns (index', pairs'): index = (doc_id, band, key) bucket
+    rows for every document seen; pairs = all (a, b) near-duplicate
+    candidate pairs (a < b) discovered so far.
+
+    IncEval property: per-batch work is signature computation for the
+    BATCH only (one explode + one groupBy over batch shingles), then one
+    join keyed by (band, key) whose probe side is only the batch's band
+    rows — shuffle ∝ batch size + matched bucket population, never the
+    corpus. Settled documents are never re-hashed (their text is never
+    re-read; the index holds only band keys). Fold-invariance: the final
+    pair set equals one-shot minhash_lsh_pairs on the full corpus for ANY
+    chunking, because LSH collision is a per-pair predicate — gate
+    `stream_dedup` hash-checks a 4-chunk fold against the relational
+    one-shot twin.
+
+    State is localCheckpoint'd per batch (lineage truncation, same as
+    merge_components); on a cluster the index would live bucketed by
+    (band, key) so the probe join is exchange-free on the index side.
+    """
+    from graphscope_spark.functions.dedup import lsh_band_keys
+
+    batch = lsh_band_keys(
+        new_docs, text_col, id_col, num_hashes, bands, k
+    ).localCheckpoint(eager=True)
+
+    # batch-internal pairs + batch-vs-index pairs (both sides normalized
+    # a < b; the batch is the probe side — the index is never self-joined)
+    b_a = batch.withColumnRenamed(id_col, "a")
+    b_b = batch.withColumnRenamed(id_col, "b")
+    new_pairs = (
+        b_a.join(b_b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    if index is not None:
+        i_o = index.withColumnRenamed(id_col, "o")
+        cross = b_a.join(i_o, ["band", "key"]).select(
+            F.least("a", "o").alias("a"), F.greatest("a", "o").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        new_pairs = new_pairs.unionByName(cross)
+
+    merged_pairs = new_pairs.distinct()
+    if pairs is not None:
+        merged_pairs = pairs.unionByName(merged_pairs).distinct()
+    merged_pairs = merged_pairs.localCheckpoint(eager=True)
+
+    merged_index = (
+        batch if index is None else index.unionByName(batch)
+    ).localCheckpoint(eager=True)
+    return merged_index, merged_pairs
+
+
+class IncrementalDedup:
+    """foreachBatch driver maintaining the LSH dedup index across document
+    micro-batches (usage mirrors IncrementalWCC; read `pairs` /
+    `index` after the stream drains)."""
+
+    def __init__(self, num_hashes: int = 16, bands: int = 4, k: int = 3):
+        self.index: DataFrame | None = None
+        self.pairs: DataFrame | None = None
+        self.num_hashes, self.bands, self.k = num_hashes, bands, k
+        self.batches = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        prev_i, prev_p = self.index, self.pairs
+        self.index, self.pairs = merge_dedup(
+            prev_i, prev_p, batch_df,
+            num_hashes=self.num_hashes, bands=self.bands, k=self.k,
+        )
+        for prev in (prev_i, prev_p):
+            if prev is not None:
+                prev.unpersist()
+        self.batches += 1
