@@ -1058,6 +1058,65 @@ def _q_tfidf_terms(spark, sf_dir):
 QUANTILE_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def _q_sessionize(spark, sf_dir):
+    from graphscope_spark.functions.events import sessionize
+    return sessionize(_events(spark, sf_dir), gap_minutes=360)
+
+
+def _q_funnel(spark, sf_dir):
+    from graphscope_spark.functions.events import funnel
+    return funnel(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def _q_asof_join(spark, sf_dir):
+    from graphscope_spark.functions.events import asof_join
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    out = asof_join(left, right, "user_id", right_cols=["event_id", "value"])
+    # gate compares the matched subset (null-free columns keep pandas
+    # dtypes integral on both engines); the left-join surface is
+    # pytest-covered
+    return out.filter(F.col("event_id_right").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id_right",
+        "value_right",
+    )
+
+
+def _q_range_join(spark, sf_dir):
+    from graphscope_spark.functions.events import range_join
+    import datetime as _dt
+
+    base = int(
+        _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    day = 86_400_000_000
+    win = spark.createDataFrame(
+        [(w, base + w * 3 * day, base + (w * 3 + 2) * day)
+         for w in range(10)],
+        "window_id long, lo_us long, hi_us long",
+    )
+    pts = _events(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    ).select("event_id", "ts")
+    return range_join(pts, win).select("event_id", "window_id")
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Incremental MinHash-LSH dedup (streaming/incremental.py::
     merge_dedup): fold the documents table in 4 deterministic chunks; the
@@ -1386,6 +1445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min": _q_count_min,
         "quantiles": _q_quantiles,
         "stream_dedup": _q_stream_dedup,
+        "sessionize": _q_sessionize,
+        "funnel": _q_funnel,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1553,6 +1616,10 @@ def oracle_sql() -> dict[str, str]:
             k=5, nlist=8, nprobe=2, rounds=3, n_queries=10
         ),
         "stream_dedup": do.lsh_pairs_sql(num_hashes=16, bands=4, k=3),
+        "sessionize": do.sessionize_sql(gap_minutes=360),
+        "funnel": do.funnel_sql(FUNNEL_STEPS),
+        "asof_join": do.asof_join_sql("click", "purchase"),
+        "range_join": do.range_join_sql(n_windows=10),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -962,3 +962,110 @@ banded AS (
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM banded x JOIN banded y USING (band, key)
 WHERE x.doc_id < y.doc_id"""
+
+
+def sessionize_sql(gap_minutes: int = 360) -> str:
+    """Twin of functions/events.py::sessionize — same integer epoch-us
+    gap/cumsum construction (Spark unix_micros == DuckDB epoch_us)."""
+    gap_us = int(gap_minutes) * 60_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session
+  FROM flagged
+)
+SELECT user_id, CAST(session AS BIGINT) AS session,
+       count(*) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+FROM sess GROUP BY user_id, session"""
+
+
+def funnel_sql(steps: list[str]) -> str:
+    """Twin of functions/events.py::funnel — first-touch reach times,
+    strictly-after progression."""
+    ctes = [
+        """e AS (
+  SELECT user_id, event_type AS etype, epoch_us(ts) AS ts_us FROM events
+)"""
+    ]
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = (
+            f"JOIN r{i - 1} p USING (user_id) WHERE e.etype = '{step}' "
+            f"AND e.ts_us > p.t"
+            if prev
+            else f"WHERE e.etype = '{step}'"
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT user_id, MIN(ts_us) AS t FROM e {cond} GROUP BY user_id
+)"""
+        )
+        prev = step
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, '{s}' AS step_name,"
+        f" (SELECT count(*) FROM r{i}) AS n_users"
+        for i, s in enumerate(steps, start=1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def asof_join_sql(
+    left_type: str = "click", right_type: str = "purchase"
+) -> str:
+    """Twin of functions/events.py::asof_join applied to the gate query
+    (left = ``left_type`` events, right = ``right_type`` events, key =
+    user_id): per left event the latest right event at ts <=, ties to the
+    lexicographically-last (event_id, value) tuple — ORDER BY ts_us DESC,
+    (event_id, value) DESC picks exactly what the carry-forward window
+    carries."""
+    return f"""
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = '{left_type}'
+),
+r AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = '{right_type}'
+),
+matched AS (
+  SELECT l.event_id, l.user_id, l.ts_us,
+         r.event_id AS event_id_right, r.value AS value_right
+  FROM l JOIN r ON r.user_id = l.user_id AND r.ts_us <= l.ts_us
+  QUALIFY row_number() OVER (
+    PARTITION BY l.event_id
+    ORDER BY r.ts_us DESC, r.event_id DESC, r.value DESC) = 1
+)
+SELECT event_id, user_id, ts_us, event_id_right, value_right
+FROM matched"""
+
+
+def range_join_sql(n_windows: int = 10) -> str:
+    """Twin of functions/events.py::range_join on the gate's synthetic
+    campaign windows (window w covers [2024-01-01 + 3w days,
+    +2 days) half-open) — relational theta join, same half-open
+    predicate."""
+    base = "epoch_us(TIMESTAMP '2024-01-01 00:00:00')"
+    day = 86_400_000_000
+    return f"""
+WITH win AS (
+  SELECT w AS window_id,
+         {base} + w * 3 * {day} AS lo_us,
+         {base} + (w * 3 + 2) * {day} AS hi_us
+  FROM (SELECT unnest(range({n_windows})) AS w)
+),
+p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'error')
+SELECT p.event_id, win.window_id
+FROM p JOIN win ON win.lo_us <= p.ts_us AND p.ts_us < win.hi_us"""
