@@ -1117,6 +1117,11 @@ def _q_range_join(spark, sf_dir):
     return range_join(pts, win).select("event_id", "window_id")
 
 
+def _q_retention(spark, sf_dir):
+    from graphscope_spark.functions.events import retention_cohorts
+    return retention_cohorts(_events(spark, sf_dir))
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Incremental MinHash-LSH dedup (streaming/incremental.py::
     merge_dedup): fold the documents table in 4 deterministic chunks; the
@@ -1449,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "retention": _q_retention,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1620,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": do.funnel_sql(FUNNEL_STEPS),
         "asof_join": do.asof_join_sql("click", "purchase"),
         "range_join": do.range_join_sql(n_windows=10),
+        "retention": do.retention_sql(),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

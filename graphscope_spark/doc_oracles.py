@@ -1069,3 +1069,18 @@ p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events
       WHERE event_type = 'error')
 SELECT p.event_id, win.window_id
 FROM p JOIN win ON win.lo_us <= p.ts_us AND p.ts_us < win.hi_us"""
+
+
+def retention_sql() -> str:
+    """Twin of functions/events.py::retention_cohorts — integer epoch-day
+    arithmetic (epoch_us // day == unix_micros div day)."""
+    day = 86_400_000_000
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {day} AS d FROM events
+),
+first AS (SELECT user_id, MIN(d) AS cohort_day FROM ud GROUP BY user_id)
+SELECT f.cohort_day, ud.d - f.cohort_day AS day_offset,
+       count(*) AS n_users
+FROM ud JOIN first f USING (user_id)
+GROUP BY f.cohort_day, ud.d - f.cohort_day"""

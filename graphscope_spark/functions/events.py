@@ -225,3 +225,36 @@ def range_join(
         )
         .drop("_bucket", "_ts_us")
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day, day_offset, n_users) — classic cohort retention:
+    cohort_day = the epoch day of a user's FIRST event; for every later
+    activity day, the user counts once toward (cohort_day, offset).
+    offset 0 is the cohort size itself.
+
+    Scale shape: one user-keyed aggregate for first-seen (map-side
+    combined), one distinct over (user, day) — shuffle ∝ active
+    user-days, not events — then a broadcast-sized join back and a final
+    (cohort, offset) aggregate. Day arithmetic is integer epoch-days
+    (micros div 86_400_000_000), exact in both engines."""
+    day = 86_400_000_000
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {day}")
+        .alias("d"),
+    )
+    user_days = e.distinct()
+    first = user_days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        user_days.join(first, "user_id")
+        .select(
+            "cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

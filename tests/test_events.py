@@ -128,3 +128,24 @@ def test_range_join_overlapping_windows_no_dups(spark):
     assert sorted((r["event_id"], r["window_id"]) for r in rows) == [
         (1, 0), (1, 1)
     ]
+
+
+def test_retention_cohorts_exact(spark):
+    from graphscope_spark.functions.events import retention_cohorts
+    D = 24 * 60  # minutes per day
+    ev = _ev(spark, [
+        # user 1: first day 0, active days 0, 1, 3 (two events day 1)
+        (1, 0, 1, "x", 0.0), (2, D + 5, 1, "x", 0.0),
+        (3, D + 6, 1, "x", 0.0), (4, 3 * D, 1, "x", 0.0),
+        # user 2: first day 1, active day 1 only
+        (5, D + 1, 2, "x", 0.0),
+    ])
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    day0 = int(BASE.timestamp() * 1_000_000) // 86_400_000_000
+    assert got == {
+        (day0, 0): 1, (day0, 1): 1, (day0, 3): 1,
+        (day0 + 1, 0): 1,
+    }
