@@ -1117,6 +1117,11 @@ def _q_range_join(spark, sf_dir):
     return range_join(pts, win).select("event_id", "window_id")
 
 
+def _q_bpe_vocab(spark, sf_dir):
+    from graphscope_spark.functions.bpe import bpe_symbol_freq
+    return bpe_symbol_freq(_docs(spark, sf_dir), n_merges=3)
+
+
 def _q_retention(spark, sf_dir):
     from graphscope_spark.functions.events import retention_cohorts
     return retention_cohorts(_events(spark, sf_dir))
@@ -1455,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "retention": _q_retention,
+        "bpe_vocab": _q_bpe_vocab,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1627,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": do.asof_join_sql("click", "purchase"),
         "range_join": do.range_join_sql(n_windows=10),
         "retention": do.retention_sql(),
+        "bpe_vocab": do.bpe_sql(n_merges=3),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

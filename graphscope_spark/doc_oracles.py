@@ -1084,3 +1084,87 @@ SELECT f.cohort_day, ud.d - f.cohort_day AS day_offset,
        count(*) AS n_users
 FROM ud JOIN first f USING (user_id)
 GROUP BY f.cohort_day, ud.d - f.cohort_day"""
+
+
+def bpe_sql(n_merges: int = 3) -> str:
+    """Twin of functions/bpe.py::bpe_symbol_freq — unrolled CTE per merge
+    round: pair counting via lead() windows, argmax with (total DESC,
+    x, y) tie-break, greedy application via the chain-parity windows
+    (see bpe.py's module docstring), state rebuild via NOT EXISTS
+    anti-join + union. All integers and strings — exact."""
+    parts = [
+        f"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS token FROM documents
+),
+words AS (
+  SELECT token AS word, count(*) AS cnt FROM toks
+  WHERE token <> '' GROUP BY token
+),
+s0 AS (
+  SELECT word, cnt, unnest(range(1, length(word) + 1)) AS pos,
+         NULL AS _pad
+  FROM words
+)"""
+    ]
+    # DuckDB can't compute substr inside the same SELECT as the unnest
+    # alias; re-project:
+    parts = [
+        f"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS token FROM documents
+),
+words AS (
+  SELECT token AS word, count(*) AS cnt FROM toks
+  WHERE token <> '' GROUP BY token
+),
+sidx AS (
+  SELECT word, cnt, unnest(range(1, length(word) + 1)) AS pos FROM words
+),
+s0 AS (
+  SELECT word, cnt, CAST(pos AS BIGINT) AS pos,
+         substr(word, CAST(pos AS INT), 1) AS sym
+  FROM sidx
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT word, cnt, pos, sym AS x,
+         lead(pos) OVER w AS nxt_pos, lead(sym) OVER w AS y
+  FROM s{r - 1} WINDOW w AS (PARTITION BY word ORDER BY pos)
+),
+b{r} AS (
+  SELECT x, y FROM p{r} WHERE y IS NOT NULL
+  GROUP BY x, y ORDER BY SUM(cnt) DESC, x, y LIMIT 1
+),
+ch{r} AS (
+  SELECT word, pos, nxt_pos,
+         CASE WHEN lag(nxt_pos) OVER w = pos THEN 0 ELSE 1 END AS new_chain
+  FROM p{r} JOIN b{r} USING (x, y)
+  WINDOW w AS (PARTITION BY word ORDER BY pos)
+),
+cc{r} AS (
+  SELECT word, pos, nxt_pos,
+         SUM(new_chain) OVER (PARTITION BY word ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+  FROM ch{r}
+),
+a{r} AS (
+  SELECT word, pos, nxt_pos FROM cc{r}
+  QUALIFY row_number() OVER (PARTITION BY word, chain ORDER BY pos) % 2 = 1
+),
+s{r} AS (
+  SELECT s.word, s.cnt, s.pos, s.sym FROM s{r - 1} s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM a{r} a
+    WHERE a.word = s.word AND (a.pos = s.pos OR a.nxt_pos = s.pos)
+  )
+  UNION ALL
+  SELECT a.word, w.cnt, a.pos, b.x || b.y AS sym
+  FROM a{r} a JOIN words w USING (word) CROSS JOIN b{r} b
+)""")
+    parts.append(f"""
+SELECT sym, CAST(SUM(cnt) AS BIGINT) AS freq
+FROM s{n_merges} GROUP BY sym""")
+    return "".join(parts)
