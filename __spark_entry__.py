@@ -1117,6 +1117,11 @@ def _q_range_join(spark, sf_dir):
     return range_join(pts, win).select("event_id", "window_id")
 
 
+def _q_chunk_docs(spark, sf_dir):
+    from graphscope_spark.functions.text import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, overlap=4)
+
+
 def _q_bpe_vocab(spark, sf_dir):
     from graphscope_spark.functions.bpe import bpe_symbol_freq
     return bpe_symbol_freq(_docs(spark, sf_dir), n_merges=3)
@@ -1461,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "retention": _q_retention,
         "bpe_vocab": _q_bpe_vocab,
+        "chunk_docs": _q_chunk_docs,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1634,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": do.range_join_sql(n_windows=10),
         "retention": do.retention_sql(),
         "bpe_vocab": do.bpe_sql(n_merges=3),
+        "chunk_docs": do.chunk_documents_sql(chunk_tokens=16, overlap=4),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -1168,3 +1168,30 @@ s{r} AS (
 SELECT sym, CAST(SUM(cnt) AS BIGINT) AS freq
 FROM s{n_merges} GROUP BY sym""")
     return "".join(parts)
+
+
+def chunk_documents_sql(chunk_tokens: int = 16, overlap: int = 4) -> str:
+    """Twin of functions/text.py::chunk_documents — same integer chunk
+    count, 1-based inclusive list slice == Spark slice(start, length)."""
+    s = chunk_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter({TOKS}, x -> x <> '') AS toks
+  FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + greatest(0,
+           (n - {chunk_tokens} + {s} - 1) // {s}))) AS chunk
+  FROM sized
+),
+c AS (
+  SELECT doc_id, CAST(chunk AS INT) AS chunk,
+         toks[chunk * {s} + 1 : chunk * {s} + {chunk_tokens}] AS ctoks
+  FROM idx
+)
+SELECT doc_id, chunk, CAST(len(ctoks) AS INT) AS n_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text
+FROM c"""

@@ -441,3 +441,60 @@ def lm_quality_score(
             ).alias("avg_nll"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    overlap: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk, n_tokens, chunk_text) — sliding-window document
+    chunking (the RAG / context-window preprocessing step): chunks of
+    ``chunk_tokens`` whitespace tokens with ``overlap`` tokens shared
+    between consecutive chunks (stride = chunk_tokens - overlap). The
+    last chunk may be shorter; every token appears in ≥1 chunk; documents
+    with no tokens yield none. ``chunk`` is the 0-based window index.
+
+    This is the per-document sliding-window complement of pack_documents
+    (which concatenates ACROSS documents into fixed training sequences).
+
+    Scale shape: a single narrow projection — per input row, the chunk
+    count is integer math on size(tokens) and each chunk is a
+    slice+join of the already-split array, all in whole-stage codegen;
+    the explode multiplies rows by ~n/stride with no shuffle at all.
+    Chunk math is pure integers (1 + max(0, ceil((n-C)/S))), exact in the
+    DuckDB twin."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokenize(text_col)
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(toks, lambda x: x != "").alias("toks"),
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.expr(f"(n - {chunk_tokens} + {stride} - 1) div {stride}"),
+    )
+    return (
+        t.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk",
+            F.slice(
+                "toks", F.col("chunk") * stride + 1, chunk_tokens
+            ).alias("ctoks"),
+        )
+        .select(
+            "doc_id",
+            "chunk",
+            F.size("ctoks").alias("n_tokens"),
+            F.array_join("ctoks", " ").alias("chunk_text"),
+        )
+    )

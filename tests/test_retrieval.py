@@ -99,3 +99,23 @@ def test_tfidf_top_terms_exact(spark):
     # idf, not alphabet
     assert by_doc[1][0][1] == "stream"
     assert 3 not in by_doc
+
+
+def test_chunk_documents_windows(spark):
+    from graphscope_spark.functions.text import chunk_documents
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, "a b"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    )
+    # doc 0: 10 tokens, stride 3 -> 1 + ceil((10-4)/3) = 3 chunks at
+    # offsets 0,3,6 covering t0..t9 with 1-token overlaps
+    assert got == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (0, 1, 4, "t3 t4 t5 t6"),
+        (0, 2, 4, "t6 t7 t8 t9"),
+        (1, 0, 2, "a b"),
+    ]
