@@ -1122,6 +1122,22 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, overlap=4)
 
 
+def _q_quantiles_by(spark, sf_dir):
+    from graphscope_spark.functions.quantiles import exact_quantiles_by
+    return exact_quantiles_by(
+        _events(spark, sf_dir), "event_type", "value", QUANTILE_QS
+    )
+
+
+ZORDER_KEEP = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+
+
+def _q_zorder(spark, sf_dir):
+    from graphscope_spark.functions.layout import zorder_key
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*ZORDER_KEEP)
+    return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+
+
 def _q_bpe_vocab(spark, sf_dir):
     from graphscope_spark.functions.bpe import bpe_symbol_freq
     return bpe_symbol_freq(_docs(spark, sf_dir), n_merges=3)
@@ -1467,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": _q_retention,
         "bpe_vocab": _q_bpe_vocab,
         "chunk_docs": _q_chunk_docs,
+        "quantiles_by": _q_quantiles_by,
+        "zorder": _q_zorder,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1641,6 +1659,10 @@ def oracle_sql() -> dict[str, str]:
         "retention": do.retention_sql(),
         "bpe_vocab": do.bpe_sql(n_merges=3),
         "chunk_docs": do.chunk_documents_sql(chunk_tokens=16, overlap=4),
+        "quantiles_by": do.quantiles_by_sql(QUANTILE_QS),
+        "zorder": do.zorder_sql(
+            ["l_partkey", "l_suppkey"], bits=8, keep=ZORDER_KEEP
+        ),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -1195,3 +1195,61 @@ c AS (
 SELECT doc_id, chunk, CAST(len(ctoks) AS INT) AS n_tokens,
        array_to_string(ctoks, ' ') AS chunk_text
 FROM c"""
+
+
+def quantiles_by_sql(qs: list[float]) -> str:
+    """Twin of functions/quantiles.py::exact_quantiles_by over
+    events(event_type, value)."""
+    values = ", ".join(
+        f"({float(q)}, {int(round(q * 1_000_000))})" for q in qs
+    )
+    return f"""
+WITH hist AS (
+  SELECT event_type AS grp, value, count(*) AS cnt FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT grp, SUM(cnt) AS n FROM hist GROUP BY grp),
+cum AS (
+  SELECT grp, value, SUM(cnt) OVER (PARTITION BY grp ORDER BY value
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+qs AS (SELECT * FROM (VALUES {values}) AS t(q, q_u)),
+j AS (
+  SELECT c.grp, q.q, c.value
+  FROM cum c JOIN totals t USING (grp) CROSS JOIN qs q
+  WHERE c.cum >= GREATEST(1, (q.q_u * t.n + 999999) // 1000000)
+)
+SELECT grp AS event_type, CAST(q AS DOUBLE) AS q, MIN(value) AS value
+FROM j GROUP BY grp, q"""
+
+
+def zorder_sql(cols: list[str], bits: int = 8, table: str = "lineitem",
+               keep: list[str] | None = None) -> str:
+    """Twin of functions/layout.py::zorder_key — same integer min-max
+    normalization and bit interleave (Spark shiftleft/shiftright/div ==
+    DuckDB <</>> and //)."""
+    n = len(cols)
+    keep = keep or cols
+    mins = ", ".join(
+        f"MIN(CAST({c} AS BIGINT)) AS _min_{c}, "
+        f"MAX(CAST({c} AS BIGINT)) AS _max_{c}"
+        for c in cols
+    )
+    norms = ", ".join(
+        f"((CAST({c} AS BIGINT) - _min_{c}) * {(1 << bits) - 1}) // "
+        f"GREATEST(CAST(1 AS BIGINT), _max_{c} - _min_{c}) AS _n_{c}"
+        for c in cols
+    )
+    terms = " + ".join(
+        f"(((_n_{c} >> {b}) % 2) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    )
+    keep_sql = ", ".join(keep)
+    return f"""
+WITH stats AS (SELECT {mins} FROM {table}),
+normed AS (
+  SELECT {keep_sql}, {norms} FROM {table} CROSS JOIN stats
+)
+SELECT {keep_sql}, CAST({terms} AS BIGINT) AS z FROM normed"""

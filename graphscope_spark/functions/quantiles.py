@@ -67,3 +67,43 @@ def exact_quantiles(
         .groupBy("q")
         .agg(F.min("value").alias("value"))
     )
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """(group, q, value) — :func:`exact_quantiles` within each group.
+    Same nearest-rank / integer-rank-arithmetic semantics; the histogram
+    and cumulative window are keyed by group, so the only global object
+    is the tiny q list (broadcast)."""
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("value")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = hist.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    cum = hist.select("grp", "value", F.sum("cnt").over(w).alias("cum")).join(
+        totals, "grp"
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q), int(round(q * 1_000_000))) for q in qs],
+        "q double, q_u long",
+    )
+    rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("(q_u * n + 999999) div 1000000"),
+    )
+    joined = cum.crossJoin(F.broadcast(qdf)).withColumn("rank", rank)
+    return (
+        joined.filter(F.col("cum") >= F.col("rank"))
+        .groupBy(F.col("grp").alias(group_col), "q")
+        .agg(F.min("value").alias("value"))
+    )

@@ -41,3 +41,17 @@ def test_exact_quantiles_excludes_nulls(spark):
     )
     got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", [0.5]).collect()}
     assert got == {0.5: 2}
+
+
+def test_exact_quantiles_by_groups(spark):
+    from graphscope_spark.functions.quantiles import exact_quantiles_by
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [10, 20]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in exact_quantiles_by(df, "g", "v", [0.5, 1.0]).collect()
+    }
+    assert got == {
+        ("a", 0.5): 2, ("a", 1.0): 4,
+        ("b", 0.5): 10, ("b", 1.0): 20,
+    }
