@@ -1122,6 +1122,26 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, overlap=4)
 
 
+def _tq():
+    from graphscope_spark import tpch_queries as tq
+    return tq
+
+
+def _q_tpch_q1(spark, sf_dir):
+    from graphscope_spark import tpch_queries as tq
+    return tq.q1(spark, sf_dir)
+
+
+def _q_tpch_q3(spark, sf_dir):
+    from graphscope_spark import tpch_queries as tq
+    return tq.q3(spark, sf_dir)
+
+
+def _q_tpch_q6(spark, sf_dir):
+    from graphscope_spark import tpch_queries as tq
+    return tq.q6(spark, sf_dir)
+
+
 def _q_quantiles_by(spark, sf_dir):
     from graphscope_spark.functions.quantiles import exact_quantiles_by
     return exact_quantiles_by(
@@ -1485,6 +1505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "quantiles_by": _q_quantiles_by,
         "zorder": _q_zorder,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1663,6 +1686,9 @@ def oracle_sql() -> dict[str, str]:
         "zorder": do.zorder_sql(
             ["l_partkey", "l_suppkey"], bits=8, keep=ZORDER_KEEP
         ),
+        "tpch_q1": _tq().q1_sql(),
+        "tpch_q3": _tq().q3_sql(),
+        "tpch_q6": _tq().q6_sql(),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),
