@@ -1127,6 +1127,17 @@ def _tq():
     return tq
 
 
+def _q_rolling_sum(spark, sf_dir):
+    from graphscope_spark.functions.events import rolling_window_sum
+    return rolling_window_sum(_events(spark, sf_dir), days=7)
+
+
+def _q_fuzzy_pairs(spark, sf_dir):
+    from graphscope_spark.functions.fuzzy import fuzzy_string_pairs
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_string_pairs(part, "p_partkey", "p_name", max_distance=2)
+
+
 def _q_tpch_q1(spark, sf_dir):
     from graphscope_spark import tpch_queries as tq
     return tq.q1(spark, sf_dir)
@@ -1508,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
+        "rolling_sum": _q_rolling_sum,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1689,6 +1702,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _tq().q1_sql(),
         "tpch_q3": _tq().q3_sql(),
         "tpch_q6": _tq().q6_sql(),
+        "rolling_sum": do.rolling_sql(days=7),
+        "fuzzy_pairs": do.fuzzy_pairs_sql(max_distance=2, ngram=3),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

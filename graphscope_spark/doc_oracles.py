@@ -1253,3 +1253,47 @@ normed AS (
   SELECT {keep_sql}, {norms} FROM {table} CROSS JOIN stats
 )
 SELECT {keep_sql}, CAST({terms} AS BIGINT) AS z FROM normed"""
+
+
+def rolling_sql(days: int = 7) -> str:
+    """Twin of functions/events.py::rolling_window_sum — RANGE frame over
+    integer epoch-us with integer-cent sums."""
+    day_us = 86_400_000_000
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       count(*) OVER w AS n_in_window,
+       ROUND(CAST(SUM(cents) OVER w AS DOUBLE) / 100.0, 2) AS roll_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {days * day_us} PRECEDING AND CURRENT ROW)"""
+
+
+def fuzzy_pairs_sql(
+    max_distance: int = 2, ngram: int = 3,
+    table: str = "part", id_col: str = "p_partkey", str_col: str = "p_name",
+) -> str:
+    """Twin of functions/fuzzy.py::fuzzy_string_pairs — same n-gram
+    candidate rule, length prefilter, and exact levenshtein verify."""
+    return f"""
+WITH s AS (SELECT {id_col} AS id, {str_col} AS st FROM {table}),
+gidx AS (
+  SELECT id, st, unnest(range(1, greatest(length(st) - {ngram - 1}, 1) + 1)) AS i
+  FROM s
+),
+grams AS (
+  SELECT DISTINCT id, substr(st, CAST(i AS INT), {ngram}) AS gram FROM gidx
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM grams x JOIN grams y USING (gram)
+  WHERE x.id < y.id
+)
+SELECT c.a, c.b, CAST(levenshtein(sa.st, sb.st) AS INT) AS dist
+FROM cand c JOIN s sa ON sa.id = c.a JOIN s sb ON sb.id = c.b
+WHERE abs(length(sa.st) - length(sb.st)) <= {max_distance}
+  AND levenshtein(sa.st, sb.st) <= {max_distance}"""

@@ -258,3 +258,46 @@ def retention_cohorts(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def rolling_window_sum(
+    events: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_id, user_id, ts_us, n_in_window, roll_value) — per event,
+    the count and value-sum of the SAME user's events in the trailing
+    ``days``-day window (inclusive of the current event; ties in ts all
+    share one frame — RANGE semantics, so the result is set-determined,
+    not order-determined).
+
+    Scale shape: one user-keyed exchange, then an in-partition RANGE
+    window — no self-join (the naive trailing-window formulation is a
+    per-row inequality join). Values are quantized to integer cents
+    before summation so frame sums are exact and partition-independent;
+    roll_value converts back at output (2 decimals)."""
+    ts_us = _us(ts_col)
+    day_us = 86_400_000_000
+    e = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        ts_us.alias("ts_us"),
+        F.round(F.col(value_col) * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-days * day_us, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.round(
+            F.sum("cents").over(w).cast("double") / 100.0, 2
+        ).alias("roll_value"),
+    )

@@ -149,3 +149,23 @@ def test_retention_cohorts_exact(spark):
         (day0, 0): 1, (day0, 1): 1, (day0, 3): 1,
         (day0 + 1, 0): 1,
     }
+
+
+def test_rolling_window_sum_trailing(spark):
+    from graphscope_spark.functions.events import rolling_window_sum
+    D = 24 * 60
+    ev = _ev(spark, [
+        (1, 0, 1, "x", 1.0),
+        (2, 3 * D, 1, "x", 2.0),      # window(2d): only itself at days=2
+        (3, 4 * D, 1, "x", 4.0),      # window: events 2,3
+        (4, 6 * D, 1, "x", 8.0),      # window: 3,4 (event 2 is 3d back)
+        (5, 0, 2, "x", 100.0),        # other user
+    ])
+    got = {
+        r["event_id"]: (r["n_in_window"], r["roll_value"])
+        for r in rolling_window_sum(ev, days=2).collect()
+    }
+    assert got == {
+        1: (1, 1.0), 2: (1, 2.0), 3: (2, 6.0), 4: (2, 12.0),
+        5: (1, 100.0),
+    }
