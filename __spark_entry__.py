@@ -1127,6 +1127,33 @@ def _tq():
     return tq
 
 
+def _q_interval_overlap(spark, sf_dir):
+    from graphscope_spark.functions.events import interval_join, sessionize
+    import datetime as _dt
+
+    sess = sessionize(_events(spark, sf_dir), gap_minutes=360).select(
+        "user_id",
+        "session",
+        F.col("start_us").alias("lo_us"),
+        # sessions are closed intervals of event times; interval_join is
+        # half-open — widen by 1us
+        (F.col("end_us") + 1).alias("hi_us"),
+    )
+    base = int(
+        _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    day = 86_400_000_000
+    win = spark.createDataFrame(
+        [(w, base + w * 3 * day, base + (w * 3 + 2) * day)
+         for w in range(10)],
+        "window_id long, lo_us long, hi_us long",
+    )
+    return interval_join(sess, win).select(
+        "user_id", "session", "window_id"
+    )
+
+
 def _q_rolling_sum(spark, sf_dir):
     from graphscope_spark.functions.events import rolling_window_sum
     return rolling_window_sum(_events(spark, sf_dir), days=7)
@@ -1521,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "rolling_sum": _q_rolling_sum,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "interval_overlap": _q_interval_overlap,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1704,6 +1732,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": _tq().q6_sql(),
         "rolling_sum": do.rolling_sql(days=7),
         "fuzzy_pairs": do.fuzzy_pairs_sql(max_distance=2, ngram=3),
+        "interval_overlap": do.interval_overlap_sql(
+            gap_minutes=360, n_windows=10
+        ),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

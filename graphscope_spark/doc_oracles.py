@@ -1297,3 +1297,22 @@ SELECT c.a, c.b, CAST(levenshtein(sa.st, sb.st) AS INT) AS dist
 FROM cand c JOIN s sa ON sa.id = c.a JOIN s sb ON sb.id = c.b
 WHERE abs(length(sa.st) - length(sb.st)) <= {max_distance}
   AND levenshtein(sa.st, sb.st) <= {max_distance}"""
+
+
+def interval_overlap_sql(gap_minutes: int = 360, n_windows: int = 10) -> str:
+    """Twin of the interval_join gate query: user sessions (sessionize
+    twin as a CTE) overlap-joined with the synthetic campaign windows —
+    relational theta form of the same half-open overlap predicate."""
+    base = "epoch_us(TIMESTAMP '2024-01-01 00:00:00')"
+    day = 86_400_000_000
+    return f"""
+WITH sess AS ({sessionize_sql(gap_minutes)}),
+win AS (
+  SELECT w AS window_id,
+         {base} + w * 3 * {day} AS lo_us,
+         {base} + (w * 3 + 2) * {day} AS hi_us
+  FROM (SELECT unnest(range({n_windows})) AS w)
+)
+SELECT s.user_id, s.session, win.window_id
+FROM sess s JOIN win
+  ON GREATEST(s.start_us, win.lo_us) < LEAST(s.end_us + 1, win.hi_us)"""

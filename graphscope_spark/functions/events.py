@@ -301,3 +301,47 @@ def rolling_window_sum(
             F.sum("cents").over(w).cast("double") / 100.0, 2
         ).alias("roll_value"),
     )
+
+
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str = "lo_us",
+    a_hi: str = "hi_us",
+    b_lo: str = "lo_us",
+    b_hi: str = "hi_us",
+    bucket_minutes: int = 1440,
+) -> DataFrame:
+    """Interval-overlap join: every (a, b) pair with
+    max(a_lo, b_lo) < min(a_hi, b_hi) (half-open overlap). Both sides
+    explode into the coarse buckets they span, BUT a pair is emitted only
+    from the single bucket containing max(a_lo, b_lo) — the canonical
+    dedup-free bucketized interval join (no distinct over the pair
+    blowup; each overlapping pair materializes exactly once).
+
+    Shuffle ∝ Σ spans/bucket on each side; never |A|·|B|."""
+    b_us = int(bucket_minutes) * 60_000_000
+
+    def bucketed(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
+        return df.withColumn(
+            f"_bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{lo} div {b_us}"),
+                    F.expr(f"(greatest({hi} - 1, {lo})) div {b_us}"),
+                )
+            ),
+        )
+    aa = bucketed(a, a_lo, a_hi, "a")
+    bb = bucketed(b, b_lo, b_hi, "b")
+    start = F.greatest(F.col(f"a.{a_lo}"), F.col(f"b.{b_lo}"))
+    end = F.least(F.col(f"a.{a_hi}"), F.col(f"b.{b_hi}"))
+    joined = aa.alias("a").join(
+        bb.alias("b"), F.col("a._bucket") == F.col("b._bucket")
+    )
+    return (
+        joined.filter(start < end)
+        # emit only from the overlap-start bucket: exactly-once per pair
+        .filter(F.expr(f"a._bucket = (greatest(a.{a_lo}, b.{b_lo})) div {b_us}"))
+        .drop("_bucket")
+    )

@@ -169,3 +169,24 @@ def test_rolling_window_sum_trailing(spark):
         1: (1, 1.0), 2: (1, 2.0), 3: (2, 6.0), 4: (2, 12.0),
         5: (1, 100.0),
     }
+
+
+def test_interval_join_overlap_exactly_once(spark):
+    from graphscope_spark.functions.events import interval_join
+    us = lambda m: m * 60_000_000  # noqa: E731
+    a = spark.createDataFrame(
+        [(1, us(0), us(100)), (2, us(500), us(600)), (3, us(50), us(60))],
+        "aid long, lo_us long, hi_us long",
+    )
+    b = spark.createDataFrame(
+        [(10, us(90), us(510)),   # overlaps a1 (tail) and a2 (head)
+         (11, us(55), us(58)),    # inside a1 and a3
+         (12, us(100), us(101))], # touches a1 at hi -> NO overlap (half-open)
+        "bid long, lo_us long, hi_us long",
+    )
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in interval_join(a, b, bucket_minutes=1).collect()
+    )
+    # exactly once per overlapping pair despite multi-bucket spans
+    assert got == [(1, 10), (1, 11), (2, 10), (3, 11)]
