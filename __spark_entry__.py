@@ -1127,6 +1127,12 @@ def _tq():
     return tq
 
 
+def _q_ktruss(spark, sf_dir):
+    from graphscope_spark.algorithms.truss import ktruss_sweeps
+    g = tg.copurchase_graph(spark, sf_dir)
+    return ktruss_sweeps(g, k=4, sweeps=4)
+
+
 def _q_interval_overlap(spark, sf_dir):
     from graphscope_spark.functions.events import interval_join, sessionize
     import datetime as _dt
@@ -1549,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_sum": _q_rolling_sum,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "interval_overlap": _q_interval_overlap,
+        "ktruss": _q_ktruss,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1735,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap": do.interval_overlap_sql(
             gap_minutes=360, n_windows=10
         ),
+        "ktruss": tg.ktruss_sql(k=4, sweeps=4),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -2048,3 +2048,31 @@ scored AS (
   JOIN deg dv ON dv.id = n.v
 )
 SELECT * FROM scored ORDER BY cn DESC, u ASC, v ASC LIMIT {top}""")
+
+
+def ktruss_sql(k: int = 4, sweeps: int = 4) -> str:
+    """Twin of algorithms/truss.py::ktruss_sweeps on the co-purchase
+    graph — unrolled support-peel sweeps (adjacency wedge join per
+    sweep); COPURCHASE_CTE's `pairs` IS the canonical u<v edge set."""
+    parts = [COPURCHASE_CTE.rstrip(),
+             ",\ne0 AS (SELECT u, v FROM pairs)"]
+    for s in range(1, sweeps + 1):
+        p = f"e{s - 1}"
+        parts.append(f""",
+adj{s} AS (
+  SELECT u AS x, v AS w FROM {p} UNION ALL SELECT v AS x, u AS w FROM {p}
+),
+sup{s} AS (
+  SELECT e.u, e.v, count(*) AS sup
+  FROM {p} e
+  JOIN adj{s} a ON a.x = e.u
+  JOIN adj{s} b ON b.x = e.v AND b.w = a.w
+  GROUP BY e.u, e.v
+),
+e{s} AS (
+  SELECT e.u, e.v FROM {p} e
+  LEFT JOIN sup{s} s ON s.u = e.u AND s.v = e.v
+  WHERE COALESCE(s.sup, 0) >= {k - 2}
+)""")
+    parts.append(f"\nSELECT u, v FROM e{sweeps}")
+    return _materialized("WITH " + "".join(parts))

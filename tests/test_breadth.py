@@ -243,3 +243,43 @@ def test_flash_bfs_strategies_agree(spark):
     both = {r["id"]: r["dist"]
             for r in flash_bfs(g, 12, direction="both").collect()}
     assert both == und_base
+
+
+def test_ktruss_fixpoint_python_oracle(spark):
+    from graphscope_spark.algorithms.truss import ktruss, ktruss_sweeps
+    from graphscope_spark.graph import Graph
+    # two 4-cliques sharing a vertex + a dangling path
+    import itertools
+    cliques = [list(range(4)), [3, 10, 11, 12]]
+    edges = set()
+    for c in cliques:
+        edges |= {tuple(sorted(p)) for p in itertools.combinations(c, 2)}
+    edges |= {(12, 20), (20, 21)}
+    sym = list(edges) + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    g = Graph(df, directed=False, num_partitions=4)
+
+    def oracle(k):
+        surv = set(edges)
+        while True:
+            adj = {}
+            for a, b in surv:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {e for e in surv
+                    if len(adj[e[0]] & adj[e[1]]) < k - 2}
+            if not drop:
+                return surv
+            surv -= drop
+
+    for k in (3, 4, 5):
+        got = {(r["u"], r["v"]) for r in ktruss(g, k).collect()}
+        assert got == oracle(k), k
+    # 4-truss = the two cliques' edges; the path is gone
+    got4 = {(r["u"], r["v"]) for r in ktruss(g, 4).collect()}
+    assert got4 == {tuple(sorted(p)) for c in cliques
+                    for p in itertools.combinations(c, 2)}
+    # enough sweeps == fixpoint
+    sw = {(r["u"], r["v"]) for r in ktruss_sweeps(g, 4, sweeps=6).collect()}
+    assert sw == got4
+    g.unpersist()
