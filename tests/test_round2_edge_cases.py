@@ -1,0 +1,120 @@
+"""Empty/degenerate-input behavior for the round-2 operator families."""
+
+import pytest
+
+from graphscope_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test-r2-edges", cpus=4, shuffle_partitions=4)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+
+
+def test_bm25_no_matching_terms(spark):
+    from graphscope_spark.functions.retrieval import bm25_score
+    docs = _docs(spark, [(0, "a b"), (1, "c d")])
+    assert bm25_score(docs, ["zzz"]).count() == 0
+
+
+def test_tfidf_empty_corpus(spark):
+    from graphscope_spark.functions.retrieval import tfidf_top_terms
+    docs = _docs(spark, []).filter("doc_id IS NOT NULL")
+    assert tfidf_top_terms(docs).count() == 0
+
+
+def test_kmeans_k_exceeds_n(spark):
+    from graphscope_spark.functions.kmeans import kmeans
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans(emb, k=5, rounds=2).collect()
+    # only 2 seeds exist; every point assigned, clusters within 1..2
+    assert len(out) == 2
+    assert {r["cluster"] for r in out} <= {1, 2}
+
+
+def test_kmv_empty_and_single(spark):
+    from graphscope_spark.functions.sketches import kmv_distinct
+    df = spark.createDataFrame([("a", 1)], "grp string, v long")
+    [r] = kmv_distinct(df, "grp", "v", k=8).collect()
+    assert (r["n_kept"], r["est_distinct"]) == (1, 1.0)
+    empty = df.filter("v > 99")
+    assert kmv_distinct(empty, "grp", "v", k=8).count() == 0
+
+
+def test_count_min_empty(spark):
+    from graphscope_spark.functions.sketches import count_min_sketch
+    df = spark.createDataFrame([("x",)], "v string").filter("v = 'nope'")
+    assert count_min_sketch(df, "v").count() == 0
+
+
+def test_sessionize_empty_and_single_event(spark):
+    from graphscope_spark.functions.events import sessionize
+    import datetime as dt
+    ev = _ev(spark, [(1, dt.datetime(2024, 1, 1), 7, "x", 0.0)])
+    [r] = sessionize(ev).collect()
+    assert (r["user_id"], r["session"], r["n_events"]) == (7, 1, 1)
+    assert sessionize(ev.filter("user_id < 0")).count() == 0
+
+
+def test_funnel_no_users_reach_first_step(spark):
+    from graphscope_spark.functions.events import funnel
+    import datetime as dt
+    ev = _ev(spark, [(1, dt.datetime(2024, 1, 1), 7, "x", 0.0)])
+    got = {r["step_name"]: r["n_users"]
+           for r in funnel(ev, ["missing", "x"]).collect()}
+    assert got == {"missing": 0, "x": 0}  # strictly-after a never-reached step
+
+
+def test_asof_join_empty_right(spark):
+    from graphscope_spark.functions.events import asof_join
+    import datetime as dt
+    left = _ev(spark, [(1, dt.datetime(2024, 1, 1), 7, "x", 0.0)]).select(
+        "event_id", "user_id", "ts"
+    )
+    right = _ev(spark, []).filter("event_id IS NOT NULL").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    [r] = asof_join(left, right, "user_id",
+                    right_cols=["event_id", "value"]).collect()
+    assert r["event_id_right"] is None and r["value_right"] is None
+
+
+def test_zorder_single_row(spark):
+    from graphscope_spark.functions.layout import zorder_key
+    df = spark.createDataFrame([(7, 9)], "x long, y long")
+    [r] = zorder_key(df, ["x", "y"], bits=4).collect()
+    assert r["z"] == 0  # constant columns normalize to 0
+
+
+def test_fuzzy_pairs_no_shared_grams(spark):
+    from graphscope_spark.functions.fuzzy import fuzzy_string_pairs
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bbbb")], "id long, name string"
+    )
+    assert fuzzy_string_pairs(df, "id", "name").count() == 0
+
+
+def test_ktruss_k3_keeps_all_triangle_edges(spark):
+    from graphscope_spark.algorithms.truss import ktruss
+    from graphscope_spark.graph import Graph
+    tri = [(0, 1), (1, 2), (0, 2)]
+    sym = tri + [(b, a) for a, b in tri]
+    g = Graph(spark.createDataFrame(sym, "src long, dst long"),
+              directed=False, num_partitions=2)
+    assert ktruss(g, 3).count() == 3
+    assert ktruss(g, 4).count() == 0
+    g.unpersist()
