@@ -1127,6 +1127,11 @@ def _tq():
     return tq
 
 
+def _q_pmi(spark, sf_dir):
+    from graphscope_spark.functions.retrieval import pmi_pairs
+    return pmi_pairs(_docs(spark, sf_dir), min_pair_docs=2, top_n=100)
+
+
 def _q_ktruss(spark, sf_dir):
     from graphscope_spark.algorithms.truss import ktruss_sweeps
     g = tg.copurchase_graph(spark, sf_dir)
@@ -1556,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "interval_overlap": _q_interval_overlap,
         "ktruss": _q_ktruss,
+        "pmi": _q_pmi,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1743,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
             gap_minutes=360, n_windows=10
         ),
         "ktruss": tg.ktruss_sql(k=4, sweeps=4),
+        "pmi": do.pmi_pairs_sql(min_pair_docs=2, top_n=100),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

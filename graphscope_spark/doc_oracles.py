@@ -1316,3 +1316,34 @@ win AS (
 SELECT s.user_id, s.session, win.window_id
 FROM sess s JOIN win
   ON GREATEST(s.start_us, win.lo_us) < LEAST(s.end_us + 1, win.hi_us)"""
+
+
+def pmi_pairs_sql(min_pair_docs: int = 2, top_n: int = 100) -> str:
+    """Twin of functions/retrieval.py::pmi_pairs — same doc-level
+    co-occurrence, micro-nat integer ranking."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+per AS (SELECT DISTINCT doc_id, token FROM toks WHERE token <> ''),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM per),
+dft AS (SELECT token, count(*) AS n FROM per GROUP BY token),
+pairs AS (
+  SELECT a.token AS x, b.token AS y, count(*) AS n_xy
+  FROM per a JOIN per b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING count(*) >= {min_pair_docs}
+),
+scored AS (
+  SELECT p.x, p.y, p.n_xy,
+         CAST(ROUND(ln(CAST(nd.n_docs AS DOUBLE) * p.n_xy
+                       / (dx.n * dy.n)) * 1000000.0, 0) AS BIGINT) AS pmi_u
+  FROM pairs p
+  JOIN dft dx ON dx.token = p.x
+  JOIN dft dy ON dy.token = p.y
+  CROSS JOIN nd
+)
+SELECT x, y, CAST(n_xy AS BIGINT) AS n_xy,
+       ROUND(CAST(pmi_u AS DOUBLE) / 1000000.0, {FLOAT_DECIMALS}) AS pmi
+FROM scored
+QUALIFY row_number() OVER (ORDER BY pmi_u DESC, x, y) <= {top_n}"""

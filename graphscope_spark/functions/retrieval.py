@@ -30,7 +30,7 @@ from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.functions.text import FLOAT_DECIMALS, tokenize
 
-__all__ = ["bm25_score", "tfidf_top_terms"]
+__all__ = ["bm25_score", "tfidf_top_terms", "pmi_pairs"]
 
 
 def _term_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -164,5 +164,66 @@ def tfidf_top_terms(
                 F.col("score_u").cast("double") / F.lit(1_000_000.0),
                 FLOAT_DECIMALS,
             ).alias("tfidf"),
+        )
+    )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    min_pair_docs: int = 2,
+    top_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(x, y, n_xy, pmi) — top document-level pointwise mutual information
+    token pairs: PMI = ln(N·n_xy / (n_x·n_y)) over document co-occurrence
+    (distinct tokens per doc; x < y). The collocation / topic-signal pass
+    of corpus analysis. ``min_pair_docs`` prunes the pair tail BEFORE the
+    heavy aggregate; ranking is (pmi_u DESC, x, y) on integer micro-nat
+    PMI — deterministic at any parallelism.
+
+    Scale shape: per-doc distinct tokens self-join keyed by doc — the
+    shuffle is ∝ Σ per-doc distinct-token counts and the pair blowup is
+    per-doc-local (bounded by the per-doc vocabulary², not the corpus);
+    document frequencies broadcast back onto the surviving pairs."""
+    per = _term_counts(docs, text_col, id_col).select("doc_id", "token")
+    n_docs = per.select("doc_id").distinct().count()
+    df_t = per.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        per.withColumnRenamed("token", "x")
+        .join(per.withColumnRenamed("token", "y"), "doc_id")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_pair_docs)
+    )
+    scored = (
+        pairs.join(df_t.withColumnRenamed("token", "x")
+                   .withColumnRenamed("n", "n_x"), "x")
+        .join(df_t.withColumnRenamed("token", "y")
+              .withColumnRenamed("n", "n_y"), "y")
+        .select(
+            "x", "y", "n_xy",
+            F.round(
+                F.log(
+                    F.lit(float(n_docs)) * F.col("n_xy")
+                    / (F.col("n_x") * F.col("n_y"))
+                )
+                * F.lit(1_000_000.0),
+                0,
+            ).cast("long").alias("pmi_u"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pmi_u").desc(), "x", "y")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(
+            "x", "y", "n_xy",
+            F.round(
+                F.col("pmi_u").cast("double") / 1_000_000.0, FLOAT_DECIMALS
+            ).alias("pmi"),
         )
     )

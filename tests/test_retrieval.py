@@ -119,3 +119,25 @@ def test_chunk_documents_windows(spark):
         (0, 2, 4, "t6 t7 t8 t9"),
         (1, 0, 2, "a b"),
     ]
+
+
+def test_pmi_pairs_exact(spark):
+    from graphscope_spark.functions.retrieval import pmi_pairs
+    import math
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    got = {(r["x"], r["y"]): (r["n_xy"], r["pmi"])
+           for r in pmi_pairs(docs, min_pair_docs=1, top_n=10).collect()}
+    def pmi(nxy, nx, ny):
+        u = round(math.log(4.0 * nxy / (nx * ny)) * 1e6)
+        return round(u / 1e6, 6)
+    # a:3 docs, b:2, c:2, d:1
+    assert got[("a", "b")] == (2, pmi(2, 3, 2))
+    assert got[("a", "c")] == (1, pmi(1, 3, 2))
+    assert got[("c", "d")] == (1, pmi(1, 2, 1))
+    # (b, c) never co-occur -> absent
+    assert ("b", "c") not in got
+    # exclusive pair (c,d) has the highest association
+    assert got[("c", "d")][1] == max(v[1] for v in got.values())
