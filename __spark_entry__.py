@@ -1127,6 +1127,14 @@ def _tq():
     return tq
 
 
+def _q_modularity(spark, sf_dir):
+    from graphscope_spark.algorithms.cdlp import cdlp
+    from graphscope_spark.algorithms.misc import modularity
+    g = tg.copurchase_graph(spark, sf_dir)
+    labels = cdlp(g, max_iter=10).state.select("id", "label")
+    return modularity(g, labels)
+
+
 def _q_pmi(spark, sf_dir):
     from graphscope_spark.functions.retrieval import pmi_pairs
     return pmi_pairs(_docs(spark, sf_dir), min_pair_docs=2, top_n=100)
@@ -1562,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": _q_interval_overlap,
         "ktruss": _q_ktruss,
         "pmi": _q_pmi,
+        "modularity": _q_modularity,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1750,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ktruss": tg.ktruss_sql(k=4, sweeps=4),
         "pmi": do.pmi_pairs_sql(min_pair_docs=2, top_n=100),
+        "modularity": tg.modularity_sql(rounds=10),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

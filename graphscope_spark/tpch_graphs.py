@@ -431,9 +431,10 @@ ORDER BY c.id""")
     return _materialized("WITH " + "".join(parts))
 
 
-def cdlp_sql(rounds: int = 10) -> str:
-    """Unrolled LDBC CDLP on the (symmetrized) co-purchase graph: most
-    frequent neighbor label, ties → min, exactly ``rounds`` rounds."""
+def _cdlp_ctes(rounds: int) -> list[str]:
+    """Unrolled LDBC CDLP round CTEs (most frequent neighbor label,
+    ties → min) ending at l{rounds} — shared by cdlp_sql and
+    modularity_sql."""
     parts = [COPURCHASE_CTE.rstrip(),
              ",\nl0 AS (SELECT id, id AS label FROM verts)"]
     for k in range(1, rounds + 1):
@@ -457,6 +458,13 @@ l{k} AS (
   FROM {p} l LEFT JOIN top{k} t ON l.id = t.id
 )"""
         )
+    return parts
+
+
+def cdlp_sql(rounds: int = 10) -> str:
+    """Unrolled LDBC CDLP on the (symmetrized) co-purchase graph: most
+    frequent neighbor label, ties → min, exactly ``rounds`` rounds."""
+    parts = _cdlp_ctes(rounds)
     parts.append(f"\nSELECT id, label FROM l{rounds} ORDER BY id")
     return _materialized("WITH " + "".join(parts))
 
@@ -2075,4 +2083,32 @@ e{s} AS (
   WHERE COALESCE(s.sup, 0) >= {k - 2}
 )""")
     parts.append(f"\nSELECT u, v FROM e{sweeps}")
+    return _materialized("WITH " + "".join(parts))
+
+
+def modularity_sql(rounds: int = 10) -> str:
+    """Twin of algorithms/misc.py::modularity evaluated on the CDLP
+    ``rounds``-round labels (cdlp_sql's unrolled CTEs reused) — exact
+    integer terms, one float division at output."""
+    parts = list(_cdlp_ctes(rounds))
+    parts.append(f""",
+asn AS (SELECT id, label FROM l{rounds}),
+mm AS (SELECT count(*) // 2 AS m, count(*) AS m2 FROM edges),
+intra AS (
+  SELECT count(*) AS intra2
+  FROM edges e JOIN asn a ON a.id = e.src JOIN asn b ON b.id = e.dst
+  WHERE a.label = b.label
+),
+deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+dsq AS (
+  SELECT CAST(SUM(dc * dc) AS BIGINT) AS deg_sq_sum FROM (
+    SELECT a.label, CAST(SUM(d.d) AS BIGINT) AS dc
+    FROM deg d JOIN asn a ON a.id = d.id GROUP BY a.label
+  )
+)
+SELECT CAST(mm.m AS BIGINT) AS m, CAST(intra.intra2 AS BIGINT) AS intra2,
+       dsq.deg_sq_sum,
+       ROUND((2.0 * mm.m * intra.intra2 - dsq.deg_sq_sum)
+             / (4.0 * mm.m * mm.m), 6) AS modularity
+FROM mm CROSS JOIN intra CROSS JOIN dsq""")
     return _materialized("WITH " + "".join(parts))

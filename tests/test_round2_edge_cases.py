@@ -118,3 +118,33 @@ def test_ktruss_k3_keeps_all_triangle_edges(spark):
     assert ktruss(g, 3).count() == 3
     assert ktruss(g, 4).count() == 0
     g.unpersist()
+
+
+def test_modularity_known_values(spark):
+    from graphscope_spark.algorithms.misc import modularity
+    from graphscope_spark.graph import Graph
+    # two triangles joined by one bridge edge: the classic 2-community
+    # partition has Q = (2m*intra2 - sum_dc^2)/(4m^2), m=7
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    bridge = [(2, 3)]
+    und = tri1 + tri2 + bridge
+    sym = und + [(b, a) for a, b in und]
+    g = Graph(spark.createDataFrame(sym, "src long, dst long"),
+              directed=False, num_partitions=2)
+    asn = spark.createDataFrame(
+        [(i, 0) for i in range(3)] + [(i, 1) for i in range(3, 6)],
+        "id long, label long",
+    )
+    [r] = modularity(g, asn).collect()
+    m, intra2 = 7, 12  # 6 intra undirected edges x 2 directions
+    dsq = (2 + 2 + 3) ** 2 + (3 + 2 + 2) ** 2
+    assert (r["m"], r["intra2"], r["deg_sq_sum"]) == (m, intra2, dsq)
+    assert r["modularity"] == round((2 * m * intra2 - dsq) / (4.0 * m * m), 6)
+    # the all-one-community partition scores 0 by definition: intra2=2m,
+    # dsq=(2m)^2 -> numerator 4m^2-4m^2
+    one = spark.createDataFrame([(i, 9) for i in range(6)],
+                                "id long, label long")
+    [r1] = modularity(g, one).collect()
+    assert r1["modularity"] == 0.0
+    g.unpersist()
