@@ -1347,3 +1347,17 @@ SELECT x, y, CAST(n_xy AS BIGINT) AS n_xy,
        ROUND(CAST(pmi_u AS DOUBLE) / 1000000.0, {FLOAT_DECIMALS}) AS pmi
 FROM scored
 QUALIFY row_number() OVER (ORDER BY pmi_u DESC, x, y) <= {top_n}"""
+
+
+def normalize_text_sql(max_chars: int | None = None) -> str:
+    """Twin of functions/text.py::normalize_text (default flags) — same
+    operation order; DuckDB regexp_replace needs the 'g' flag."""
+    t = r"regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')"
+    t = f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+    t = f"lower({t})"
+    if max_chars is not None:
+        t = f"substr({t}, 1, {max_chars})"
+    return f"""
+SELECT doc_id, {t} AS text,
+       CASE WHEN {t} <> text THEN 1 ELSE 0 END AS n_changed
+FROM documents"""

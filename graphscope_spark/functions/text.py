@@ -498,3 +498,35 @@ def chunk_documents(
             F.array_join("ctoks", " ").alias("chunk_text"),
         )
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    max_chars: int | None = None,
+) -> DataFrame:
+    """(doc_id, text, n_changed) — the standard pre-tokenization cleaning
+    stage: lowercase, control-character strip, whitespace collapse (runs
+    of blanks/tabs/newlines → one space, trimmed), optional hard length
+    truncation. n_changed = 1 iff the text changed (drives cheap
+    audit counts). Pure single-pass JVM string expressions — one codegen
+    span, no Python, order of operations fixed (strip control →
+    collapse → lower → truncate) and mirrored in the DuckDB twin."""
+    t = F.col(text_col)
+    if strip_control:
+        t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if collapse_whitespace:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    if max_chars is not None:
+        t = F.substring(t, 1, max_chars)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("text"),
+        F.when(t != F.col(text_col), 1).otherwise(0).alias("n_changed"),
+    )

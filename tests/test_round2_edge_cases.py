@@ -148,3 +148,20 @@ def test_modularity_known_values(spark):
     [r1] = modularity(g, one).collect()
     assert r1["modularity"] == 0.0
     g.unpersist()
+
+
+def test_normalize_text_stages(spark):
+    from graphscope_spark.functions.text import normalize_text
+    docs = _docs(spark, [
+        (0, "  Hello\t\tWORLD \n"),
+        (1, "already clean"),
+        (2, "ctrl\x01char"),
+    ])
+    got = {r["doc_id"]: (r["text"], r["n_changed"])
+           for r in normalize_text(docs).collect()}
+    assert got[0] == ("hello world", 1)
+    assert got[1] == ("already clean", 0)
+    assert got[2] == ("ctrlchar", 1)
+    trunc = {r["doc_id"]: r["text"]
+             for r in normalize_text(docs, max_chars=5).collect()}
+    assert trunc[0] == "hello"
