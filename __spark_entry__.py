@@ -1127,6 +1127,11 @@ def _tq():
     return tq
 
 
+def _q_corpus_report(spark, sf_dir):
+    from graphscope_spark.functions.text import corpus_report
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def _q_normalize_text(spark, sf_dir):
     from graphscope_spark.functions.text import normalize_text
     return normalize_text(_docs(spark, sf_dir), max_chars=200)
@@ -1577,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi": _q_pmi,
         "modularity": _q_modularity,
         "normalize_text": _q_normalize_text,
+        "corpus_report": _q_corpus_report,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1767,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi": do.pmi_pairs_sql(min_pair_docs=2, top_n=100),
         "modularity": tg.modularity_sql(rounds=10),
         "normalize_text": do.normalize_text_sql(max_chars=200),
+        "corpus_report": do.corpus_report_sql(),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -1361,3 +1361,44 @@ def normalize_text_sql(max_chars: int | None = None) -> str:
 SELECT doc_id, {t} AS text,
        CASE WHEN {t} <> text THEN 1 ELSE 0 END AS n_changed
 FROM documents"""
+
+
+def corpus_report_sql() -> str:
+    """Twin of functions/text.py::corpus_report — same micro-unit mean
+    over the quality twin, same nearest-rank median."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+tok AS (
+  SELECT count(*) AS n_tokens, count(DISTINCT token) AS vocab_size
+  FROM tk WHERE token <> ''
+),
+base AS (
+  SELECT count(*) AS n_docs,
+         count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+  FROM documents
+),
+q AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(quality * 1000000.0, 0) AS BIGINT))
+               AS DOUBLE) / 1000000.0 / count(*),
+               {FLOAT_DECIMALS}) AS mean_quality
+  FROM ({quality_score_sql()})
+),
+hist AS (
+  SELECT length(text) AS value, count(*) AS cnt FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT value, SUM(cnt) OVER (ORDER BY value
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT SUM(cnt) AS n FROM hist),
+med AS (
+  SELECT CAST(MIN(value) AS INT) AS p50_chars FROM cum CROSS JOIN tot
+  WHERE cum >= GREATEST(1, (500000 * tot.n + 999999) // 1000000)
+)
+SELECT base.n_docs, tok.n_tokens, tok.vocab_size,
+       CAST(base.n_exact_dups AS BIGINT) AS n_exact_dups,
+       q.mean_quality, med.p50_chars
+FROM base CROSS JOIN tok CROSS JOIN q CROSS JOIN med"""

@@ -530,3 +530,51 @@ def normalize_text(
         t.alias("text"),
         F.when(t != F.col(text_col), 1).otherwise(0).alias("n_changed"),
     )
+
+
+def corpus_report(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row (n_docs, n_tokens, vocab_size, n_exact_dups, mean_quality,
+    p50_chars) — the corpus data-card summary a curation pipeline prints
+    per snapshot. Composition of the existing passes: token/vocab
+    aggregates, md5 exact-dup count, quality_score (averaged in integer
+    micro-units — the per-doc scores are already rounded to 6, so the sum
+    is exact and order-independent), and the exact nearest-rank median of
+    character lengths. Each component is one scan + one aggregate; text
+    never shuffles (only tokens/hashes/scores do)."""
+    from graphscope_spark.functions.quantiles import exact_quantiles
+
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(tokenize(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("token").alias("vocab_size"),
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.md5(F.col(text_col)))
+        ).alias("n_exact_dups"),
+    )
+    q = quality_score(docs, text_col, id_col).agg(
+        F.round(
+            F.sum(
+                F.round(F.col("quality") * 1_000_000.0, 0).cast("long")
+            ).cast("double")
+            / 1_000_000.0
+            / F.count(F.lit(1)),
+            FLOAT_DECIMALS,
+        ).alias("mean_quality")
+    )
+    med = (
+        exact_quantiles(
+            docs.select(F.length(text_col).alias("len")), "len", [0.5]
+        )
+        .select(F.col("value").alias("p50_chars"))
+    )
+    return (
+        base.crossJoin(tok_stats).crossJoin(q).crossJoin(med)
+    )

@@ -165,3 +165,18 @@ def test_normalize_text_stages(spark):
     trunc = {r["doc_id"]: r["text"]
              for r in normalize_text(docs, max_chars=5).collect()}
     assert trunc[0] == "hello"
+
+
+def test_corpus_report_counts(spark):
+    from graphscope_spark.functions.text import corpus_report
+    docs = _docs(spark, [
+        (0, "a b c"), (1, "a b c"),  # exact dup pair
+        (2, "a a longertext"),
+    ])
+    [r] = corpus_report(docs).collect()
+    assert r["n_docs"] == 3
+    assert r["n_tokens"] == 9
+    assert r["vocab_size"] == 4  # a b c longertext
+    assert r["n_exact_dups"] == 1
+    assert r["p50_chars"] == 5  # lengths 5, 5, 14 -> median 5
+    assert 0.0 < r["mean_quality"] < 1.0
