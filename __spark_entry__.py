@@ -1127,6 +1127,11 @@ def _tq():
     return tq
 
 
+def _q_quantize_emb(spark, sf_dir):
+    from graphscope_spark.functions.similarity import quantize_embeddings
+    return quantize_embeddings(_emb(spark, sf_dir))
+
+
 def _q_corpus_report(spark, sf_dir):
     from graphscope_spark.functions.text import corpus_report
     return corpus_report(_docs(spark, sf_dir))
@@ -1583,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": _q_modularity,
         "normalize_text": _q_normalize_text,
         "corpus_report": _q_corpus_report,
+        "quantize_emb": _q_quantize_emb,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1774,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity": tg.modularity_sql(rounds=10),
         "normalize_text": do.normalize_text_sql(max_chars=200),
         "corpus_report": do.corpus_report_sql(),
+        "quantize_emb": do.quantize_embeddings_sql(),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -1402,3 +1402,22 @@ SELECT base.n_docs, tok.n_tokens, tok.vocab_size,
        CAST(base.n_exact_dups AS BIGINT) AS n_exact_dups,
        q.mean_quality, med.p50_chars
 FROM base CROSS JOIN tok CROSS JOIN q CROSS JOIN med"""
+
+
+def quantize_embeddings_sql() -> str:
+    """Twin of functions/similarity.py::quantize_embeddings."""
+    return """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM embeddings
+),
+stats AS (
+  SELECT vec_id, xs, list_min(xs) AS lo, list_max(xs) - list_min(xs) AS span
+  FROM x
+)
+SELECT vec_id,
+       list_transform(xs, v -> CASE WHEN span > 0
+         THEN CAST(ROUND((v - lo) * 255.0 / span, 0) AS INT)
+         ELSE 0 END) AS codes,
+       ROUND(lo, 6) AS lo, ROUND(span, 6) AS span
+FROM stats"""

@@ -180,3 +180,19 @@ def test_corpus_report_counts(spark):
     assert r["n_exact_dups"] == 1
     assert r["p50_chars"] == 5  # lengths 5, 5, 14 -> median 5
     assert 0.0 < r["mean_quality"] < 1.0
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    from graphscope_spark.functions.similarity import quantize_embeddings
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.5, 1.0]), (1, [2.0, 2.0, 2.0]), (2, [-1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (list(r["codes"]), r["lo"], r["span"])
+           for r in quantize_embeddings(emb).collect()}
+    assert got[0] == ([0, 128, 255], 0.0, 1.0)  # round(127.5) half-up
+    assert got[1] == ([0, 0, 0], 2.0, 0.0)      # constant vector
+    codes, lo, span = got[2]
+    # dequantization error bounded by span/510
+    for orig, c in zip([-1.0, 1.0, 0.0], codes):
+        assert abs((lo + c * span / 255.0) - orig) <= span / 510 + 1e-9
