@@ -14,8 +14,9 @@ Tarjan oracle in pytest), louvain / fluid_community (multi-pass
 heuristics; planted-structure pytest oracles), lpa_by_color /
 fluid_by_color (color-scheduled Gauss–Seidel; exact sequential-replay
 pytest oracles — class count is data-dependent so a fixed SQL unroll
-would be fragile), ann_ivf (k-means quantizer), node2vec (float
-inverse-CDF pick). Everything
+would be fragile), ann_ivf (numpy-sampled k-means quantizer; the
+`ann_ivf_exact` sibling replays the WHOLE IVF pipeline in SQL and
+hash-matches), node2vec (float inverse-CDF pick). Everything
 else — including every deterministic fixpoint (matching family, peels,
 coloring, MSF, tolerance PageRank: idempotent loops unroll to generous
 fixed depth, flash_oracles.py) and the full corpus path (corpus_oracles.py
@@ -1127,6 +1128,11 @@ def _tq():
     return tq
 
 
+def _q_bpe_encode(spark, sf_dir):
+    from graphscope_spark.functions.bpe import bpe_encode
+    return bpe_encode(_docs(spark, sf_dir), n_merges=3)
+
+
 def _q_quantize_emb(spark, sf_dir):
     from graphscope_spark.functions.similarity import quantize_embeddings
     return quantize_embeddings(_emb(spark, sf_dir))
@@ -1589,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "corpus_report": _q_corpus_report,
         "quantize_emb": _q_quantize_emb,
+        "bpe_encode": _q_bpe_encode,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1781,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": do.normalize_text_sql(max_chars=200),
         "corpus_report": do.corpus_report_sql(),
         "quantize_emb": do.quantize_embeddings_sql(),
+        "bpe_encode": do.bpe_encode_sql(n_merges=3),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

@@ -1086,29 +1086,14 @@ FROM ud JOIN first f USING (user_id)
 GROUP BY f.cohort_day, ud.d - f.cohort_day"""
 
 
-def bpe_sql(n_merges: int = 3) -> str:
-    """Twin of functions/bpe.py::bpe_symbol_freq — unrolled CTE per merge
-    round: pair counting via lead() windows, argmax with (total DESC,
-    x, y) tie-break, greedy application via the chain-parity windows
-    (see bpe.py's module docstring), state rebuild via NOT EXISTS
-    anti-join + union. All integers and strings — exact."""
-    parts = [
-        f"""
-WITH toks AS (
-  SELECT unnest({TOKS}) AS token FROM documents
-),
-words AS (
-  SELECT token AS word, count(*) AS cnt FROM toks
-  WHERE token <> '' GROUP BY token
-),
-s0 AS (
-  SELECT word, cnt, unnest(range(1, length(word) + 1)) AS pos,
-         NULL AS _pad
-  FROM words
-)"""
-    ]
-    # DuckDB can't compute substr inside the same SELECT as the unnest
-    # alias; re-project:
+def _bpe_ctes(n_merges: int) -> list[str]:
+    """Unrolled BPE merge-round CTEs ending at s{n_merges} — the shared
+    prefix of bpe_sql (vocab) and bpe_encode_sql (application): pair
+    counting via lead() windows, argmax with (total DESC, x, y)
+    tie-break, greedy application via the chain-parity windows (see
+    bpe.py's module docstring), state rebuild via NOT EXISTS anti-join +
+    union. All integers and strings — exact. (substr can't share a
+    SELECT with the unnest alias in DuckDB, hence the sidx re-project.)"""
     parts = [
         f"""
 WITH toks AS (
@@ -1164,9 +1149,36 @@ s{r} AS (
   SELECT a.word, w.cnt, a.pos, b.x || b.y AS sym
   FROM a{r} a JOIN words w USING (word) CROSS JOIN b{r} b
 )""")
+    return parts
+
+
+def bpe_sql(n_merges: int = 3) -> str:
+    """Twin of functions/bpe.py::bpe_symbol_freq (see _bpe_ctes)."""
+    parts = list(_bpe_ctes(n_merges))
     parts.append(f"""
 SELECT sym, CAST(SUM(cnt) AS BIGINT) AS freq
 FROM s{n_merges} GROUP BY sym""")
+    return "".join(parts)
+
+
+def bpe_encode_sql(n_merges: int = 3) -> str:
+    """Twin of functions/bpe.py::bpe_encode — per-document piece counts
+    under the learned segmentation (the final merge state IS each corpus
+    word's segmentation)."""
+    parts = list(_bpe_ctes(n_merges))
+    parts.append(f""",
+seg AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+  FROM s{n_merges} GROUP BY word
+),
+stream AS (
+  SELECT doc_id, unnest({TOKS}) AS word FROM documents
+),
+st AS (SELECT doc_id, word FROM stream WHERE word <> '')
+SELECT st.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(seg.n_pieces) AS BIGINT) AS bpe_pieces
+FROM st JOIN seg USING (word)
+GROUP BY st.doc_id""")
     return "".join(parts)
 
 

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.functions.text import tokenize
 
-__all__ = ["bpe_train", "bpe_symbol_freq"]
+__all__ = ["bpe_train", "bpe_symbol_freq", "bpe_encode"]
 
 
 def _initial_state(
@@ -174,3 +174,32 @@ def bpe_symbol_freq(
 
 def _spark() -> SparkSession:  # pragma: no cover - convenience
     return SparkSession.getActiveSession()
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, bpe_pieces) — per-document token-piece counts
+    under the vocabulary learned by :func:`bpe_train` on the SAME corpus:
+    the final merge state is exactly each corpus word's segmentation, so
+    application is one broadcast-sized join of the token stream against
+    the per-word piece counts (no per-document merge replay). The
+    learn→apply loop a tokenizer build runs: train on the corpus, then
+    budget every document in learned pieces."""
+    _, state = bpe_train(docs, n_merges, text_col, id_col)
+    seg = state.groupBy("word").agg(F.count(F.lit(1)).alias("n_pieces"))
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        stream.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("bpe_pieces"),
+        )
+    )

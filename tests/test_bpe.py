@@ -68,3 +68,17 @@ def test_bpe_exhausted_corpus_stops_early(spark):
     assert [(r["word"], r["pos"], r["sym"]) for r in state.collect()] == [
         ("a", 1, "a")
     ]
+
+
+def test_bpe_encode_piece_counts(spark):
+    from graphscope_spark.functions.bpe import bpe_encode
+    # merge 1 = (a,b) df... corpus: "ab ab abc", "ab abc" -> after 2
+    # merges words segment as ab->[ab] (1 piece), abc->[abc] (1 piece)
+    docs = _docs(spark, ["ab ab abc", "ab abc"])
+    got = {r["doc_id"]: (r["n_words"], r["bpe_pieces"])
+           for r in bpe_encode(docs, n_merges=2).collect()}
+    assert got == {0: (3, 3), 1: (2, 2)}
+    # with 1 merge only: ab->[ab]=1 piece, abc->[ab, c]=2 pieces
+    got1 = {r["doc_id"]: (r["n_words"], r["bpe_pieces"])
+            for r in bpe_encode(docs, n_merges=1).collect()}
+    assert got1 == {0: (3, 4), 1: (2, 3)}
