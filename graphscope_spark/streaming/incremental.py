@@ -561,3 +561,44 @@ class IncrementalDedup:
             if prev is not None:
                 prev.unpersist()
         self.batches += 1
+
+
+class DurableIncrementalDedup(IncrementalDedup):
+    """IncrementalDedup whose state (index + pairs) is written to parquet
+    after every batch, so a crashed/restarted stream resumes from the
+    last completed batch instead of re-hashing the corpus — the
+    streaming-state counterpart of pregel.py's superstep checkpoints.
+
+    Layout: ``{state_dir}/index`` and ``{state_dir}/pairs`` are
+    overwritten atomically-enough for a single writer (Spark stages into
+    _temporary before commit); ``load`` rebuilds a driver from them.
+    On a cluster the same paths live on the checkpoint filesystem. The
+    per-batch write is ∝ total state, not batch — callers with huge
+    indexes should lower the cadence via ``write_every``."""
+
+    def __init__(self, state_dir: str, write_every: int = 1, **kw):
+        super().__init__(**kw)
+        self.state_dir = state_dir
+        self.write_every = max(1, int(write_every))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        super().__call__(batch_df, batch_id)
+        if self.batches % self.write_every == 0:
+            self.index.write.mode("overwrite").parquet(
+                f"{self.state_dir}/index"
+            )
+            self.pairs.write.mode("overwrite").parquet(
+                f"{self.state_dir}/pairs"
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, state_dir: str,
+             **kw) -> "DurableIncrementalDedup":
+        inc = cls(state_dir, **kw)
+        inc.index = spark.read.parquet(f"{state_dir}/index").localCheckpoint(
+            eager=True
+        )
+        inc.pairs = spark.read.parquet(f"{state_dir}/pairs").localCheckpoint(
+            eager=True
+        )
+        return inc

@@ -81,3 +81,21 @@ def test_incremental_dedup_file_stream(spark, tmp_path):
     }
     got = {(r["a"], r["b"]) for r in inc.pairs.collect()}
     assert got == want
+
+
+def test_durable_dedup_resume_after_crash(spark, tmp_path):
+    from graphscope_spark.streaming import DurableIncrementalDedup
+
+    state = str(tmp_path / "state")
+    inc = DurableIncrementalDedup(state)
+    inc(_df(spark, DOCS[:3]), 0)
+    inc(_df(spark, DOCS[3:5]), 1)
+    # "crash": discard the driver, reload from parquet state
+    resumed = DurableIncrementalDedup.load(spark, state)
+    resumed(_df(spark, DOCS[5:]), 2)
+    want = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(_df(spark, DOCS)).collect()
+    }
+    got = {(r["a"], r["b"]) for r in resumed.pairs.collect()}
+    assert got == want
