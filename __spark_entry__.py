@@ -1128,6 +1128,15 @@ def _tq():
     return tq
 
 
+def _q_ppr_batch(spark, sf_dir):
+    from graphscope_spark.algorithms.ranking import ppr_batch
+    g = tg.copurchase_graph(spark, sf_dir)
+    seeds = [
+        r["id"] for r in g.vertices.orderBy("id").limit(4).collect()
+    ]
+    return ppr_batch(g, seeds, max_iter=10)
+
+
 def _q_bpe_encode(spark, sf_dir):
     from graphscope_spark.functions.bpe import bpe_encode
     return bpe_encode(_docs(spark, sf_dir), n_merges=3)
@@ -1596,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "quantize_emb": _q_quantize_emb,
         "bpe_encode": _q_bpe_encode,
+        "ppr_batch": _q_ppr_batch,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1789,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": do.corpus_report_sql(),
         "quantize_emb": do.quantize_embeddings_sql(),
         "bpe_encode": do.bpe_encode_sql(n_merges=3),
+        "ppr_batch": tg.ppr_batch_sql(n_seeds=4, rounds=10),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

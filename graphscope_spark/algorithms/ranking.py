@@ -216,3 +216,66 @@ def voterank(g: Graph, num_of_nodes: int | None = None) -> DataFrame:
         )
     edges.unpersist()
     return state.select("id", "rank")
+
+
+def ppr_batch(
+    g: Graph,
+    sources: list[int],
+    max_iter: int = 10,
+    damping: float = 0.5,
+) -> DataFrame:
+    """(seed, id, rank) — personalized PageRank from MANY seeds at once
+    (the batched form GNN feature pipelines and node-similarity services
+    run; same per-seed semantics as :func:`ppr` / ppr.h, same damping
+    split). State is SPARSE: only (seed, vertex) pairs with nonzero rank
+    exist — after r rounds that is the seeds' r-hop neighborhoods, so a
+    batch of B seeds costs one message shuffle per round over
+    Θ(Σ frontier_b) rows, NOT B full-graph sweeps. Rows never touched by
+    a seed's walk are absent (rank 0 by definition).
+
+    Scale shape per round: state ⋈ edges keyed by vertex (one exchange),
+    map-side-combined (seed, dst) partial sums, union with the B teleport
+    rows, one (seed, id) aggregate; state localCheckpoint'd (flat plans).
+    Output rank rounded to 8; the DuckDB twin (tpch_graphs.ppr_batch_sql)
+    unrolls the same sparse recursion."""
+    spark = g.spark
+    e = g.edges.select("src", "dst")
+    if g.directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    edges = e.repartition(g.num_partitions, "src").persist()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    ).persist()
+    teleport = spark.createDataFrame(
+        [(int(s), int(s), damping) for s in sources],
+        "seed long, id long, v double",
+    )
+    state = spark.createDataFrame(
+        [(int(s), int(s), 1.0) for s in sources],
+        "seed long, id long, rank double",
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = (
+            state.join(deg, "id")
+            .select(
+                "seed",
+                F.col("id").alias("src"),
+                (F.lit(damping) * F.col("rank") / F.col("d")).alias("c"),
+            )
+            .join(edges, "src")
+            .groupBy("seed", F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("v"))
+        )
+        state = (
+            msgs.unionByName(teleport)
+            .groupBy("seed", "id")
+            .agg(F.sum("v").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    deg.unpersist()
+    return state.select(
+        "seed", "id", F.round("rank", 8).alias("rank")
+    )

@@ -2112,3 +2112,33 @@ SELECT CAST(mm.m AS BIGINT) AS m, CAST(intra.intra2 AS BIGINT) AS intra2,
              / (4.0 * mm.m * mm.m), 6) AS modularity
 FROM mm CROSS JOIN intra CROSS JOIN dsq""")
     return _materialized("WITH " + "".join(parts))
+
+
+def ppr_batch_sql(n_seeds: int = 4, rounds: int = 10) -> str:
+    """Twin of algorithms/ranking.py::ppr_batch — sparse per-seed
+    recursion (damping 0.5), seeds = the n_seeds smallest vertex ids."""
+    parts = [COPURCHASE_CTE.rstrip(), f""",
+seeds AS (SELECT id AS seed FROM verts ORDER BY id LIMIT {n_seeds}),
+deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d
+        FROM edges GROUP BY src),
+r0 AS (SELECT seed, seed AS id, 1.0 AS rank FROM seeds)"""]
+    for k in range(1, rounds + 1):
+        p = f"r{k-1}"
+        parts.append(f""",
+m{k} AS (
+  SELECT p.seed, e.dst AS id, SUM(0.5 * p.rank / d.d) AS v
+  FROM {p} p JOIN deg d ON d.id = p.id JOIN edges e ON e.src = p.id
+  GROUP BY p.seed, e.dst
+),
+r{k} AS (
+  SELECT seed, id, SUM(v) AS rank FROM (
+    SELECT seed, id, v FROM m{k}
+    UNION ALL
+    SELECT seed, seed AS id, 0.5 AS v FROM seeds
+  ) u GROUP BY seed, id
+)""")
+    parts.append(
+        f"\nSELECT seed, id, ROUND(rank, {FLOAT_DECIMALS}) AS rank"
+        f" FROM r{rounds}"
+    )
+    return _materialized("WITH " + "".join(parts))

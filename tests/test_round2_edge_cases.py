@@ -196,3 +196,27 @@ def test_quantize_embeddings_roundtrip_bound(spark):
     # dequantization error bounded by span/510
     for orig, c in zip([-1.0, 1.0, 0.0], codes):
         assert abs((lo + c * span / 255.0) - orig) <= span / 510 + 1e-9
+
+
+def test_ppr_batch_matches_single_source(spark):
+    from graphscope_spark.algorithms.ranking import ppr, ppr_batch
+    from graphscope_spark.graph import Graph
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    sym = und + [(b, a) for a, b in und]
+    g = Graph(spark.createDataFrame(sym, "src long, dst long"),
+              directed=False, num_partitions=2)
+    batch = {
+        (r["seed"], r["id"]): r["rank"]
+        for r in ppr_batch(g, [0, 2], max_iter=6).collect()
+    }
+    for seed in (0, 2):
+        single = {
+            r["id"]: round(r["rank"], 8)
+            for r in ppr(g, seed, max_iter=6).state.collect()
+            if r["rank"] != 0.0
+        }
+        got = {i: v for (s, i), v in batch.items() if s == seed}
+        assert set(got) == set(single)
+        for i in got:
+            assert abs(got[i] - single[i]) < 1e-9, (seed, i)
+    g.unpersist()
