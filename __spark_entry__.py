@@ -1128,6 +1128,13 @@ def _tq():
     return tq
 
 
+def _q_ppr_sweep(spark, sf_dir):
+    from graphscope_spark.algorithms.ranking import ppr_sweep
+    g = tg.copurchase_graph(spark, sf_dir)
+    seed = _min_id(g)
+    return ppr_sweep(g, seed, max_iter=10, max_prefix=200)
+
+
 def _q_ppr_batch(spark, sf_dir):
     from graphscope_spark.algorithms.ranking import ppr_batch
     g = tg.copurchase_graph(spark, sf_dir)
@@ -1606,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_emb": _q_quantize_emb,
         "bpe_encode": _q_bpe_encode,
         "ppr_batch": _q_ppr_batch,
+        "ppr_sweep": _q_ppr_sweep,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1800,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_emb": do.quantize_embeddings_sql(),
         "bpe_encode": do.bpe_encode_sql(n_merges=3),
         "ppr_batch": tg.ppr_batch_sql(n_seeds=4, rounds=10),
+        "ppr_sweep": tg.ppr_sweep_sql(rounds=10, max_prefix=200),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

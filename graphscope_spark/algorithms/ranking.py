@@ -279,3 +279,82 @@ def ppr_batch(
     return state.select(
         "seed", "id", F.round("rank", 8).alias("rank")
     )
+
+
+def ppr_sweep(
+    g: Graph,
+    seed: int,
+    max_iter: int = 10,
+    damping: float = 0.5,
+    max_prefix: int = 200,
+) -> DataFrame:
+    """(k, id, cut, vol, conductance) — the PPR sweep cut (local
+    clustering, Andersen–Chung–Lang 2006): order vertices by
+    degree-normalized PPR score from ``seed``, then for every prefix of
+    that order report its conductance cut(S)/min(vol(S), vol(V)−vol(S)).
+    The best prefix (argmin conductance) is the seed's local community;
+    returning the whole sweep keeps the operator composable (and the
+    verification total).
+
+    Everything after the PPR vector is exact integer math: with
+    both-direction edges, vol_k = Σ prefix out-degrees (cumsum), directed
+    internal edges = edges whose BOTH endpoints rank ≤ k (cumsum over
+    per-edge max rank), cut_k = vol_k − internal_k. Ordering ties break
+    by (score desc, id) on the round-8 score — partition-independent.
+
+    Scale shape: one PPR run (sparse), one rank window over its support
+    (≤ support rows, not V), one edge join against the ranked support
+    keyed by vertex, two cumulative windows over ≤ max_prefix rows."""
+    from pyspark.sql import Window
+
+    spark = g.spark
+    p = ppr_batch(g, [seed], max_iter, damping).drop("seed")
+    e = g.edges.select("src", "dst")
+    if g.directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    m2 = e.count()  # directed edge count = vol(V)
+    scored = p.join(deg, "id").select(
+        "id", "d", (F.col("rank") / F.col("d")).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "id")
+    ranked = (
+        scored.withColumn("k", F.row_number().over(w))
+        .filter(F.col("k") <= max_prefix)
+        .localCheckpoint(eager=True)
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    vol = ranked.select("k", "id", F.sum("d").over(wk).alias("vol"))
+    r_src = ranked.select(F.col("id").alias("src"), F.col("k").alias("ks"))
+    r_dst = ranked.select(F.col("id").alias("dst"), F.col("k").alias("kd"))
+    internal_by_m = (
+        e.join(r_src, "src")
+        .join(r_dst, "dst")
+        .groupBy(F.greatest("ks", "kd").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wi = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        vol.join(internal_by_m, "k", "left")
+        .withColumn(
+            "internal",
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).over(wi),
+        )
+        .select(
+            "k",
+            "id",
+            (F.col("vol") - F.col("internal")).alias("cut"),
+            "vol",
+            F.round(
+                (F.col("vol") - F.col("internal")).cast("double")
+                / F.least(F.col("vol"), F.lit(m2) - F.col("vol")),
+                6,
+            ).alias("conductance"),
+        )
+        .filter(F.col("vol") < m2)  # full-graph prefix has no cut
+    )
+    return out

@@ -2142,3 +2142,64 @@ r{k} AS (
         f" FROM r{rounds}"
     )
     return _materialized("WITH " + "".join(parts))
+
+
+def ppr_sweep_sql(rounds: int = 10, max_prefix: int = 200) -> str:
+    """Twin of algorithms/ranking.py::ppr_sweep from the smallest vertex
+    id — ppr_batch_sql's recursion (1 seed) + rank window + integer
+    cut/vol cumsums."""
+    parts = [COPURCHASE_CTE.rstrip(), """,
+seeds AS (SELECT id AS seed FROM verts ORDER BY id LIMIT 1),
+degd AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d
+         FROM edges GROUP BY src),
+r0 AS (SELECT seed, seed AS id, 1.0 AS rank FROM seeds)"""]
+    for k in range(1, rounds + 1):
+        p = f"r{k-1}"
+        parts.append(f""",
+m{k} AS (
+  SELECT p.seed, e.dst AS id, SUM(0.5 * p.rank / d.d) AS v
+  FROM {p} p JOIN degd d ON d.id = p.id JOIN edges e ON e.src = p.id
+  GROUP BY p.seed, e.dst
+),
+r{k} AS (
+  SELECT seed, id, SUM(v) AS rank FROM (
+    SELECT seed, id, v FROM m{k}
+    UNION ALL
+    SELECT seed, seed AS id, 0.5 AS v FROM seeds
+  ) u GROUP BY seed, id
+)""")
+    parts.append(f""",
+pr AS (SELECT id, ROUND(rank, {FLOAT_DECIMALS}) AS rank FROM r{rounds}),
+degi AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+ranked AS (
+  SELECT p.id, g.d,
+         row_number() OVER (ORDER BY p.rank / g.d DESC, p.id) AS k
+  FROM pr p JOIN degi g ON g.id = p.id
+  QUALIFY k <= {max_prefix}
+),
+vol AS (
+  SELECT CAST(k AS INT) AS k, id,
+         CAST(SUM(d) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS vol
+  FROM ranked
+),
+internal_by_m AS (
+  SELECT CAST(GREATEST(s.k, t.k) AS INT) AS k, count(*) AS n
+  FROM edges e JOIN ranked s ON s.id = e.src JOIN ranked t ON t.id = e.dst
+  GROUP BY 1
+),
+mtot AS (SELECT count(*) AS m2 FROM edges),
+sweep AS (
+  SELECT v.k, v.id, v.vol,
+         CAST(SUM(COALESCE(i.n, 0)) OVER (ORDER BY v.k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS internal
+  FROM vol v LEFT JOIN internal_by_m i ON i.k = v.k
+)
+SELECT s.k, s.id, s.vol - s.internal AS cut, s.vol,
+       ROUND(CAST(s.vol - s.internal AS DOUBLE)
+             / LEAST(s.vol, mtot.m2 - s.vol), 6) AS conductance
+FROM sweep s CROSS JOIN mtot
+WHERE s.vol < mtot.m2""")
+    return _materialized("WITH " + "".join(parts))

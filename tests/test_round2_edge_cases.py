@@ -220,3 +220,23 @@ def test_ppr_batch_matches_single_source(spark):
         for i in got:
             assert abs(got[i] - single[i]) < 1e-9, (seed, i)
     g.unpersist()
+
+
+def test_ppr_sweep_finds_planted_community(spark):
+    from graphscope_spark.algorithms.ranking import ppr_sweep
+    from graphscope_spark.graph import Graph
+    import itertools
+    # a 5-clique (seed side) weakly tied to a 5-path
+    clique = list(range(5))
+    edges = {tuple(sorted(p)) for p in itertools.combinations(clique, 2)}
+    edges |= {(4, 10), (10, 11), (11, 12), (12, 13)}
+    sym = list(edges) + [(b, a) for a, b in edges]
+    g = Graph(spark.createDataFrame(sym, "src long, dst long"),
+              directed=False, num_partitions=2)
+    sweep = ppr_sweep(g, seed=0, max_iter=8, max_prefix=12).collect()
+    best = min(sweep, key=lambda r: (r["conductance"], r["k"]))
+    # the minimum-conductance prefix is exactly the clique (k=5, cut=1)
+    assert best["k"] == 5
+    assert best["cut"] == 1
+    assert best["vol"] == 21  # 4*5 internal directed + 1 outgoing
+    g.unpersist()
