@@ -1128,6 +1128,22 @@ def _tq():
     return tq
 
 
+def _q_strength(spark, sf_dir):
+    from graphscope_spark.algorithms.centrality import strength_centrality
+    e = tg.copurchase_edges(spark, sf_dir).withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 10 + 1).cast("double")
+    )
+    g = Graph(e, directed=True)
+    out = strength_centrality(g, "w", mode="out")
+    g.unpersist()
+    return out
+
+
+def _q_vocab_stats(spark, sf_dir):
+    from graphscope_spark.functions.text import vocab_stats
+    return vocab_stats(_docs(spark, sf_dir))
+
+
 def _q_ppr_sweep(spark, sf_dir):
     from graphscope_spark.algorithms.ranking import ppr_sweep
     g = tg.copurchase_graph(spark, sf_dir)
@@ -1614,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "ppr_batch": _q_ppr_batch,
         "ppr_sweep": _q_ppr_sweep,
+        "strength": _q_strength,
+        "vocab_stats": _q_vocab_stats,
         "importance_resample": _q_importance_resample,
         "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
@@ -1809,6 +1827,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": do.bpe_encode_sql(n_merges=3),
         "ppr_batch": tg.ppr_batch_sql(n_seeds=4, rounds=10),
         "ppr_sweep": tg.ppr_sweep_sql(rounds=10, max_prefix=200),
+        "strength": tg.strength_sql(),
+        "vocab_stats": do.vocab_stats_sql(),
         "importance_resample": do.importance_resample_sql(200),
         "multimodal_meta": do.multimodal_meta_sql(),
         "multimodal_decode": do.multimodal_decode_sql(240),

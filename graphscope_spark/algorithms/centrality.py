@@ -214,3 +214,35 @@ def hits(
     runner = SuperstepRunner(spark, name="hits")
     return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
                       should_stop=should_stop)
+
+
+def strength_centrality(
+    g: Graph, weight_col: str, mode: str = "both"
+) -> DataFrame:
+    """(id, strength) — weighted degree (vertex strength): the sum of
+    incident edge weights, the weighted-graph analog of
+    degree_centrality (mode: out/in/both over the directed edge table).
+    One groupBy with map-side combine; weights quantized to integer
+    micro-units before the sum so the result is partition-order exact
+    (the lm_score discipline) and the DuckDB twin hash-matches."""
+    e = g.edges.select(
+        "src", "dst",
+        F.round(F.col(weight_col) * 1_000_000.0, 0)
+        .cast("long")
+        .alias("w_u"),
+    )
+    parts = []
+    if mode in ("out", "both"):
+        parts.append(e.select(F.col("src").alias("id"), "w_u"))
+    if mode in ("in", "both"):
+        parts.append(e.select(F.col("dst").alias("id"), "w_u"))
+    if not parts:
+        raise ValueError("mode must be out, in, or both")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("id").agg(
+        F.round(
+            F.sum("w_u").cast("double") / 1_000_000.0, 6
+        ).alias("strength")
+    )

@@ -1433,3 +1433,27 @@ SELECT vec_id,
          ELSE 0 END) AS codes,
        ROUND(lo, 6) AS lo, ROUND(span, 6) AS span
 FROM stats"""
+
+
+def vocab_stats_sql() -> str:
+    """Twin of functions/text.py::vocab_stats."""
+    return """
+WITH tk AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+hist AS (
+  SELECT token, count(*) AS cnt FROM tk WHERE token <> '' GROUP BY token
+),
+tot AS (
+  SELECT count(*) AS vocab_size, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM hist
+),
+top AS (
+  SELECT token AS top_token, cnt AS top_cnt FROM hist
+  ORDER BY cnt DESC, token LIMIT 1
+)
+SELECT vocab_size, n_tokens, hapax, top_token,
+       ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_share
+FROM tot CROSS JOIN top"""

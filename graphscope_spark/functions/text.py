@@ -578,3 +578,37 @@ def corpus_report(
     return (
         base.crossJoin(tok_stats).crossJoin(q).crossJoin(med)
     )
+
+
+def vocab_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row (vocab_size, n_tokens, hapax, top_token, top_share) —
+    vocabulary shape summary: hapax = tokens occurring exactly once
+    (the Zipf-tail mass every tokenizer budget cares about), top_token =
+    the most frequent token (ties → lexicographically smallest),
+    top_share = its corpus share (micro-unit exact). One vocabulary
+    aggregate + one 1-row argmax."""
+    hist = token_histogram(docs, text_col, id_col)
+    tot = hist.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax"),
+    )
+    top = (
+        hist.orderBy(F.col("cnt").desc(), "token")
+        .limit(1)
+        .select(
+            F.col("token").alias("top_token"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    return tot.crossJoin(top).select(
+        "vocab_size",
+        "n_tokens",
+        "hapax",
+        "top_token",
+        F.round(
+            F.col("top_cnt").cast("double") / F.col("n_tokens"), 6
+        ).alias("top_share"),
+    )

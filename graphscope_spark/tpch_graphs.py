@@ -2203,3 +2203,21 @@ SELECT s.k, s.id, s.vol - s.internal AS cut, s.vol,
 FROM sweep s CROSS JOIN mtot
 WHERE s.vol < mtot.m2""")
     return _materialized("WITH " + "".join(parts))
+
+
+def strength_sql() -> str:
+    """Twin of algorithms/centrality.py::strength_centrality(mode='out')
+    on the weighted co-purchase graph (w = (src+dst) % 10 + 1, the
+    sssp-gate weighting). The edge table stores both directions, so the
+    out-side sum IS each vertex's undirected incident-weight total —
+    integer micro-unit sums."""
+    return _materialized(f"""WITH {COPURCHASE_CTE.rstrip()},
+we AS (
+  SELECT src,
+         CAST(ROUND(CAST((src + dst) % 10 + 1 AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT) AS w_u
+  FROM edges
+)
+SELECT src AS id,
+       ROUND(CAST(SUM(w_u) AS DOUBLE) / 1000000.0, 6) AS strength
+FROM we GROUP BY src""")

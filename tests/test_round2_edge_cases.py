@@ -240,3 +240,29 @@ def test_ppr_sweep_finds_planted_community(spark):
     assert best["cut"] == 1
     assert best["vol"] == 21  # 4*5 internal directed + 1 outgoing
     g.unpersist()
+
+
+def test_strength_centrality_modes(spark):
+    from graphscope_spark.algorithms.centrality import strength_centrality
+    from graphscope_spark.graph import Graph
+    e = spark.createDataFrame(
+        [(0, 1, 2.5), (1, 0, 2.5), (0, 2, 1.0)],
+        "src long, dst long, w double",
+    )
+    g = Graph(e, directed=True, num_partitions=2)
+    out = {r["id"]: r["strength"]
+           for r in strength_centrality(g, "w", "out").collect()}
+    assert out == {0: 3.5, 1: 2.5}
+    both = {r["id"]: r["strength"]
+            for r in strength_centrality(g, "w", "both").collect()}
+    assert both == {0: 6.0, 1: 5.0, 2: 1.0}
+    g.unpersist()
+
+
+def test_vocab_stats_exact(spark):
+    from graphscope_spark.functions.text import vocab_stats
+    docs = _docs(spark, [(0, "a a b"), (1, "a c")])
+    [r] = vocab_stats(docs).collect()
+    assert (r["vocab_size"], r["n_tokens"], r["hapax"]) == (3, 5, 2)
+    assert r["top_token"] == "a"
+    assert r["top_share"] == round(3 / 5, 6)
