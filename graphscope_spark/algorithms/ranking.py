@@ -236,8 +236,16 @@ def ppr_batch(
     Scale shape per round: state ⋈ edges keyed by vertex (one exchange),
     map-side-combined (seed, dst) partial sums, union with the B teleport
     rows, one (seed, id) aggregate; state localCheckpoint'd (flat plans).
-    Output rank rounded to 8; the DuckDB twin (tpch_graphs.ppr_batch_sql)
-    unrolls the same sparse recursion."""
+
+    Float determinism: rank is carried in INTEGER pico-units (1e-12) —
+    the per-source push ``round(damping * rank_u / d)`` is one double op
+    on exactly-representable integers (identical in any IEEE engine),
+    and every SUM is over BIGINT, so the result is bit-identical at any
+    partitioning (the same discipline as lm_score/strength; a raw double
+    F.sum here was the repo's one partition-order-dependent exception).
+    Output rank = round(rank_u / 1e12, 8); the DuckDB twin
+    (tpch_graphs.ppr_batch_sql) unrolls the same integer recursion."""
+    UNIT = 1_000_000_000_000  # pico-units: 10 rounds of /d stay exact to 8dp
     spark = g.spark
     e = g.edges.select("src", "dst")
     if g.directed:
@@ -248,13 +256,14 @@ def ppr_batch(
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("double").alias("d")
     ).persist()
+    teleport_u = int(round(damping * UNIT))
     teleport = spark.createDataFrame(
-        [(int(s), int(s), damping) for s in sources],
-        "seed long, id long, v double",
+        [(int(s), int(s), teleport_u) for s in sources],
+        "seed long, id long, v long",
     )
     state = spark.createDataFrame(
-        [(int(s), int(s), 1.0) for s in sources],
-        "seed long, id long, rank double",
+        [(int(s), int(s), UNIT) for s in sources],
+        "seed long, id long, rank_u long",
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         msgs = (
@@ -262,7 +271,9 @@ def ppr_batch(
             .select(
                 "seed",
                 F.col("id").alias("src"),
-                (F.lit(damping) * F.col("rank") / F.col("d")).alias("c"),
+                F.round(
+                    F.lit(damping) * F.col("rank_u") / F.col("d"), 0
+                ).cast("long").alias("c"),
             )
             .join(edges, "src")
             .groupBy("seed", F.col("dst").alias("id"))
@@ -271,13 +282,16 @@ def ppr_batch(
         state = (
             msgs.unionByName(teleport)
             .groupBy("seed", "id")
-            .agg(F.sum("v").alias("rank"))
+            .agg(F.sum("v").alias("rank_u"))
             .localCheckpoint(eager=True)
         )
     edges.unpersist()
     deg.unpersist()
     return state.select(
-        "seed", "id", F.round("rank", 8).alias("rank")
+        "seed",
+        "id",
+        F.round(F.col("rank_u").cast("double") / F.lit(float(UNIT)), 8)
+        .alias("rank"),
     )
 
 

@@ -41,6 +41,13 @@ def zorder_key(
     if len(cols) * bits > 63:
         raise ValueError("len(cols) * bits must be <= 63")
     n = len(cols)
+    # (v - min) * (2^bits - 1) must stay inside int64: in non-ANSI mode
+    # Spark wraps silently (while the DuckDB twin raises), so a wide
+    # column span would make engine and oracle silently diverge. Guard
+    # with assert_true — spans beyond the limit (or spans that themselves
+    # wrapped negative) raise at execution instead of producing wrong
+    # keys.
+    limit = (2**63 - 1) // ((1 << bits) - 1)
     stats = df.agg(
         *[F.min(F.col(c).cast("long")).alias(f"_min_{c}") for c in cols],
         *[F.max(F.col(c).cast("long")).alias(f"_max_{c}") for c in cols],
@@ -48,8 +55,12 @@ def zorder_key(
     with_stats = df.crossJoin(F.broadcast(stats))
     norm_exprs = {
         c: F.expr(
+            f"CASE WHEN assert_true("
+            f"(_max_{c} - _min_{c}) BETWEEN 0 AND {limit}, "
+            f"'zorder_key: span of {c} overflows int64 at bits={bits}'"
+            f") IS NULL THEN "
             f"((cast({c} as bigint) - _min_{c}) * {(1 << bits) - 1}) div "
-            f"greatest(cast(1 as bigint), _max_{c} - _min_{c})"
+            f"greatest(cast(1 as bigint), _max_{c} - _min_{c}) END"
         )
         for c in cols
     }

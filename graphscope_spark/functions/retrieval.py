@@ -26,7 +26,6 @@ text.lm_quality_score.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from graphscope_spark.functions.text import FLOAT_DECIMALS, tokenize
 
@@ -38,10 +37,17 @@ def _term_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Everything downstream (document length, corpus stats, document
     frequency, scoring) derives from this one table, and it is referenced
-    3-4 times per plan — without persist Spark re-executes the corpus
+    3-4 times per plan — without pinning Spark re-executes the corpus
     scan + explode PER REFERENCE (same audit finding as the near-dup
     pinning sweep, dedup.py::_pin). The pinned table is (id, token, count)
-    — already aggregated, far smaller than the token stream, no text."""
+    — already aggregated, far smaller than the token stream, no text.
+
+    Pinned via eager localCheckpoint, NOT CacheManager persist: a
+    persist here is never unpersisted (the lazy results escape to the
+    caller), so repeated bm25/tfidf/pmi calls in one long-lived session
+    would leak pinned postings tables until LRU pressure. Checkpoint
+    blocks are instead released by the ContextCleaner as soon as the
+    caller drops the last reference to the result plan."""
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -51,7 +57,7 @@ def _term_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return tf.persist(StorageLevel.MEMORY_AND_DISK)
+    return tf.localCheckpoint(eager=True)
 
 
 def bm25_score(

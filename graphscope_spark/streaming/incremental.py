@@ -563,15 +563,29 @@ class IncrementalDedup:
         self.batches += 1
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle for `path` (works for file://, hdfs://,
+    s3a:// alike — the same FS layer every Spark writer uses)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jvm
+
+
 class DurableIncrementalDedup(IncrementalDedup):
     """IncrementalDedup whose state (index + pairs) is written to parquet
     after every batch, so a crashed/restarted stream resumes from the
     last completed batch instead of re-hashing the corpus — the
     streaming-state counterpart of pregel.py's superstep checkpoints.
 
-    Layout: ``{state_dir}/index`` and ``{state_dir}/pairs`` are
-    overwritten atomically-enough for a single writer (Spark stages into
-    _temporary before commit); ``load`` rebuilds a driver from them.
+    Layout: each snapshot goes to a FRESH versioned directory
+    ``{state_dir}/v{N}/{index,pairs}``; after BOTH tables commit, a
+    ``_COMMIT`` marker is created in ``v{N}`` and older versions are
+    pruned (the previous committed version is kept as a fallback).
+    ``load`` reads the highest version carrying the marker, so a crash
+    mid-write — the exact scenario the class exists for — can never
+    destroy or tear the last durable copy: a half-written ``v{N}`` has
+    no marker and is simply skipped, then overwritten on resume.
     On a cluster the same paths live on the checkpoint filesystem. The
     per-batch write is ∝ total state, not batch — callers with huge
     indexes should lower the cadence via ``write_every``."""
@@ -580,25 +594,66 @@ class DurableIncrementalDedup(IncrementalDedup):
         super().__init__(**kw)
         self.state_dir = state_dir
         self.write_every = max(1, int(write_every))
+        self._version = -1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         super().__call__(batch_df, batch_id)
         if self.batches % self.write_every == 0:
-            self.index.write.mode("overwrite").parquet(
-                f"{self.state_dir}/index"
-            )
-            self.pairs.write.mode("overwrite").parquet(
-                f"{self.state_dir}/pairs"
-            )
+            self._snapshot(self._version + 1)
+
+    def _snapshot(self, version: int) -> None:
+        spark = self.index.sparkSession
+        vdir = f"{self.state_dir}/v{version}"
+        self.index.write.mode("overwrite").parquet(f"{vdir}/index")
+        self.pairs.write.mode("overwrite").parquet(f"{vdir}/pairs")
+        fs, jvm = _hadoop_fs(spark, vdir)
+        # single manifest committing index+pairs together
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{vdir}/_COMMIT"), True
+        ).close()
+        prev = self._version
+        self._version = version
+        # prune everything older than the previous committed version
+        for n in self._versions(spark):
+            if n < prev:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{self.state_dir}/v{n}"
+                    ),
+                    True,
+                )
+
+    def _versions(self, spark: SparkSession) -> list:
+        fs, jvm = _hadoop_fs(spark, self.state_dir)
+        root = jvm.org.apache.hadoop.fs.Path(self.state_dir)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit() and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{self.state_dir}/{name}/_COMMIT"
+                )
+            ):
+                out.append(int(name[1:]))
+        return sorted(out)
 
     @classmethod
     def load(cls, spark: SparkSession, state_dir: str,
              **kw) -> "DurableIncrementalDedup":
         inc = cls(state_dir, **kw)
-        inc.index = spark.read.parquet(f"{state_dir}/index").localCheckpoint(
+        committed = inc._versions(spark)
+        if not committed:
+            raise FileNotFoundError(
+                f"no committed dedup snapshot under {state_dir}"
+            )
+        inc._version = committed[-1]
+        vdir = f"{state_dir}/v{inc._version}"
+        inc.index = spark.read.parquet(f"{vdir}/index").localCheckpoint(
             eager=True
         )
-        inc.pairs = spark.read.parquet(f"{state_dir}/pairs").localCheckpoint(
+        inc.pairs = spark.read.parquet(f"{vdir}/pairs").localCheckpoint(
             eager=True
         )
         return inc

@@ -2116,29 +2116,37 @@ FROM mm CROSS JOIN intra CROSS JOIN dsq""")
 
 def ppr_batch_sql(n_seeds: int = 4, rounds: int = 10) -> str:
     """Twin of algorithms/ranking.py::ppr_batch — sparse per-seed
-    recursion (damping 0.5), seeds = the n_seeds smallest vertex ids."""
+    recursion (damping 0.5), seeds = the n_seeds smallest vertex ids.
+    Rank carried in BIGINT pico-units exactly like the Spark side: the
+    push is one ROUND(0.5 * rank_u / d) double op on integer inputs,
+    all sums BIGINT — bit-identical across engines/partitionings."""
     parts = [COPURCHASE_CTE.rstrip(), f""",
 seeds AS (SELECT id AS seed FROM verts ORDER BY id LIMIT {n_seeds}),
 deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d
         FROM edges GROUP BY src),
-r0 AS (SELECT seed, seed AS id, 1.0 AS rank FROM seeds)"""]
+r0 AS (SELECT seed, seed AS id,
+              CAST(1000000000000 AS BIGINT) AS rank_u FROM seeds)"""]
     for k in range(1, rounds + 1):
         p = f"r{k-1}"
         parts.append(f""",
 m{k} AS (
-  SELECT p.seed, e.dst AS id, SUM(0.5 * p.rank / d.d) AS v
+  SELECT p.seed, e.dst AS id,
+         CAST(SUM(CAST(ROUND(0.5 * p.rank_u / d.d, 0) AS BIGINT))
+              AS BIGINT) AS v
   FROM {p} p JOIN deg d ON d.id = p.id JOIN edges e ON e.src = p.id
   GROUP BY p.seed, e.dst
 ),
 r{k} AS (
-  SELECT seed, id, SUM(v) AS rank FROM (
+  SELECT seed, id, CAST(SUM(v) AS BIGINT) AS rank_u FROM (
     SELECT seed, id, v FROM m{k}
     UNION ALL
-    SELECT seed, seed AS id, 0.5 AS v FROM seeds
+    SELECT seed, seed AS id, CAST(500000000000 AS BIGINT) AS v FROM seeds
   ) u GROUP BY seed, id
 )""")
     parts.append(
-        f"\nSELECT seed, id, ROUND(rank, {FLOAT_DECIMALS}) AS rank"
+        f"\nSELECT seed, id,"
+        f" ROUND(CAST(rank_u AS DOUBLE) / 1000000000000.0,"
+        f" {FLOAT_DECIMALS}) AS rank"
         f" FROM r{rounds}"
     )
     return _materialized("WITH " + "".join(parts))
@@ -2152,24 +2160,28 @@ def ppr_sweep_sql(rounds: int = 10, max_prefix: int = 200) -> str:
 seeds AS (SELECT id AS seed FROM verts ORDER BY id LIMIT 1),
 degd AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d
          FROM edges GROUP BY src),
-r0 AS (SELECT seed, seed AS id, 1.0 AS rank FROM seeds)"""]
+r0 AS (SELECT seed, seed AS id,
+              CAST(1000000000000 AS BIGINT) AS rank_u FROM seeds)"""]
     for k in range(1, rounds + 1):
         p = f"r{k-1}"
         parts.append(f""",
 m{k} AS (
-  SELECT p.seed, e.dst AS id, SUM(0.5 * p.rank / d.d) AS v
+  SELECT p.seed, e.dst AS id,
+         CAST(SUM(CAST(ROUND(0.5 * p.rank_u / d.d, 0) AS BIGINT))
+              AS BIGINT) AS v
   FROM {p} p JOIN degd d ON d.id = p.id JOIN edges e ON e.src = p.id
   GROUP BY p.seed, e.dst
 ),
 r{k} AS (
-  SELECT seed, id, SUM(v) AS rank FROM (
+  SELECT seed, id, CAST(SUM(v) AS BIGINT) AS rank_u FROM (
     SELECT seed, id, v FROM m{k}
     UNION ALL
-    SELECT seed, seed AS id, 0.5 AS v FROM seeds
+    SELECT seed, seed AS id, CAST(500000000000 AS BIGINT) AS v FROM seeds
   ) u GROUP BY seed, id
 )""")
     parts.append(f""",
-pr AS (SELECT id, ROUND(rank, {FLOAT_DECIMALS}) AS rank FROM r{rounds}),
+pr AS (SELECT id, ROUND(CAST(rank_u AS DOUBLE) / 1000000000000.0,
+                        {FLOAT_DECIMALS}) AS rank FROM r{rounds}),
 degi AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
 ranked AS (
   SELECT p.id, g.d,
