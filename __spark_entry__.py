@@ -1463,27 +1463,71 @@ def _q_node2vec(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate hashes the FIRST 50
+    # entries only, so the window is curated — slots 1-15 carry the
+    # north-star four + the CSR-block engines, slots 16-50 the corpus /
+    # LLM-data-pipeline tier (dedup family, retrieval, ANN, tokenization,
+    # packing, event joins, TPC-H, streaming folds, GNN sampling). The
+    # remaining ~120 entries keep full-gate coverage via
+    # scripts/gate_check.py, which runs them all.
     return {
-        # graph substrate + north-star four
+        # --- driver window 1-15: substrate + north-star + block engines
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
-        "pagerank_push": _q_pagerank_push,
         "pagerank_block": _q_pagerank_block,
         "pagerank_directed": _q_pagerank_directed,
         "pagerank_tol": _q_pagerank_tol,
+        "pagerank_push": _q_pagerank_push,
         "wcc": _q_wcc,
         "wcc_block": _q_wcc_block,
         "cdlp": _q_cdlp,
         "cdlp_block": _q_cdlp_block,
         "triangles": _q_triangles,
         "triangle_count": _q_triangle_count,
+        "sssp": _q_sssp,
+        "sssp_block": _q_sssp_block,
+        # --- driver window 16-50: corpus north rule + pipeline tier
+        "repo_edges": _q_repo_edges,
+        "repo_pagerank": _q_repo_pagerank,
+        "repo_sha256": _q_repo_sha256,
+        "dedup_exact": _q_dedup_exact,
+        "minhash": _q_minhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "dup_spans": _q_dup_spans,
+        "simhash": _q_simhash,
+        "contamination": _q_contamination,
+        "bm25": _q_bm25,
+        "kmeans": _q_kmeans,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf_exact": _q_ann_ivf_exact,
+        "semdedup": _q_semdedup,
+        "token_counts": _q_token_counts,
+        "gopher_filter": _q_gopher_filter,
+        "pack_documents": _q_pack_documents,
+        "bpe_vocab": _q_bpe_vocab,
+        "quantiles": _q_quantiles,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "sessionize": _q_sessionize,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
+        "stream_dedup": _q_stream_dedup,
+        "stream_wcc": _q_stream_wcc,
+        "stream_sssp": _q_stream_sssp,
+        "sample_neighbors": _q_sample_neighbors,
+        "sample_weighted": _q_sample_weighted,
+        "random_walks": _q_random_walks,
+        "multimodal_decode": _q_multimodal_decode,
+        "louvain": _q_louvain,
+        "ktruss": _q_ktruss,
+        "zorder": _q_zorder,
+        # --- end of driver window; full gate coverage continues below
         # breadth algorithms
         "bfs": _q_bfs,
         "bfs_push": _q_bfs_push,
         "bfs_pull": _q_bfs_pull,
-        "sssp": _q_sssp,
-        "sssp_block": _q_sssp_block,
         "sssp_delta": _q_sssp_delta,
         "degree_centrality": _q_degree_centrality,
         "clustering": _q_clustering,
@@ -1506,7 +1550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_weighted": _q_harmonic_weighted,
         "apsp_weighted": _q_apsp_weighted,
         "flash_cc": _q_flash_cc,
-        "louvain": _q_louvain,
         "sssp_path": _q_sssp_path,
         "path_expand": _q_path_expand,
         "gremlin_khop": _q_gremlin_khop,
@@ -1517,8 +1560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_nbr_size": _q_gremlin_nbr_size,
         "gremlin_no_out": _q_gremlin_no_out,
         "gremlin_match": _q_gremlin_match,
-        "stream_wcc": _q_stream_wcc,
-        "stream_sssp": _q_stream_sssp,
         "property_project": _q_property_project,
         # round-2 additions
         "ppr": _q_ppr,
@@ -1569,59 +1610,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_by_color": _q_lpa_by_color,
         "fluid_by_color": _q_fluid_by_color,
         # corpus input path (north rule)
-        "repo_edges": _q_repo_edges,
-        "repo_pagerank": _q_repo_pagerank,
-        "repo_sha256": _q_repo_sha256,
         # document pipeline
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        "minhash": _q_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "contamination": _q_contamination,
-        "dup_spans": _q_dup_spans,
         "token_histogram": _q_token_histogram,
-        "token_counts": _q_token_counts,
         "stratified_sample": _q_stratified_sample,
         "repetition_stats": _q_repetition_stats,
-        "gopher_filter": _q_gopher_filter,
         "pii_mask": _q_pii_mask,
-        "pack_documents": _q_pack_documents,
         "ego_network": _q_ego_network,
         "ann_topk": _q_ann_topk,
-        "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
-        "ann_ivf_exact": _q_ann_ivf_exact,
-        "semdedup": _q_semdedup,
         "mixture_sample": _q_mixture_sample,
         "link_predict": _q_link_predict,
         "lm_score": _q_lm_score,
-        "bm25": _q_bm25,
         "tfidf_terms": _q_tfidf_terms,
-        "kmeans": _q_kmeans,
         "kmv_distinct": _q_kmv_distinct,
         "count_min": _q_count_min,
-        "quantiles": _q_quantiles,
-        "stream_dedup": _q_stream_dedup,
-        "sessionize": _q_sessionize,
         "funnel": _q_funnel,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
         "retention": _q_retention,
-        "bpe_vocab": _q_bpe_vocab,
         "chunk_docs": _q_chunk_docs,
         "quantiles_by": _q_quantiles_by,
-        "zorder": _q_zorder,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q6": _q_tpch_q6,
         "rolling_sum": _q_rolling_sum,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "interval_overlap": _q_interval_overlap,
-        "ktruss": _q_ktruss,
         "pmi": _q_pmi,
         "modularity": _q_modularity,
         "normalize_text": _q_normalize_text,
@@ -1633,16 +1647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strength": _q_strength,
         "vocab_stats": _q_vocab_stats,
         "importance_resample": _q_importance_resample,
-        "simhash": _q_simhash,
         "multimodal_meta": _q_multimodal_meta,
-        "multimodal_decode": _q_multimodal_decode,
         # remaining FLASH compositions
         "k_core_search": _q_k_core_search,
         "random_multi_bfs": _q_random_multi_bfs,
         # GNN training-data sampling (GLE analog)
-        "sample_neighbors": _q_sample_neighbors,
-        "sample_weighted": _q_sample_weighted,
-        "random_walks": _q_random_walks,
         "negative_sample": _q_negative_sample,
         "node2vec": _q_node2vec,
     }
