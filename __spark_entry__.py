@@ -10,13 +10,14 @@ different orders.
 
 Queries WITHOUT an oracle entry (rows-only check, reasons inline):
 bcc / bridges / articulation_points (BFS-forest-dependent labels; exact
-Tarjan oracle in pytest), louvain / fluid_community (multi-pass
-heuristics; planted-structure pytest oracles), lpa_by_color /
-fluid_by_color (color-scheduled Gauss–Seidel; exact sequential-replay
-pytest oracles — class count is data-dependent so a fixed SQL unroll
-would be fragile), ann_ivf (numpy-sampled k-means quantizer; the
-`ann_ivf_exact` sibling replays the WHOLE IVF pipeline in SQL and
-hash-matches), node2vec (float inverse-CDF pick). Everything
+Tarjan oracle in pytest), fluid_community (multi-pass heuristic;
+planted-structure pytest oracle), lpa_by_color / fluid_by_color
+(color-scheduled Gauss–Seidel; exact sequential-replay pytest oracles —
+class count is data-dependent so a fixed SQL unroll would be fragile),
+ann_ivf (numpy-sampled k-means quantizer; the `ann_ivf_exact` sibling
+replays the WHOLE IVF pipeline in SQL and hash-matches), node2vec
+(float inverse-CDF pick). louvain gates through its fixed-depth
+deterministic variant (louvain_fixed) with a full SQL replay. Everything
 else — including every deterministic fixpoint (matching family, peels,
 coloring, MSF, tolerance PageRank: idempotent loops unroll to generous
 fixed depth, flash_oracles.py) and the full corpus path (corpus_oracles.py
@@ -370,13 +371,15 @@ def _q_betweenness_endpoints(spark, sf_dir):
 
 
 def _q_louvain(spark, sf_dir):
-    """Rows-only: community membership (deterministic here, but the
-    modularity-greedy fixed point has no tractable SQL twin; the reference
-    itself only smoke-tests louvain, test_app.py:218-228)."""
-    from graphscope_spark.algorithms import louvain
+    """(id, comm) — fixed-depth louvain (2 passes x 6 parity-alternating
+    move rounds, min-community ties): the deterministic gate surface of
+    the adaptive louvain operator, same convention as the other
+    fixed-round gates; tpch_graphs.louvain_sql replays the exact
+    recursion (the reference itself only smoke-tests louvain,
+    test_app.py:218-228)."""
+    from graphscope_spark.algorithms import louvain_fixed
     g = tg.copurchase_graph(spark, sf_dir)
-    comm, q = louvain(g, max_passes=2, max_move_rounds=6)
-    return comm
+    return louvain_fixed(g, passes=2, move_rounds=6)
 
 
 def _q_sssp_path(spark, sf_dir):
@@ -1702,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_weighted": tg.harmonic_weighted_sql(),
         "apsp_weighted": tg.apsp_weighted_sql(),
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
+        "louvain": tg.louvain_sql(passes=2, move_rounds=6),
         "path_expand": tg.path_expand_sql(mod=50),
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),
         "gremlin_path": tg.gremlin_path_sql(mod=100),

@@ -9,7 +9,7 @@ from graphscope_spark.algorithms.triangles import triangles, triangle_count  # n
 from graphscope_spark.algorithms.sssp import (  # noqa: F401
     bfs, sssp, sssp_average_length, sssp_block, sssp_has_path, sssp_path,
 )
-from graphscope_spark.algorithms.louvain import louvain  # noqa: F401
+from graphscope_spark.algorithms.louvain import louvain, louvain_fixed  # noqa: F401
 from graphscope_spark.algorithms.paths import (  # noqa: F401
     all_pairs_shortest_path_length, betweenness_centrality,
     closeness_centrality, harmonic_centrality, multi_source_bfs,

@@ -29,9 +29,15 @@ from graphscope_spark.graph import Graph
 def _local_move_pass(
     edges: DataFrame, comm: DataFrame, deg: DataFrame, m2: float,
     max_rounds: int, num_partitions: int,
+    to_convergence: bool = True,
 ) -> DataFrame:
     """One phase-1 sweep. edges: (src, dst, w) symmetric; comm: (id, comm);
-    deg: (id, k) weighted degrees. Returns updated (id, comm)."""
+    deg: (id, k) weighted degrees. Returns updated (id, comm).
+
+    ``to_convergence=False`` runs exactly ``max_rounds`` rounds with no
+    early break — the fixed-depth form the SQL twin replays (rounds past
+    convergence are no-ops: no strictly-better move exists, so the state
+    is a fixed point under either parity)."""
     comm = comm.localCheckpoint(eager=True)
     for rnd in range(max_rounds):
         ctot = comm.join(deg, "id").groupBy("comm").agg(F.sum("k").alias("tot"))
@@ -47,23 +53,39 @@ def _local_move_pass(
             .groupBy(F.col("src").alias("id"), "ncomm")
             .agg(F.sum("w").alias("k_in"))
         )
+        # base: every vertex with its degree and own-community total
+        base = comm.join(deg, "id").join(ctot, "comm")
+        # stay score: ΔQ(remove-and-rejoin own community) ∝
+        # k_in(own) − k·(Σtot(own) − k)/2m, with k_in(own) = 0 when the
+        # vertex has no same-community neighbor (a singleton, or a hub
+        # whose community drifted away) — NOT −inf: forcing a move in
+        # that case takes negative-gain moves standard louvain rejects.
+        own = (
+            nbr.join(comm, "id")
+            .filter(F.col("ncomm") == F.col("comm"))
+            .select("id", F.col("k_in").alias("k_in_own"))
+        )
+        stay = base.join(own, "id", "left").select(
+            "id",
+            "comm",
+            (
+                F.coalesce(F.col("k_in_own"), F.lit(0.0))
+                - F.col("k") * (F.col("tot") - F.col("k")) / F.lit(m2)
+            ).alias("stay_score"),
+        )
+        # move candidates: ΔQ(join C) ∝ k_in(C) − k·Σtot(C)/2m for C ≠ own
+        # (the vertex is not in C, so Σtot(C) needs no correction)
         cand = (
             nbr.join(comm, "id")
+            .filter(F.col("ncomm") != F.col("comm"))
             .join(deg, "id")
             .join(ctot.withColumnRenamed("comm", "ncomm")
                   .withColumnRenamed("tot", "ntot"), "ncomm")
-            .join(ctot, "comm")
         )
-        # gain of moving id → ncomm relative to staying (self-community
-        # totals corrected by removing the vertex's own degree)
-        own_tot = F.col("tot") - F.col("k")
-        new_tot = F.when(F.col("ncomm") == F.col("comm"), own_tot).otherwise(F.col("ntot"))
-        # ΔQ(move to C) ∝ k_in(C) − k·Σtot(C)/2m ; staying scores the same
-        # formula on the own community (with the vertex removed)
-        score = F.col("k_in") - F.col("k") * new_tot / F.lit(m2)
         scored = cand.select(
-            "id", "comm", "ncomm",
-            score.alias("score"),
+            "id", "ncomm",
+            (F.col("k_in") - F.col("k") * F.col("ntot") / F.lit(m2))
+            .alias("score"),
         )
         best = (
             scored.groupBy("id")
@@ -73,29 +95,22 @@ def _local_move_pass(
                     (-F.col("ncomm")).alias("neg"),  # ties → min community
                     F.col("ncomm"),
                 )).alias("b"),
-                F.max(F.when(F.col("ncomm") == F.col("comm"), F.col("score"))
-                      ).alias("stay_score"),
             )
             .select(
                 "id",
                 F.col("b.ncomm").alias("best_comm"),
                 F.col("b.score").alias("best_score"),
-                F.coalesce(
-                    F.col("stay_score"),
-                    F.lit(float("-inf")),
-                ).alias("stay_score"),
             )
         )
         move_cond = (
             F.col("best_comm").isNotNull()
             & (F.col("best_score") > F.col("stay_score") + 1e-12)
-            & (F.col("best_comm") != F.col("comm"))
             # alternating parity: only half the vertices move per round —
             # breaks the A↔B synchronous swap oscillation
             & (F.pmod(F.col("id"), F.lit(2)) == (rnd % 2))
         )
         moved = (
-            comm.join(best, "id", "left")
+            stay.join(best, "id", "left")
             .select(
                 "id",
                 F.when(move_cond, F.col("best_comm"))
@@ -104,9 +119,8 @@ def _local_move_pass(
             )
         )
         moved = moved.localCheckpoint(eager=True)
-        n_moved = moved.filter("changed").count()
         comm = moved.select("id", "comm")
-        if n_moved == 0:
+        if to_convergence and moved.filter("changed").count() == 0:
             break
     return comm
 
@@ -128,14 +142,8 @@ def modularity(edges: DataFrame, comm: DataFrame, deg: DataFrame, m2: float) -> 
     return internal / m2 - tots / (m2 * m2)
 
 
-def louvain(
-    g: Graph,
-    max_passes: int = 3,
-    max_move_rounds: int = 10,
-    min_progress: float = 1e-4,
-) -> tuple[DataFrame, float]:
-    """Returns ((id, comm), final modularity). ``min_progress`` mirrors the
-    reference's progress cutoff parameter (louvain.py:31-41)."""
+def _sym_weighted(g: Graph) -> tuple[DataFrame, float]:
+    """Symmetric simple unit-weight edge table + 2m for ``g``."""
     e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     sym = (
         e.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
@@ -148,6 +156,71 @@ def louvain(
         .persist()
     )
     m2 = edges.agg(F.sum("w")).first()[0] or 1.0  # = 2m
+    return edges, m2
+
+
+def louvain_fixed(
+    g: Graph,
+    passes: int = 2,
+    move_rounds: int = 6,
+) -> DataFrame:
+    """(id, comm) — FIXED-DEPTH louvain: exactly ``passes`` local-move +
+    contraction passes of exactly ``move_rounds`` synchronous rounds, no
+    early termination anywhere (no move-count break, no modularity
+    progress cutoff, no contraction check). Every step is deterministic
+    (min-community ties, parity-alternating moves, integer-valued weights
+    throughout — contraction sums of 1.0 stay exact in double), so the
+    whole recursion is replayable: tpch_graphs.louvain_sql unrolls this
+    exact computation and the gate value-hash-matches it. This is the
+    same fixed-round-gate convention as eigenvector/katz/hits.
+    Rounds past convergence are no-ops (a fixed point has no
+    strictly-better move under either parity), so generous depths are
+    safe. Use :func:`louvain` for the adaptive operator."""
+    edges, m2 = _sym_weighted(g)
+    mapping = g.vertices.select("id", F.col("id").alias("comm"))
+    cur_edges = edges
+    for _ in range(passes):
+        deg = cur_edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum("w").alias("k")
+        )
+        verts = cur_edges.select(F.col("src").alias("id")).distinct()
+        comm0 = verts.select("id", F.col("id").alias("comm"))
+        comm = _local_move_pass(cur_edges, comm0, deg, m2, move_rounds,
+                                g.num_partitions, to_convergence=False)
+        remap = comm.select(F.col("id").alias("comm"),
+                            F.col("comm").alias("newc"))
+        mapping = (
+            mapping.join(remap, "comm")
+            .select("id", F.col("newc").alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+        cur_edges = (
+            cur_edges.join(comm.select(F.col("id").alias("src"),
+                                       F.col("comm").alias("cs")), "src")
+            .join(comm.select(F.col("id").alias("dst"),
+                              F.col("comm").alias("cd")), "dst")
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        g.vertices.select("id")
+        .join(mapping, "id", "left")
+        .select("id", F.coalesce(F.col("comm"), F.col("id")).alias("comm"))
+    )
+    edges.unpersist()
+    return out
+
+
+def louvain(
+    g: Graph,
+    max_passes: int = 3,
+    max_move_rounds: int = 10,
+    min_progress: float = 1e-4,
+) -> tuple[DataFrame, float]:
+    """Returns ((id, comm), final modularity). ``min_progress`` mirrors the
+    reference's progress cutoff parameter (louvain.py:31-41)."""
+    edges, m2 = _sym_weighted(g)
 
     # mapping from ORIGINAL vertex to current community
     mapping = g.vertices.select("id", F.col("id").alias("comm"))

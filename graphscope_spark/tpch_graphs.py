@@ -2114,6 +2114,90 @@ FROM mm CROSS JOIN intra CROSS JOIN dsq""")
     return _materialized("WITH " + "".join(parts))
 
 
+def louvain_sql(passes: int = 2, move_rounds: int = 6) -> str:
+    """Twin of algorithms/louvain.py::louvain_fixed on the co-purchase
+    graph — the fixed-depth recursion unrolled pass-by-pass and
+    round-by-round: per round one community-total aggregate, one
+    neighbor-community weight aggregate, gain scores
+    k_in − k·Σtot′/2m (own community corrected by −k), the
+    min-community tie window, and the parity-gated move; per pass the
+    mapping composition and the community contraction. All weights stay
+    integer-valued doubles (contraction sums of 1.0), so every SUM is
+    exact in any order; the single division by 2m runs on identical
+    operands in both engines — bit-identical scores, identical moves."""
+    parts = [COPURCHASE_CTE.rstrip(), """,
+ep0 AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM edges),
+m2t AS (SELECT CAST(SUM(w) AS DOUBLE) AS v FROM ep0),
+map0 AS (SELECT id, id AS comm FROM verts)"""]
+    for p in range(passes):
+        parts.append(f""",
+deg{p} AS (SELECT src AS id, SUM(w) AS k FROM ep{p} GROUP BY src),
+c{p}_0 AS (SELECT DISTINCT src AS id, src AS comm FROM ep{p})""")
+        for r in range(move_rounds):
+            cp = f"c{p}_{r}"
+            parts.append(f""",
+ct{p}_{r} AS (
+  SELECT c.comm, SUM(d.k) AS tot
+  FROM {cp} c JOIN deg{p} d ON d.id = c.id GROUP BY c.comm
+),
+nb{p}_{r} AS (
+  SELECT e.src AS id, c.comm AS ncomm, SUM(e.w) AS k_in
+  FROM ep{p} e JOIN {cp} c ON c.id = e.dst
+  WHERE e.src <> e.dst GROUP BY e.src, c.comm
+),
+st{p}_{r} AS (
+  SELECT c.id, c.comm,
+         COALESCE(o.k_in, 0.0)
+           - d.k * (ct.tot - d.k) / (SELECT v FROM m2t) AS stay_score
+  FROM {cp} c
+  JOIN deg{p} d ON d.id = c.id
+  JOIN ct{p}_{r} ct ON ct.comm = c.comm
+  LEFT JOIN nb{p}_{r} o ON o.id = c.id AND o.ncomm = c.comm
+),
+sc{p}_{r} AS (
+  SELECT n.id, n.ncomm,
+         n.k_in - d.k * ctn.tot / (SELECT v FROM m2t) AS score
+  FROM nb{p}_{r} n
+  JOIN {cp} c ON c.id = n.id AND c.comm <> n.ncomm
+  JOIN deg{p} d ON d.id = n.id
+  JOIN ct{p}_{r} ctn ON ctn.comm = n.ncomm
+),
+bs{p}_{r} AS (
+  SELECT id, ncomm AS best_comm, score AS best_score FROM (
+    SELECT id, ncomm, score,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY score DESC, ncomm ASC) AS rn
+    FROM sc{p}_{r}
+  ) WHERE rn = 1
+),
+c{p}_{r + 1} AS (
+  SELECT s.id,
+         CASE WHEN b.best_comm IS NOT NULL
+               AND b.best_score > s.stay_score + 1e-12
+               AND s.id % 2 = {r % 2}
+           THEN b.best_comm ELSE s.comm END AS comm
+  FROM st{p}_{r} s
+  LEFT JOIN bs{p}_{r} b ON b.id = s.id
+)""")
+        fin = f"c{p}_{move_rounds}"
+        parts.append(f""",
+map{p + 1} AS (
+  SELECT m.id, r.comm AS comm
+  FROM map{p} m JOIN {fin} r ON r.id = m.comm
+),
+ep{p + 1} AS (
+  SELECT cs.comm AS src, cd.comm AS dst, SUM(e.w) AS w
+  FROM ep{p} e
+  JOIN {fin} cs ON cs.id = e.src
+  JOIN {fin} cd ON cd.id = e.dst
+  GROUP BY cs.comm, cd.comm
+)""")
+    parts.append(f"""
+SELECT v.id, COALESCE(m.comm, v.id) AS comm
+FROM verts v LEFT JOIN map{passes} m ON m.id = v.id""")
+    return _materialized("WITH " + "".join(parts))
+
+
 def ppr_batch_sql(n_seeds: int = 4, rounds: int = 10) -> str:
     """Twin of algorithms/ranking.py::ppr_batch — sparse per-seed
     recursion (damping 0.5), seeds = the n_seeds smallest vertex ids.

@@ -37,6 +37,42 @@ def test_louvain_recovers_cliques(clique_graph):
     assert q > 0.5  # strong planted structure
 
 
+def test_louvain_fixed_recovers_cliques_and_is_deterministic(clique_graph):
+    from graphscope_spark.algorithms.louvain import louvain_fixed
+
+    comm = louvain_fixed(clique_graph, passes=2, move_rounds=6)
+    got = {r["id"]: r["comm"] for r in comm.collect()}
+    for c in range(3):
+        ids = [100 * c + i for i in range(8)]
+        assert len({got[i] for i in ids}) == 1, (c, {i: got[i] for i in ids})
+    assert len({got[100 * c] for c in range(3)}) == 3
+    # bit-identical under a different partitioning (the gate contract)
+    g2 = Graph(clique_graph.edges, directed=False, num_partitions=1)
+    got2 = {
+        r["id"]: r["comm"]
+        for r in louvain_fixed(g2, passes=2, move_rounds=6).collect()
+    }
+    assert got == got2
+
+
+def test_louvain_fixed_extra_rounds_are_noops(clique_graph):
+    """Past convergence nothing moves — the property that makes generous
+    fixed depths safe for the SQL twin."""
+    from graphscope_spark.algorithms.louvain import louvain_fixed
+
+    a = {
+        r["id"]: r["comm"]
+        for r in louvain_fixed(clique_graph, passes=2,
+                               move_rounds=6).collect()
+    }
+    b = {
+        r["id"]: r["comm"]
+        for r in louvain_fixed(clique_graph, passes=2,
+                               move_rounds=9).collect()
+    }
+    assert a == b
+
+
 def test_louvain_runs_on_random(spark):
     from tests.oracles import make_test_graph
     vertices, edges = make_test_graph()
