@@ -1355,14 +1355,18 @@ def _q_semdedup(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF coarse-quantizer ANN — rows-only at the gate (the k-means
-    quantizer is not SQL-expressible); recall + exhaustive-equals-exact
-    oracles in tests/test_functions.py."""
-    from graphscope_spark.functions.similarity import ann_ivf
+    """IVF ANN gated through the verifiable integer-k-means quantizer
+    path (similarity.ann_ivf_exact) at a second parameter point
+    (nprobe=3, k=4 vs the ann_ivf_exact entry's nprobe=2, k=5) — the
+    whole pipeline hash-checks against doc_oracles.ann_ivf_sql. The
+    numpy-trained ann_ivf variant keeps its recall +
+    exhaustive-equals-exact oracles in tests/test_functions.py (its
+    sampled trainer is the non-replayable part)."""
+    from graphscope_spark.functions.similarity import ann_ivf_exact
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_ivf(emb, queries, k=5, nlist=8, nprobe=3)
+    return ann_ivf_exact(emb, queries, k=4, nlist=8, nprobe=3, rounds=3)
 
 
 def _q_simhash(spark, sf_dir):
@@ -1455,9 +1459,10 @@ def _q_negative_sample(spark, sf_dir):
 
 
 def _q_node2vec(spark, sf_dir):
-    # rows-only: the p/q-biased pick compares floating cumulative sums —
-    # not bit-portable as a DuckDB twin; exact Python oracle in pytest
-    # (tests/test_sampling.py) with dyadic p/q so the sums are exact.
+    """Dyadic p/q (1/p, 1/q exact binary fractions) make the cumulative
+    weight sums exact in double and the inverse-CDF pick bit-portable —
+    tpch_graphs.node2vec_sql replays it (exact Python oracle additionally
+    in tests/test_sampling.py)."""
     from graphscope_spark import sampling as smp
     g = tg.copurchase_graph(spark, sf_dir)
     starts = g.vertices.filter(F.col("id") % 100 == 0)
@@ -1811,6 +1816,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_exact": do.ann_ivf_sql(
             k=5, nlist=8, nprobe=2, rounds=3, n_queries=10
         ),
+        "ann_ivf": do.ann_ivf_sql(
+            k=4, nlist=8, nprobe=3, rounds=3, n_queries=10
+        ),
         "stream_dedup": do.lsh_pairs_sql(num_hashes=16, bands=4, k=3),
         "sessionize": do.sessionize_sql(gap_minutes=360),
         "funnel": do.funnel_sql(FUNNEL_STEPS),
@@ -1848,7 +1856,8 @@ def oracle_sql() -> dict[str, str]:
         "k_core_search": tg.k_core_search_sql(k=3),
         "random_multi_bfs": tg.random_multi_bfs_sql(k=8, seed=42),
         "dfs": tg.dfs_sql(),
-        # node2vec omitted: float inverse-CDF pick, exact pytest oracle
+        "node2vec": tg.node2vec_sql(walk_length=3, p=2.0, q=0.5, seed=42,
+                                    start_mod=100),
         "sample_neighbors": tg.sample_neighbors_sql([3, 2], seed=42,
                                                     seed_mod=50),
         "sample_weighted": tg.sample_neighbors_weighted_sql(

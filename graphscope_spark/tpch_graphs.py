@@ -1635,6 +1635,60 @@ def random_walks_sql(walk_length: int, seed: int = 42,
     return _materialized(_sql)
 
 
+def node2vec_sql(walk_length: int = 3, p: float = 2.0, q: float = 0.5,
+                 seed: int = 42, start_mod: int = 100) -> str:
+    """Twin of sampling.node2vec_walks with DYADIC p/q (1/p and 1/q are
+    exact binary fractions, e.g. p=2, q=0.5 → weights 0.5/1.0/2.0):
+    cumulative weight sums are then exact in double regardless of order,
+    and u = (hash % 2^20)/2^20 · total is one identically-rounded IEEE
+    product per candidate set — the inverse-CDF pick is bit-portable.
+    Non-dyadic p/q would reintroduce order-dependent float sums; raise
+    there rather than gate."""
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    if (inv_p * 4).is_integer() is False or (inv_q * 4).is_integer() is False:
+        raise ValueError("node2vec_sql requires dyadic 1/p and 1/q")
+    ctes = [COPURCHASE_CTE.rstrip(), """ad AS (SELECT DISTINCT src, dst FROM edges)""",
+            f"""w0 AS (SELECT id AS walk, id AS v,
+             CAST(NULL AS BIGINT) AS prev
+      FROM verts WHERE id % {start_mod} = 0)"""]
+    outs = ["SELECT walk, 0 AS step, v FROM w0"]
+    for t in range(1, walk_length + 1):
+        h = _hash64_concat_sql(f"'{seed}'", "walk", str(t), "src")
+        if t == 1:
+            wexpr = "CAST(1.0 AS DOUBLE)"
+        else:
+            wexpr = f"""CASE
+           WHEN c.dst = c.prev THEN CAST({inv_p!r} AS DOUBLE)
+           WHEN EXISTS (SELECT 1 FROM ad e
+                        WHERE e.src = c.prev AND e.dst = c.dst)
+             THEN CAST(1.0 AS DOUBLE)
+           ELSE CAST({inv_q!r} AS DOUBLE) END"""
+        ctes.append(f"""c{t} AS (
+  SELECT s.walk, s.prev, s.v AS src, a.dst
+  FROM w{t-1} s JOIN ad a ON a.src = s.v
+)""")
+        ctes.append(f"""g{t} AS (
+  SELECT c.walk, c.src, c.dst, {wexpr} AS w FROM c{t} c
+)""")
+        ctes.append(f"""p{t} AS (
+  SELECT walk, src, dst,
+         SUM(w) OVER (PARTITION BY walk ORDER BY dst) AS cum,
+         (({h}) % 1048576) / 1048576.0
+           * SUM(w) OVER (PARTITION BY walk) AS u
+  FROM g{t}
+)""")
+        ctes.append(f"""w{t} AS (
+  SELECT walk, dst AS v, src AS prev FROM (
+    SELECT walk, src, dst,
+           row_number() OVER (PARTITION BY walk ORDER BY dst) AS rk
+    FROM p{t} WHERE cum > u
+  ) WHERE rk = 1
+)""")
+        outs.append(f"SELECT walk, {t} AS step, v FROM w{t}")
+    _sql = "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(outs)
+    return _materialized(_sql)
+
+
 def negative_sample_sql(tries: int = 5, seed: int = 42,
                         source_mod: int = 10) -> str:
     """Twin of sampling.negative_sample: per (source, try) propose
