@@ -9,15 +9,15 @@ identically on both sides because Spark/DuckDB sum partial aggregates in
 different orders.
 
 Queries WITHOUT an oracle entry (rows-only check, reasons inline):
-bcc / bridges / articulation_points (BFS-forest-dependent labels; exact
-Tarjan oracle in pytest), fluid_community (multi-pass heuristic;
-planted-structure pytest oracle), lpa_by_color / fluid_by_color
-(color-scheduled Gauss–Seidel; exact sequential-replay pytest oracles —
-class count is data-dependent so a fixed SQL unroll would be fragile),
-ann_ivf (numpy-sampled k-means quantizer; the `ann_ivf_exact` sibling
-replays the WHOLE IVF pipeline in SQL and hash-matches), node2vec
-(float inverse-CDF pick). louvain gates through its fixed-depth
-deterministic variant (louvain_fixed) with a full SQL replay. Everything
+fluid_community (multi-pass heuristic; planted-structure pytest oracle),
+lpa_by_color / fluid_by_color (color-scheduled Gauss–Seidel; exact
+sequential-replay pytest oracles — class count is data-dependent so a
+fixed SQL unroll would be fragile). bcc / bridges / articulation_points
+gate through forest-independent canonical labels (flash_oracles.bcc_sql);
+ann_ivf gates through the verifiable integer-k-means path (ann_ivf_exact
+at a second parameter point); node2vec gates with dyadic p/q (bit-portable
+inverse-CDF); louvain gates through its fixed-depth deterministic variant
+(louvain_fixed) with a full SQL replay. Everything
 else — including every deterministic fixpoint (matching family, peels,
 coloring, MSF, tolerance PageRank: idempotent loops unroll to generous
 fixed depth, flash_oracles.py) and the full corpus path (corpus_oracles.py
@@ -492,10 +492,16 @@ def _bcc_labels(spark, sf_dir) -> DataFrame:
 
 
 def _q_bcc(spark, sf_dir):
-    # rows-only: the Tarjan–Vishkin block labels depend on the BFS forest;
-    # pytest checks exact block partition vs a sequential Tarjan oracle
-    # (tests/test_biconnectivity.py).
-    return _bcc_labels(spark, sf_dir).select("src", "dst", "block")
+    """Forest-independent canonical labels (block = min canonical edge
+    key) — the raw Tarjan–Vishkin labels depend on the BFS forest, but the
+    partition is a graph invariant, so relabelling makes the output
+    hash-gateable (flash_oracles.bcc_sql grows its OWN forest). Exact
+    Tarjan partition oracle additionally in tests/test_biconnectivity.py."""
+    from graphscope_spark.algorithms.biconnectivity import bcc_canonical
+    return bcc_canonical(
+        tg.copurchase_graph(spark, sf_dir),
+        labels=_bcc_labels(spark, sf_dir),
+    ).select("src", "dst", "block")
 
 
 def _q_bridges(spark, sf_dir):
@@ -1744,9 +1750,11 @@ def oracle_sql() -> dict[str, str]:
         "in_triangle": tg.directed_census_sql("in"),
         "out_triangle": tg.directed_census_sql("out"),
         "densest_subgraph": fo.densest_sql(),
-        # bcc/bridges/articulation_points omitted: BFS-forest-dependent
-        # labels need a DFS the SQL side cannot express — exact Tarjan
-        # oracle in tests/test_biconnectivity.py
+        # forest-independent: partition via fundamental-cycle closure
+        # over the twin's OWN deterministic spanning forest
+        "bcc": fo.bcc_sql(),
+        "bridges": fo.bridges_sql(),
+        "articulation_points": fo.articulation_points_sql(),
         "harmonic": tg.harmonic_sql(mod=20),
         # cc_log converges to the same min-id components as wcc — same
         # unrolled oracle (log-round hook+jump vs diameter-round

@@ -407,3 +407,31 @@ def articulation_points(
         .filter(F.col("_nb") >= 2)
         .select("id")
     )
+
+
+#: canonical undirected-edge key base for :func:`bcc_canonical` — must
+#: exceed every vertex id (part keys ≪ 2^21 at all gate SFs; guarded).
+_EKEY = 1 << 21
+
+
+def bcc_canonical(
+    g: Graph, max_iter: int = 10_000, labels: DataFrame | None = None
+) -> DataFrame:
+    """(src, dst, block) with FOREST-INDEPENDENT block labels: the block
+    partition is a graph invariant (only :func:`bcc`'s raw label values
+    depend on the BFS forest), so relabelling each block by its minimum
+    canonical edge key ``least*2^21 + greatest`` makes the whole output a
+    deterministic function of the graph — gate-hashable against a DuckDB
+    twin that grows its own spanning forest (flash_oracles.bcc_sql)."""
+    lab = bcc(g, max_iter=max_iter) if labels is None else labels
+    over = lab.filter(
+        (F.col("src") >= _EKEY) | (F.col("dst") >= _EKEY)
+    ).limit(1).count()
+    if over:
+        raise ValueError("bcc_canonical: vertex id >= 2^21; raise _EKEY")
+    key = F.col("src") * F.lit(_EKEY) + F.col("dst")
+    canon = lab.groupBy("block").agg(F.min(key).alias("_cblk"))
+    return (
+        lab.join(F.broadcast(canon), "block")
+        .select("src", "dst", F.col("_cblk").alias("block"))
+    )

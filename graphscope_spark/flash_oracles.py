@@ -548,3 +548,154 @@ und{k} AS (
     sels = "\nUNION ".join(f"SELECT id FROM sel{k}" for k in range(1, rounds + 1))
     parts.append(f"\nSELECT id FROM (\n{sels}\n) u ORDER BY id")
     return _materialized("WITH " + "".join(parts))
+
+
+# ---------------------------------------------------------------------- #
+# Biconnectivity (bcc.h / bridge.h / cut-point.h)
+# ---------------------------------------------------------------------- #
+
+#: canonical undirected-edge key: least(u,v)*_EKEY + greatest(u,v).
+#: Part keys at every gate SF are ≪ 2^21, so the key fits in 2^42.
+_EKEY = 1 << 21
+
+
+def _bcc_block_ctes(wcc_rounds: int = 24, bfs_rounds: int = 20,
+                    closure_rounds: int = 48) -> str:
+    """CTE chain ending in ``ek(u, v, key)`` (canonical undirected edges)
+    and ``blocks(key, lab)`` — biconnected-component label per edge, with
+    ``lab`` = MIN canonical edge key over the block.
+
+    The partition is computed forest-independently of the Spark engine
+    (biconnectivity.py uses Tarjan–Vishkin over a BFS forest): biconnected
+    components are the transitive closure of "lie on a common fundamental
+    cycle w.r.t. ANY spanning tree" (the classical parallel-BCC
+    characterization Tarjan–Vishkin itself builds on), so this twin grows
+    its own deterministic forest — per-component root = min vertex id,
+    BFS levels, parent = min neighbor one level up — derives one
+    fundamental cycle per non-tree edge via ancestor chains + LCA level,
+    stars each cycle's tree edges to the non-tree edge's key, and closes
+    with unrolled min-label rounds. Tree edges on no cycle stay singleton
+    blocks (the bridges). Round budgets follow the module-docstring
+    convention: generous fixed unrolls ARE the fixpoint; shortfall
+    surfaces as a gate hash mismatch, never silently."""
+    parts = [COPURCHASE_CTE.rstrip()]
+    # components via unrolled min-label (converges to comp = min id)
+    parts.append(",\nl0 AS (SELECT id, id AS comp FROM verts)")
+    for k in range(1, wcc_rounds + 1):
+        p = f"l{k-1}"
+        parts.append(f""",
+l{k} AS (
+  SELECT l.id, LEAST(l.comp, COALESCE(m.c, l.comp)) AS comp
+  FROM {p} l LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.comp) AS c
+    FROM edges e JOIN {p} p ON e.src = p.id GROUP BY e.dst
+  ) m ON l.id = m.id
+)""")
+    # BFS levels from per-component min-id roots
+    parts.append(f""",
+b0 AS (SELECT DISTINCT comp AS id, 0 AS lvl FROM l{wcc_rounds})""")
+    for k in range(1, bfs_rounds + 1):
+        parts.append(f""",
+b{k} AS (
+  SELECT id, lvl FROM b{k-1}
+  UNION ALL
+  SELECT dst AS id, {k} AS lvl FROM (
+    SELECT DISTINCT e.dst
+    FROM edges e JOIN b{k-1} f ON e.src = f.id AND f.lvl = {k-1}
+    WHERE e.dst NOT IN (SELECT id FROM b{k-1})
+  )
+)""")
+    parts.append(f""",
+lv AS (SELECT id, lvl FROM b{bfs_rounds}),
+par AS (
+  SELECT c.id, MIN(e.src) AS parent
+  FROM lv c JOIN edges e ON e.dst = c.id
+  JOIN lv p ON p.id = e.src AND p.lvl = c.lvl - 1
+  GROUP BY c.id
+)""")
+    # ancestor chains (v, anc) incl. self, annotated with anc's level
+    parts.append(",\na0 AS (SELECT id AS v, id AS anc FROM verts)")
+    for k in range(1, bfs_rounds + 1):
+        parts.append(f""",
+a{k} AS (SELECT a.v, p.parent AS anc FROM a{k-1} a JOIN par p ON p.id = a.anc)""")
+    anc_union = "\n  UNION ALL ".join(
+        f"SELECT v, anc FROM a{k}" for k in range(bfs_rounds + 1))
+    parts.append(f""",
+anc AS ({anc_union}),
+ancl AS (SELECT anc.v, anc.anc, lv.lvl AS alvl FROM anc JOIN lv ON lv.id = anc.anc),
+ek AS (SELECT src AS u, dst AS v, src * {_EKEY} + dst AS key
+       FROM edges WHERE src < dst),
+nte AS (
+  SELECT e.u, e.v, e.key FROM ek e
+  WHERE NOT EXISTS (SELECT 1 FROM par t
+                    WHERE (t.parent = e.u AND t.id = e.v)
+                       OR (t.parent = e.v AND t.id = e.u))
+),
+lca AS (
+  SELECT n.key AS cyc, n.u, n.v, MAX(x.alvl) AS llvl
+  FROM nte n
+  JOIN ancl x ON x.v = n.u
+  JOIN ancl y ON y.v = n.v AND y.anc = x.anc
+  GROUP BY n.key, n.u, n.v
+),
+members AS (
+  SELECT c.cyc,
+         LEAST(x.anc, p.parent) * {_EKEY} + GREATEST(x.anc, p.parent) AS mkey
+  FROM lca c
+  JOIN ancl x ON (x.v = c.u OR x.v = c.v) AND x.alvl > c.llvl
+  JOIN par p ON p.id = x.anc
+),
+links AS (
+  SELECT cyc AS a, mkey AS b FROM members WHERE cyc <> mkey
+  UNION
+  SELECT mkey AS a, cyc AS b FROM members WHERE cyc <> mkey
+),
+c0 AS (SELECT key, key AS lab FROM ek)""")
+    for k in range(1, closure_rounds + 1):
+        p = f"c{k-1}"
+        parts.append(f""",
+c{k} AS (
+  SELECT c.key, LEAST(c.lab, COALESCE(m.l, c.lab)) AS lab
+  FROM {p} c LEFT JOIN (
+    SELECT l.b AS key, MIN(p.lab) AS l
+    FROM links l JOIN {p} p ON l.a = p.key GROUP BY l.b
+  ) m ON c.key = m.key
+)""")
+    parts.append(f""",
+blocks AS (SELECT key, lab FROM c{closure_rounds})""")
+    return "".join(parts)
+
+
+def bcc_sql(**kw) -> str:
+    """Twin of biconnectivity.bcc_canonical: (src, dst, block) per
+    undirected edge (src < dst), block = min canonical edge key."""
+    _sql = f"""WITH {_bcc_block_ctes(**kw)}
+SELECT e.u AS src, e.v AS dst, b.lab AS block
+FROM ek e JOIN blocks b ON e.key = b.key
+ORDER BY src, dst"""
+    return _materialized(_sql)
+
+
+def bridges_sql(**kw) -> str:
+    """Twin of biconnectivity.bridges: edges in single-edge blocks."""
+    _sql = f"""WITH {_bcc_block_ctes(**kw)},
+single AS (SELECT lab FROM blocks GROUP BY lab HAVING count(*) = 1)
+SELECT e.u AS src, e.v AS dst
+FROM ek e JOIN blocks b ON e.key = b.key
+WHERE b.lab IN (SELECT lab FROM single)
+ORDER BY src, dst"""
+    return _materialized(_sql)
+
+
+def articulation_points_sql(**kw) -> str:
+    """Twin of biconnectivity.articulation_points: vertices incident to
+    >= 2 distinct blocks."""
+    _sql = f"""WITH {_bcc_block_ctes(**kw)},
+inc AS (
+  SELECT e.u AS id, b.lab FROM ek e JOIN blocks b ON e.key = b.key
+  UNION
+  SELECT e.v AS id, b.lab FROM ek e JOIN blocks b ON e.key = b.key
+)
+SELECT id FROM inc GROUP BY id HAVING count(DISTINCT lab) >= 2
+ORDER BY id"""
+    return _materialized(_sql)
