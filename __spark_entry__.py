@@ -766,6 +766,34 @@ def _q_cypher_degree_hist(spark, sf_dir):
     )
 
 
+def _q_cypher_multi_match(spark, sf_dir):
+    # chained MATCH clauses: two pattern trees joined on the shared
+    # variable b (supported_cypher.md MATCH chain row).
+    from graphscope_spark.cypher import CypherSession
+    cs = CypherSession(tg.copurchase_graph(spark, sf_dir))
+    return cs.run(
+        "MATCH (a)-[]->(b) MATCH (b)-[]->(c) WHERE a < 100 "
+        "RETURN b AS mid, count(c) AS n2"
+    )
+
+
+def _q_cypher_shortest(spark, sf_dir):
+    """Anchored shortestPath() (supported_cypher.md:118) lowered to
+    shortest_path_expand — same anchors as _q_shortest_path_expand, so
+    the engine twin (tpch_graphs.shortest_path_expand_sql) applies."""
+    from graphscope_spark.cypher import CypherSession
+    from graphscope_spark.algorithms.sssp import bfs as _bfs
+    g = tg.copurchase_graph(spark, sf_dir)
+    src = _min_id(g)
+    reach = _bfs(g, src).state.filter(F.col("dist").isNotNull())
+    tid = reach.agg(F.max("id")).first()[0]
+    cs = CypherSession(g)
+    return cs.run(
+        f"MATCH p = shortestPath((a)-[*]->(b)) WHERE a = {int(src)} "
+        f"AND b = {int(tid)} RETURN p AS path_str, length(p) AS hops"
+    )
+
+
 def _q_gremlin_path(spark, sf_dir):
     t = gremlin.traversal(tg.copurchase_graph(spark, sf_dir))
     return (
@@ -1570,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_path": _q_gremlin_path,
         "cypher_triangle": _q_cypher_triangle,
         "cypher_degree_hist": _q_cypher_degree_hist,
+        "cypher_multi_match": _q_cypher_multi_match,
+        "cypher_shortest": _q_cypher_shortest,
         "gremlin_topk": _q_gremlin_topk,
         "gremlin_nbr_size": _q_gremlin_nbr_size,
         "gremlin_no_out": _q_gremlin_no_out,
@@ -1722,6 +1752,9 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_path": tg.gremlin_path_sql(mod=100),
         "cypher_triangle": tg.cypher_triangle_sql(),
         "cypher_degree_hist": tg.cypher_degree_hist_sql(min_deg=10),
+        "cypher_multi_match": tg.cypher_multi_match_sql(lim=100),
+        # same anchors as shortest_path_expand: min id -> max reachable
+        "cypher_shortest": tg.shortest_path_expand_sql(),
         "gremlin_topk": tg.gremlin_topk_sql(k=20),
         "gremlin_nbr_size": tg.gremlin_nbr_size_sql(min_size=25),
         "gremlin_no_out": tg.gremlin_no_out_sql(),

@@ -2,11 +2,12 @@
 
 The reference's GIE accepts Cypher alongside Gremlin (GOpt compiler,
 docs/interactive_engine/neo4j/supported_cypher.md — the clause inventory
-this module mirrors: single MATCH + OPTIONAL MATCH, WHERE incl.
+this module mirrors: MATCH chains (multiple MATCH clauses join their
+pattern trees on shared variables) + OPTIONAL MATCH, WHERE incl.
 ``NOT EXISTS`` as anti-join, WITH .. AS (project/aggregate/distinct,
 supported_cypher.md:145; a WHERE after WITH filters the projection —
-SQL's HAVING), RETURN .. AS with aggregates/DISTINCT, ORDER BY, LIMIT;
-the reference likewise allows only ONE MATCH clause).
+SQL's HAVING), RETURN .. AS with aggregates/DISTINCT, ORDER BY, LIMIT,
+and the anchored ``shortestPath()`` form, supported_cypher.md:118).
 Queries lower to the same join-tree the Gremlin ``match()`` step uses:
 every relationship pattern is an equi-join against the (deduplicated)
 edge table, OPTIONAL MATCH is a left outer join, NOT EXISTS an anti-join
@@ -24,7 +25,7 @@ Scope notes (documented deviations, all reference-sanctioned):
 
 Grammar (case-insensitive keywords)::
 
-    MATCH <pattern> (, <pattern>)*
+    MATCH <pattern> (, <pattern>)* (MATCH <pattern> (, <pattern>)*)*
     [OPTIONAL MATCH <pattern>]
     [WHERE <cond> (AND <cond>)*]
     [WITH [DISTINCT] <item> (, <item>)* [WHERE <cond> (AND <cond>)*]]
@@ -188,11 +189,17 @@ def _parse(q: str) -> _Query:
         raise ValueError("unsupported Cypher shape (need MATCH ... RETURN ...)")
     out = _Query()
     anon = [0]
-    for chain in _split_top(m.group("match")):
-        rels, nodes = _parse_pattern(chain, anon)
-        out.rels.extend(rels)
-        if not rels and len(nodes) == 1:
-            out.singletons.append(nodes[0])
+    # chained MATCH clauses (MATCH p1 MATCH p2 ...) are joins of pattern
+    # trees on shared variables — the same lowering as comma patterns
+    # within one MATCH, so fold them into one conjunctive list. (Real
+    # Cypher additionally enforces relationship uniqueness per MATCH;
+    # the GIE subset this mirrors does not, and neither do we.)
+    for clause in re.split(r"(?i)\s+MATCH\s+", m.group("match")):
+        for chain in _split_top(clause):
+            rels, nodes = _parse_pattern(chain, anon)
+            out.rels.extend(rels)
+            if not rels and len(nodes) == 1:
+                out.singletons.append(nodes[0])
     if m.group("opt"):
         for chain in _split_top(m.group("opt")):
             rels, _ = _parse_pattern(chain, anon)

@@ -1867,6 +1867,19 @@ WHERE e1.src < e1.dst AND e2.src < e2.dst"""
     return _materialized(_sql)
 
 
+def cypher_multi_match_sql(lim: int = 100) -> str:
+    """MATCH (a)-[]->(b) MATCH (b)-[]->(c) WHERE a < lim
+    RETURN b AS mid, count(c) AS n2 — chained MATCH clauses join their
+    pattern trees on the shared variable b (supported_cypher.md MATCH
+    row; cypher.py folds the chain into one conjunctive join tree)."""
+    _sql = f"""WITH {COPURCHASE_CTE}
+SELECT e1.dst AS mid, CAST(COUNT(*) AS BIGINT) AS n2
+FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+WHERE e1.src < {lim}
+GROUP BY e1.dst"""
+    return _materialized(_sql)
+
+
 SUPPLIER_CHAIN_CTE = """
 r AS (SELECT s_suppkey, s_nationkey,
              ROW_NUMBER() OVER (PARTITION BY s_nationkey

@@ -201,3 +201,33 @@ def test_shortest_path_anchored(spark):
         "MATCH p = shortestPath((a)-[*]->(b)) WHERE a = 7 AND b = 9 "
         "RETURN p AS path"
     ).count() == 0
+
+
+def test_multi_match_chain(cs):
+    # MATCH chains join pattern trees on shared variables — identical
+    # bindings to the comma form of the same conjunction
+    chained = cs.run(
+        "MATCH (a)-[]->(b) MATCH (b)-[]->(c) RETURN a, b, c"
+    ).collect()
+    comma = cs.run(
+        "MATCH (a)-[]->(b), (b)-[]->(c) RETURN a, b, c"
+    ).collect()
+    assert sorted(map(tuple, chained)) == sorted(map(tuple, comma))
+    assert sorted(map(tuple, chained)) == [(1, 2, 3), (1, 3, 4), (2, 3, 4)]
+
+
+def test_multi_match_disjoint_then_bound(cs):
+    # second MATCH shares no var with the first until the third binds both
+    rows = cs.run(
+        "MATCH (a)-[]->(b) MATCH (c)-[]->(d) "
+        "WHERE b = c AND a = 1 RETURN a, b, d"
+    ).collect()
+    assert sorted(map(tuple, rows)) == [(1, 2, 3), (1, 3, 4)]
+
+
+def test_multi_match_with_aggregate(cs):
+    rows = cs.run(
+        "MATCH (a)-[]->(b) MATCH (b)-[]->(c) "
+        "RETURN b AS mid, count(c) AS n2 ORDER BY mid"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(2, 1), (3, 2)]
