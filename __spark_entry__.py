@@ -732,6 +732,16 @@ def _q_path_expand(spark, sf_dir):
     return path_expand(starts, g, min_hops=1, max_hops=2)
 
 
+def _q_path_expand_trail(spark, sf_dir):
+    """PathExpand path_opt=TRAIL (algebra.proto path_opt) on the directed
+    purchase graph traversed both ways — the hop-2 bounce-back over the
+    same undirected edge is the arbitrary-vs-trail delta the twin pins."""
+    g = tg.purchase_graph(spark, sf_dir)
+    starts = g.vertices.filter(F.col("id") % 400 == 0).select(F.col("id").alias("v"))
+    return path_expand(starts, g, min_hops=1, max_hops=2,
+                       direction="both", path_opt="trail")
+
+
 # --------------------------------------------------------------------- #
 # Gremlin DSL (graphscope_spark/gremlin.py) — whole chains compile to one
 # Catalyst plan; oracles are the relational lowerings in tpch_graphs.py
@@ -1594,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flash_cc": _q_flash_cc,
         "sssp_path": _q_sssp_path,
         "path_expand": _q_path_expand,
+        "path_expand_trail": _q_path_expand_trail,
         "gremlin_khop": _q_gremlin_khop,
         "gremlin_path": _q_gremlin_path,
         "cypher_triangle": _q_cypher_triangle,
@@ -1748,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "flash_cc": tg.wcc_sql(),  # same min-label fixed point as wcc
         "louvain": tg.louvain_sql(passes=2, move_rounds=6),
         "path_expand": tg.path_expand_sql(mod=50),
+        "path_expand_trail": tg.path_expand_trail_sql(mod=400),
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),
         "gremlin_path": tg.gremlin_path_sql(mod=100),
         "cypher_triangle": tg.cypher_triangle_sql(),

@@ -8,7 +8,8 @@ runtime (flatmap/edge_expand.rs, map/get_v.rs, map/expand_intersect.rs).
 Conventions: a "traversal frame" is a DataFrame whose current head vertex
 is column ``v``; tags (As, algebra.proto:280) are just extra columns the
 caller keeps. PathExpand accumulates the path in an array column — SIMPLE
-paths filter revisits with array_contains, TRAIL would dedup edges.
+paths filter vertex revisits with array_contains; TRAIL filters edge
+revisits the same way over an accumulated edge-key array.
 """
 
 from __future__ import annotations
@@ -77,7 +78,12 @@ def path_expand(
     """PathExpand (algebra.proto:314-358; Gremlin sugar
     docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:578-709):
     bounded repetition hop ∈ [min_hops, max_hops], path_opt ∈ {arbitrary,
-    simple} (simple = no revisited vertex), result_opt ∈ {end_v, all_v}.
+    simple, trail} (simple = no revisited vertex; trail = no revisited
+    edge, per algebra.proto path_opt TRAIL — edge identity is the
+    underlying stored edge, so under ``both`` one directed edge may not
+    be traversed twice even in opposite directions, while reciprocal
+    edges (u,v) and (v,u) remain two distinct trail edges),
+    result_opt ∈ {end_v, all_v}.
 
     ``start``: DataFrame with column ``v`` (start vertices). Returns
     (start, v, hops [, path]) — one row per reachable (start, path) per
@@ -87,11 +93,25 @@ def path_expand(
     Driver-side bounded loop = the reference's compiled iteration
     (pegasus iteration/{switch,feedback}.rs); each hop is one join stage.
     """
+    trail = path_opt == "trail"
     e = g.edges.select("src", "dst")
+    if trail:
+        # edge identity = the stored edge's ordered (src, dst), stamped
+        # BEFORE any reversal so a ``both`` traversal of one edge in
+        # either direction carries the same key.
+        e = e.withColumn(
+            "_ek",
+            F.concat_ws(
+                "\x01", F.col("src").cast("string"), F.col("dst").cast("string")
+            ),
+        )
+    rev_cols = [F.col("dst").alias("src"), F.col("src").alias("dst")] + (
+        [F.col("_ek")] if trail else []
+    )
     if direction == "in":
-        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        e = e.select(*rev_cols)
     elif direction == "both":
-        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e = e.union(e.select(*rev_cols))
 
     cur = start.select(
         F.col("v").alias("start"),
@@ -99,17 +119,22 @@ def path_expand(
         F.lit(0).alias("hops"),
         F.array(F.col("v")).alias("path"),
     )
+    if trail:
+        cur = cur.withColumn("epath", F.array().cast("array<string>"))
     out = [cur.filter(F.lit(min_hops) <= 0)]
     for hop in range(1, max_hops + 1):
-        nxt = (
-            cur.join(e, cur["v"] == e["src"])
-            .select(
-                "start",
-                F.col("dst").alias("v"),
-                (F.col("hops") + 1).alias("hops"),
-                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
-            )
-        )
+        joined = cur.join(e, cur["v"] == e["src"])
+        if trail:
+            joined = joined.filter(~F.array_contains(F.col("epath"), F.col("_ek")))
+        cols = [
+            F.col("start"),
+            F.col("dst").alias("v"),
+            (F.col("hops") + 1).alias("hops"),
+            F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+        ]
+        if trail:
+            cols.append(F.concat(F.col("epath"), F.array(F.col("_ek"))).alias("epath"))
+        nxt = joined.select(*cols)
         if path_opt == "simple":
             nxt = nxt.filter(
                 ~F.array_contains(F.slice(F.col("path"), 1, hop), F.col("v"))
@@ -122,7 +147,7 @@ def path_expand(
         res = res.unionByName(df)
     if result_opt == "end_v":
         return res.select("start", "v", "hops")
-    return res
+    return res.drop("epath") if trail else res
 
 
 def expand_intersect(

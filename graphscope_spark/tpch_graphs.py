@@ -852,6 +852,37 @@ SELECT start, v, hops FROM h1 UNION ALL SELECT start, v, hops FROM h2"""
     return _materialized(_sql)
 
 
+def path_expand_trail_sql(mod: int = 400) -> str:
+    """1..2-hop TRAIL paths (no repeated STORED edge — Cypher relationship
+    uniqueness) from starts (id % mod == 0) over the directed purchase
+    graph traversed ``both`` ways — matches
+    operators/traversal.py::path_expand(path_opt='trail',
+    direction='both'): edge identity is the stored edge's original
+    (src, dst) stamped before reversal, so the hop-2 bounce-back u→v→u
+    via the same stored edge is excluded (the only arbitrary-vs-trail
+    difference at 2 hops) while reciprocal stored edges remain two
+    distinct trail edges."""
+    _sql = f"""WITH {PURCHASE_CTE},
+e2 AS (
+  SELECT e.src, e.dst, e.src AS os, e.dst AS od FROM edges e
+  UNION ALL
+  SELECT e.dst AS src, e.src AS dst, e.src AS os, e.dst AS od FROM edges e
+),
+starts AS (SELECT id FROM verts WHERE id % {mod} = 0),
+h1 AS (
+  SELECT s.id AS start, e.os AS os1, e.od AS od1, e.dst AS v
+  FROM starts s JOIN e2 e ON e.src = s.id
+),
+h2 AS (
+  SELECT h1.start, e.dst AS v
+  FROM h1 JOIN e2 e ON e.src = h1.v
+  WHERE NOT (e.os = h1.os1 AND e.od = h1.od1)
+)
+SELECT start, v, 1 AS hops FROM h1
+UNION ALL SELECT start, v, 2 AS hops FROM h2"""
+    return _materialized(_sql)
+
+
 # ---------------------------------------------------------------------- #
 # multi-source BFS oracles: closeness / APSP (algorithms/paths.py)
 # ---------------------------------------------------------------------- #

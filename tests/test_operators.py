@@ -103,6 +103,70 @@ def test_path_expand_simple_excludes_revisits(spark, g, adj):
     assert len(rows) == want
 
 
+def test_path_expand_trail_directed_vs_oracle(spark, g, adj):
+    """TRAIL = no repeated edge; directed expansion keys edges (src, dst)."""
+    out, _ = adj
+    res = path_expand(_starts(spark, [7]), g, 1, 3, path_opt="trail")
+    got = sorted((r["v"], r["hops"]) for r in res.collect())
+    want = []
+    stack = [(7, frozenset())]
+    # enumerate (end, hops) per edge-distinct path
+    frontier = [(7, frozenset(), 0)]
+    while frontier:
+        v, used, h = frontier.pop()
+        if 1 <= h:
+            want.append((v, h))
+        if h == 3:
+            continue
+        for n in out[v]:
+            if (v, n) not in used:
+                frontier.append((n, used | {(v, n)}, h + 1))
+    assert got == sorted(want)
+
+
+def test_path_expand_trail_both_stored_edge_identity(spark, g, graph_data):
+    """With direction='both', edge identity is the STORED edge (Cypher
+    relationship uniqueness): the same stored edge may not repeat even in
+    the opposite direction (hop-2 bounce-back over it is excluded), but
+    reciprocal stored edges (u,v) and (v,u) are two distinct trail edges
+    — and each stored edge contributes its own row multiplicity."""
+    _, edges = graph_data
+    moves = defaultdict(list)  # v -> [(neighbor, stored-edge key)]
+    for s, d in edges:
+        moves[s].append((d, (s, d)))
+        moves[d].append((s, (s, d)))
+    res = path_expand(_starts(spark, [7]), g, 1, 2,
+                      direction="both", path_opt="trail")
+    got = sorted((r["v"], r["hops"]) for r in res.collect())
+    want = []
+    for v1, ek1 in moves[7]:
+        want.append((v1, 1))
+        for v2, ek2 in moves[v1]:
+            if ek2 != ek1:
+                want.append((v2, 2))
+    assert got == sorted(want)
+
+
+def test_path_expand_trail_allows_vertex_revisit(spark):
+    """A trail may revisit a vertex (unlike SIMPLE) as long as every edge
+    is fresh: in the directed 2-cycle-with-chord 0→1→0, 1→2, the walk
+    0→1→0 is a valid trail but not a simple path."""
+    e = spark.createDataFrame([(0, 1), (1, 0), (1, 2)], "src long, dst long")
+    gg = Graph(e, directed=True, num_partitions=4)
+    starts = spark.createDataFrame([(0,)], "v long")
+    trail = sorted(
+        (r["v"], r["hops"])
+        for r in path_expand(starts, gg, 1, 3, path_opt="trail").collect()
+    )
+    # 0→1 (h1); 0→1→0 and 0→1→2 (h2); 0→1→0 cannot reuse 0→1 at h3
+    assert trail == [(0, 2), (1, 1), (2, 2)]
+    simple = sorted(
+        (r["v"], r["hops"])
+        for r in path_expand(starts, gg, 1, 3, path_opt="simple").collect()
+    )
+    assert simple == [(1, 1), (2, 2)]
+
+
 def test_expand_intersect_closes_triangles(spark, g, graph_data):
     """Common out-neighbors of the K5 pair — pattern-match primitive."""
     _, edges = graph_data
