@@ -42,9 +42,19 @@ def pagerank(
     run_id: str | None = None,
     resume: bool = False,
     init_state: DataFrame | None = None,
+    hub_salts: int = 0,
+    hub_top_n: int = 16,
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is ``(id: long, rank: double,
     out_deg: long)`` (out_deg rides along so no per-round degree join).
+
+    ``hub_salts > 1`` statically splits the top ``hub_top_n`` out-degree
+    hubs' edge blocks across that many salted partitions
+    (operators/skew.py HubSaltedEdges — GRAPE's edge-cut hub mirroring):
+    the per-round message join's straggler task shrinks from the hub's
+    whole adjacency to 1/n_salts of it, for one extra edge shuffle at
+    setup. Same fixpoint; float sum order within a destination may differ
+    at the ulp level (partial-aggregation partitioning changes).
 
     ``tol=None`` reproduces the fixed-round app; ``tol`` set reproduces
     pagerank_nx L1 convergence (alpha=0.85, max_iter=100, tol=1e-6 defaults
@@ -68,6 +78,14 @@ def pagerank(
     # fuses out-degree into PEval once, benchmarks/apps/pagerank/
     # pagerank.h PEval, and never re-fetches it).
     edges = g.out_edges.select("src", "dst")
+    salted = None
+    if hub_salts > 1:
+        from graphscope_spark.operators.skew import HubSaltedEdges
+
+        salted = HubSaltedEdges(
+            edges, key="src", n_salts=hub_salts, top_n=hub_top_n,
+            num_partitions=g.num_partitions,
+        )
     init = (
         g.vertices.select("id")
         .join(g.degrees.select("id", "out_deg"), "id", "left")
@@ -114,9 +132,13 @@ def pagerank(
         # the message exchange: one shuffle of contribs onto edge.src
         # partitioning, then the groupBy(dst) partial-aggregates map-side
         # (Spark hash agg = the Pregel combiner, pagerank_pregel.h:85-95).
+        sent = (
+            salted.message_join(contribs)
+            if salted is not None
+            else edges.join(contribs, "src")
+        )
         msgs = (
-            edges.join(contribs, "src")
-            .groupBy(F.col("dst").alias("id"))
+            sent.groupBy(F.col("dst").alias("id"))
             .agg(F.sum("contrib").alias("gathered"))
         )
         # the join on id re-partitions the new state by id; no extra
@@ -158,8 +180,11 @@ def pagerank(
         checkpoint_every=checkpoint_every,
         run_id=run_id,
     )
-    return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
-                      should_stop=should_stop, resume=resume)
+    res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                     should_stop=should_stop, resume=resume)
+    if salted is not None:
+        salted.unpersist()
+    return res
 
 
 def pagerank_block(

@@ -32,9 +32,17 @@ def wcc(
     checkpoint_every: int = 0,
     run_id: str | None = None,
     resume: bool = False,
+    hub_salts: int = 0,
+    hub_top_n: int = 16,
 ) -> SuperstepResult:
     """Returns state ``(id: long, comp: long, changed: boolean)``; ``comp``
-    is the min reachable vertex id. Callers typically select(id, comp)."""
+    is the min reachable vertex id. Callers typically select(id, comp).
+
+    ``hub_salts > 1``: statically split the top ``hub_top_n`` hubs' edge
+    blocks across salted partitions (operators/skew.py HubSaltedEdges) so
+    the per-round frontier join has no single-task hub straggler. Min is
+    order-independent, so the salted run is bit-identical to the plain
+    one."""
     spark = g.spark
     # both directions, symmetrized ONCE outside the loop — weak
     # connectivity ignores orientation (wcc_projected.h:92-106 iterates
@@ -51,7 +59,17 @@ def wcc(
         # double per-round message volume (min-agg keeps it correct but
         # wastes half the shuffle).
         both = e
-    both = both.repartition(g.num_partitions, "src").persist()
+    salted = None
+    if hub_salts > 1:
+        from graphscope_spark.operators.skew import HubSaltedEdges
+
+        # hub set over the symmetrized table: catches in- AND out-hubs
+        salted = HubSaltedEdges(
+            both, key="src", n_salts=hub_salts, top_n=hub_top_n,
+            num_partitions=g.num_partitions,
+        )
+    else:
+        both = both.repartition(g.num_partitions, "src").persist()
 
     init = g.vertices.select(
         "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
@@ -61,9 +79,13 @@ def wcc(
         frontier = state.filter("changed").select(
             F.col("id").alias("src"), "comp"
         )
+        sent = (
+            salted.message_join(frontier)
+            if salted is not None
+            else both.join(frontier, "src")
+        )
         mins = (
-            both.join(frontier, "src")
-            .groupBy(F.col("dst").alias("id"))
+            sent.groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("cand"))
         )
         return (
@@ -96,7 +118,10 @@ def wcc(
     # no-ops, so the termination vote runs every 2 rounds (check_every)
     res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
                      should_stop=should_stop, resume=resume, check_every=2)
-    both.unpersist()
+    if salted is not None:
+        salted.unpersist()
+    else:
+        both.unpersist()
     return res
 
 

@@ -85,3 +85,95 @@ def skew_isolated_join(
     return big_rest.join(small, key, how).unionByName(
         big_hub.join(F.broadcast(small_hub), key, how)
     )
+
+
+class HubSaltedEdges:
+    """Statically hub-split edge partitioning for iterative message joins.
+
+    The superstep join ``edges ⋈ messages on src`` streams the edge table
+    from a cache partitioned by ``src`` (graph.py persist_partitioned), so
+    a hub vertex's entire edge block lands in ONE task per round and AQE
+    cannot split it (no exchange on that side). This class re-keys the
+    cached edge table on ``(src, _salt)`` where hub rows get
+    ``hash(dst) % n_salts`` and tail rows get salt 0 — the hub's edges
+    spread over ``n_salts`` tasks *statically, once*, which is exactly
+    GRAPE's edge-cut hub splitting (docs/frag_intro.md outer vertices:
+    a hub's adjacency is physically divided across fragments and the
+    vertex is mirrored). Per round only the ≤``top_n`` hub message rows
+    are replicated ×n_salts; the tail joins 1:1. Join output is row-for-
+    row identical to the plain join.
+
+    Cost model at 100 TB: the salted repartition is one extra full edge
+    shuffle at load time; every subsequent superstep saves
+    ``(hub_share − 1/P)·E`` join work on the straggler task. For any run
+    of ≥2 rounds on a graph whose top hub exceeds a partition's share,
+    the trade wins.
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        key: str = "src",
+        n_salts: int = 8,
+        top_n: int = 16,
+        num_partitions: int | None = None,
+    ) -> None:
+        from graphscope_spark.graph import persist_partitioned
+
+        self.key = key
+        self.n_salts = n_salts
+        other = [c for c in edges.columns if c != key]
+        salt_src = F.xxhash64(*[F.col(c) for c in other]) if other else (
+            F.xxhash64(F.col(key)))
+        # hub set: the top_n heaviest keys (one agg, top-n heap),
+        # MATERIALIZED to a literal local DataFrame — it re-enters the
+        # plan every round, and an unevaluated lineage would re-aggregate
+        # the whole edge table per superstep. ≤ top_n rows, always
+        # broadcast.
+        hub_rows = [
+            (r[key],) for r in top_degree_keys(edges, key, top_n).collect()
+        ]
+        self.hub_marks = (
+            edges.sparkSession.createDataFrame(hub_rows, f"{key} long")
+            .select(key, F.lit(True).alias("_h"))
+        )
+        if num_partitions is None:
+            num_partitions = edges.rdd.getNumPartitions()
+        salted = (
+            edges.join(F.broadcast(self.hub_marks), key, "left")
+            .withColumn(
+                "_salt",
+                F.when(
+                    F.col("_h").isNotNull(),
+                    F.pmod(salt_src, F.lit(n_salts)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_h")
+            .repartition(num_partitions, key, "_salt")
+        )
+        self.edges = persist_partitioned(salted)
+        self.edges.count()  # materialize: supersteps must stream, not build
+
+    def message_join(self, msgs: DataFrame, how: str = "inner") -> DataFrame:
+        """``edges ⋈ msgs on (key, _salt)`` — msgs holds one row per key
+        (per-vertex message/state); hub keys' rows are replicated to every
+        salt, tail rows get salt 0, so each edge row matches exactly one
+        replica and the result equals the plain ``edges ⋈ msgs on key``
+        (modulo the extra _salt column, dropped here)."""
+        replicated = (
+            msgs.join(F.broadcast(self.hub_marks), self.key, "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("_h").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(self.n_salts - 1)),
+                    ).otherwise(F.array(F.lit(0))).cast("array<int>")
+                ),
+            )
+            .drop("_h")
+        )
+        return self.edges.join(replicated, [self.key, "_salt"], how).drop("_salt")
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()

@@ -225,6 +225,52 @@ def test_salted_join_parity_and_hub_isolation(spark, g, graph_data):
     assert sorted(map(tuple, isolated.collect())) == want
 
 
+def test_hub_salted_edges_parity(spark, g):
+    """HubSaltedEdges.message_join ≡ plain edges⋈msgs row-for-row, and the
+    salted table's hub rows actually spread across salts."""
+    from graphscope_spark.operators.skew import HubSaltedEdges
+
+    e = g.edges.select("src", "dst")
+    msgs = g.vertices.select(
+        F.col("id").alias("src"), (F.col("id") % 97).alias("m"))
+    want = sorted(map(tuple, e.join(msgs, "src").collect()))
+    hse = HubSaltedEdges(e, key="src", n_salts=4, top_n=4, num_partitions=8)
+    got = sorted(map(tuple, hse.message_join(msgs).collect()))
+    assert got == want
+    # the heaviest hub's rows occupy >1 salt (it has >1 distinct dst here)
+    top = hse.hub_marks.collect()[0]["src"]
+    n_salts_used = (
+        hse.edges.filter(F.col("src") == top).select("_salt").distinct().count()
+    )
+    assert n_salts_used > 1
+    hse.unpersist()
+
+
+def test_hub_salted_algorithms_parity(spark):
+    """pagerank/wcc with hub_salts on a star-skewed graph: wcc bit-equal,
+    pagerank allclose to the plain run."""
+    import math
+    from graphscope_spark.algorithms import pagerank, wcc
+
+    # hub 0 → all of 1..40, plus a tail chain 41→42→...→50
+    rows = [(0, i) for i in range(1, 41)] + [(i, i + 1) for i in range(41, 50)]
+    gg = Graph(spark.createDataFrame(rows, "src long, dst long"),
+               directed=True, num_partitions=8)
+    plain_pr = {r["id"]: r["rank"]
+                for r in pagerank(gg, max_iter=5).state.collect()}
+    salt_pr = {r["id"]: r["rank"]
+               for r in pagerank(gg, max_iter=5, hub_salts=4,
+                                 hub_top_n=2).state.collect()}
+    assert plain_pr.keys() == salt_pr.keys()
+    for k in plain_pr:
+        assert math.isclose(plain_pr[k], salt_pr[k], rel_tol=1e-12)
+    plain_cc = sorted((r["id"], r["comp"])
+                      for r in wcc(gg).state.collect())
+    salt_cc = sorted((r["id"], r["comp"])
+                     for r in wcc(gg, hub_salts=4, hub_top_n=2).state.collect())
+    assert plain_cc == salt_cc
+
+
 def test_vertex_range_slicing(spark):
     from graphscope_spark.operators import vertex_range
     df = spark.range(100).withColumnRenamed("id", "id")
