@@ -204,25 +204,29 @@ def pagerank_block(
     of the reference's fragment kernel (benchmarks/apps/pagerank/
     pagerank.h:82-199 iterates the CSR column index directly). Per round:
 
-      * the vertex state (V rows) shuffles onto the block key;
-      * each block runs repeat/bincount SpMV over its CSR buffers — the
-        per-edge work leaves the JVM row pipeline entirely and the
-        block-local bincount IS the map-side combiner;
-      * partial sums (≤ distinct dsts per block) shuffle once to finish
-        the combine, then join the state on id.
+      * the vertex state stays PACKED: B rows ``(blk, n, ids, ranks,
+        degs, dang)`` whose buffers hold the block's sorted vertex ids,
+        ranks, and out-degrees — Θ(B) Arrow rows per round, never Θ(V);
+      * each block's SpMV is sort-free: the dst-block index is
+        precomputed at pack time (csr.build_csr_blocks_indexed), so a
+        round is searchsorted + repeat + bincount — three linear passes;
+      * partial sums ship as ≤B packed buffers per source block, and the
+        receive side finishes the combine with one bincount directly
+        into the block's vertex slots;
+      * the dangling mass rides the state row as a scalar column — the
+        per-round allreduce is a SUM over B doubles.
 
-    Edges never move after the one-time pack. Shuffle volume per round is
-    therefore Θ(V), not Θ(E) tuples through a join — on the 8M-edge bench
-    probe this is the difference between ~1.5M and >10M edge-updates/s.
-    Scale contract: a block must fit one core's memory (the reference's
-    own per-fragment constraint) — size ``num_blocks`` accordingly.
+    Edges never move after the one-time pack; per-round row-shaped
+    shuffle volume is Θ(B²) packed rows whose total bytes are the
+    combined message volume. Bit-identical to the round-2 row-state
+    engine (same per-destination float add order). Scale contract: a
+    block must fit one core's memory (the reference's own per-fragment
+    constraint) — size ``num_blocks`` accordingly.
     """
     import numpy as np
     import pandas as pd
 
-    from graphscope_spark.csr import (
-        block_expr, build_csr_blocks, merge_packed, scatter_packed,
-    )
+    from graphscope_spark.csr import block_expr, build_csr_blocks_indexed
 
     spark = g.spark
     n = g.num_vertices
@@ -231,7 +235,27 @@ def pagerank_block(
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
     b = num_blocks or g.num_partitions
-    csr = build_csr_blocks(g, b, direction="out")
+    csr = build_csr_blocks_indexed(g, b)
+    teleport = (1.0 - alpha) / n
+
+    _STATE_SCHEMA = (
+        "blk int, n long, ids binary, ranks binary, degs binary, dang double"
+    )
+
+    def _pack_state(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy(np.int64)
+        ranks = pdf["rank"].to_numpy(np.float64)
+        degs = pdf["out_deg"].to_numpy(np.int64)
+        return pd.DataFrame([{
+            "blk": int(pdf["blk"].iloc[0]),
+            "n": int(ids.size),
+            "ids": ids.tobytes(),
+            "ranks": ranks.tobytes(),
+            "degs": degs.tobytes(),
+            "dang": float(ranks[degs == 0].sum()),
+        }])
+
     init = (
         g.vertices.select("id")
         .join(g.degrees.select("id", "out_deg"), "id", "left")
@@ -241,62 +265,116 @@ def pagerank_block(
             F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
             block_expr("id", b).alias("blk"),
         )
+        .groupBy("blk")
+        .applyInPandas(_pack_state, _STATE_SCHEMA)
+        .repartition(b, "blk")
     )
-    teleport = (1.0 - alpha) / n
+
+    _MSG_SCHEMA = "sblk int, dblk int, ids binary, sums binary"
+
+    def gather(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: the block's (single) indexed-CSR row; right: the block's
+        # (single) packed state row. Emits ≤B packed message rows.
+        empty = pd.DataFrame({
+            "sblk": pd.Series(dtype=np.int32),
+            "dblk": pd.Series(dtype=np.int32),
+            "ids": pd.Series(dtype=object),
+            "sums": pd.Series(dtype=object),
+        })
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        st = right.iloc[0]
+        ids = np.frombuffer(st["ids"], np.int64)
+        ranks = np.frombuffer(st["ranks"], np.float64)
+        degs = np.frombuffer(st["degs"], np.int64)
+        vals = np.divide(ranks, degs, out=np.zeros_like(ranks),
+                         where=degs > 0)
+        rows: list[dict] = []
+        for row in left.itertuples(index=False):
+            srcs = np.frombuffer(row.srcs, np.int64)
+            indptr = np.frombuffer(row.indptr, np.int64)
+            inv = np.frombuffer(row.inv, np.int32)
+            uniq = np.frombuffer(row.uniq, np.int64)
+            bounds = np.frombuffer(row.bounds, np.int64)
+            per_edge = np.repeat(vals[np.searchsorted(ids, srcs)],
+                                 np.diff(indptr))
+            sums = np.bincount(inv, weights=per_edge, minlength=uniq.size)
+            for d in range(bounds.size - 1):
+                lo, hi = bounds[d], bounds[d + 1]
+                if lo < hi:
+                    rows.append({
+                        "sblk": int(row.blk), "dblk": int(d),
+                        "ids": uniq[lo:hi].tobytes(),
+                        "sums": sums[lo:hi].tobytes(),
+                    })
+        return pd.DataFrame(rows) if rows else empty
 
     def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left: ≤B packed message buffers for this block; right: the
-        # block's vertex state rows (every row carries the broadcast
-        # dangling-mass scalar). Emits the block's next state.
+        # left: ≤B packed message buffers addressed to this block; right:
+        # the block's packed state row carrying the broadcast dangling
+        # scalar. Emits the block's next packed state row.
         if len(right) == 0:
-            return pd.DataFrame(columns=["id", "rank", "out_deg", "blk"])
-        ids = right["id"].to_numpy(np.int64)
-        dang = float(right["_dang"].iloc[0])
-        gathered = np.zeros(ids.size, np.float64)
-        mids, msums = merge_packed(left)
-        if mids.size:
-            order = np.argsort(ids, kind="mergesort")
-            pos = np.searchsorted(ids, mids, sorter=order)
-            gathered[order[pos]] = msums
+            return pd.DataFrame(
+                columns=["blk", "n", "ids", "ranks", "degs", "dang"])
+        st = right.iloc[0]
+        ids = np.frombuffer(st["ids"], np.int64)
+        degs = np.frombuffer(st["degs"], np.int64)
+        dang = float(st["_dang"])
+        if len(left):
+            left = left.sort_values("sblk", kind="mergesort")
+            mids = np.concatenate(
+                [np.frombuffer(x, np.int64) for x in left["ids"]])
+            msums = np.concatenate(
+                [np.frombuffer(x, np.float64) for x in left["sums"]])
+            pos = np.searchsorted(ids, mids)
+            gathered = np.bincount(pos, weights=msums, minlength=ids.size)
+        else:
+            gathered = np.zeros(ids.size, np.float64)
         rank = alpha * gathered + teleport + alpha * dang / n
-        return pd.DataFrame({
-            "id": ids,
-            "rank": rank,
-            "out_deg": right["out_deg"].to_numpy(np.int64),
-            "blk": right["blk"].to_numpy(np.int32),
-        })
+        return pd.DataFrame([{
+            "blk": int(st["blk"]),
+            "n": int(ids.size),
+            "ids": st["ids"],
+            "ranks": rank.tobytes(),
+            "degs": st["degs"],
+            "dang": float(rank[degs == 0].sum()),
+        }])
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        dang = state.filter(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        # scalar allreduce over B per-block dangling sums; broadcast into
+        # the receive side (no driver action of its own)
+        dang = state.agg(F.sum("dang").alias("_dang"))
+        packed = (
+            csr.groupby("blk")
+            .cogroup(state.groupby("blk"))
+            .applyInPandas(gather, _MSG_SCHEMA)
         )
-        # contribution evaluated JVM-side; 0 for dangling vertices (they
-        # are never CSR sources, the guard only dodges ANSI div-by-zero)
-        vals = state.select(
-            "blk", "id",
-            F.when(F.col("out_deg") > 0, F.col("rank") / F.col("out_deg"))
-            .otherwise(F.lit(0.0)).alias("val"),
-        )
-        packed = scatter_packed(csr, vals, b)
-        receivers = state.select("blk", "id", "out_deg").crossJoin(
-            F.broadcast(dang)
-        )
+        receivers = state.crossJoin(F.broadcast(dang))
         return (
             packed.groupby("dblk")
             .cogroup(receivers.groupby("blk"))
-            .applyInPandas(
-                update, "id long, rank double, out_deg long, blk int"
-            )
+            .applyInPandas(update, _STATE_SCHEMA)
         )
 
     metrics_fn = None
     should_stop = None
     if tol is not None:
+        def _l1_map(it):
+            tot = 0.0
+            for pdf in it:
+                for a, b_ in zip(pdf["_r0"], pdf["ranks"]):
+                    tot += float(np.abs(
+                        np.frombuffer(a, np.float64)
+                        - np.frombuffer(b_, np.float64)
+                    ).sum())
+            yield pd.DataFrame({"eps": [tot]})
+
         def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
             eps = (
-                new.withColumnRenamed("rank", "rank_new")
-                .join(prev.withColumnRenamed("rank", "rank_old"), "id")
-                .agg(F.sum(F.abs(F.col("rank_new") - F.col("rank_old"))))
+                prev.select("blk", F.col("ranks").alias("_r0"))
+                .join(new.select("blk", "ranks"), "blk")
+                .mapInPandas(_l1_map, "eps double")
+                .agg(F.coalesce(F.sum("eps"), F.lit(0.0)))
                 .first()[0]
             )
             return {"l1_delta": float(eps)}
@@ -304,17 +382,27 @@ def pagerank_block(
         def should_stop(m: dict) -> bool:
             return m["l1_delta"] < tol * n
 
-    # truncate EVERY round: chaining k rounds of cogroups lazily (the
-    # fixed-round fusion that helps the join engine at tiny scale) is
-    # pathological here — measured 2× slower at 8M edges/20 rounds than
-    # eager per-round materialization (nested Python stages recompute).
+    # truncate EVERY round: the state is B packed rows, so the eager
+    # materialization is near-free and keeps the nested Python cogroup
+    # stages from recomputing (measured 2× at 8M edges/20 rounds).
     runner = SuperstepRunner(spark, name="pagerank_block", truncate_every=1)
     res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
                      should_stop=should_stop)
     csr.unpersist()
+
+    def _unpack(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                yield pd.DataFrame({
+                    "id": np.frombuffer(row.ids, np.int64),
+                    "rank": np.frombuffer(row.ranks, np.float64),
+                    "out_deg": np.frombuffer(row.degs, np.int64),
+                })
+
+    state = res.state.mapInPandas(_unpack, "id long, rank double, out_deg long")
     return SuperstepResult(
-        state=res.state.select("id", "rank", "out_deg"),
-        rounds=res.rounds, metrics=res.metrics, run_id=res.run_id,
+        state=state, rounds=res.rounds, metrics=res.metrics,
+        run_id=res.run_id,
     )
 
 

@@ -542,3 +542,80 @@ def merge_packed_fmin(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     i_s, m_s = all_ids[o], all_mins[o]
     first = np.concatenate(([True], i_s[1:] != i_s[:-1]))
     return i_s[first], m_s[first]
+
+
+# --------------------------------------------------------------------- #
+# Indexed CSR blocks — the static dst-block index precomputed at pack
+# time so the per-round SpMV kernel is sort-free.
+# --------------------------------------------------------------------- #
+
+_PACK_IDX_SCHEMA = (
+    "blk int, n_src long, n_edge long, n_dst long, srcs binary, "
+    "indptr binary, inv binary, uniq binary, bounds binary"
+)
+
+
+def build_csr_blocks_indexed(g: Graph, num_blocks: int | None = None) -> DataFrame:
+    """Out-direction CSR blocks with the per-round-invariant structures
+    PRECOMPUTED: ``uniq`` = the block's distinct dsts sorted by
+    (dst_block, dst); ``inv`` = per-edge int32 index into ``uniq``;
+    ``bounds`` = the B+1 slice offsets of ``uniq`` by dst block. The
+    per-round sum-SpMV then needs no sort at all:
+
+        per_edge = repeat(val[searchsorted(ids, srcs)], diff(indptr))
+        sums     = bincount(inv, weights=per_edge)      # dblk-sorted
+        emit uniq[bounds[d]:bounds[d+1]], sums[...] per destination block
+
+    Bit-compatible with the :func:`scatter_packed` path: for every dst
+    the contributions add in the SAME (src,dst)-sorted edge order, and
+    the emitted ids per slice are ascending — identical buffers.
+
+    Pack cost: one np.unique per block (the one sort, paid once), same
+    one-shuffle build as :func:`build_csr_blocks`. Scale contract
+    unchanged: a block ≤ one core's memory, 2 GiB Arrow cap asserted.
+    """
+    b = num_blocks or g.num_partitions
+    e = g.out_edges.select("src", "dst")
+
+    def _pack_idx(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["blk", "n_src", "n_edge", "n_dst", "srcs",
+                         "indptr", "inv", "uniq", "bounds"]
+            )
+        if len(pdf) > _MAX_BLOCK_EDGES:
+            raise ValueError(
+                f"CSR block of {len(pdf)} edges exceeds the 2 GiB Arrow "
+                "binary cap; rebuild with more blocks (num_blocks)"
+            )
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        srcs, counts = np.unique(src, return_counts=True)
+        indptr = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        uniq, inv0 = np.unique(dst, return_inverse=True)
+        dblk = np.mod(uniq, b)
+        o = np.argsort(dblk, kind="mergesort")
+        rank_of = np.empty(o.size, np.int64)
+        rank_of[o] = np.arange(o.size)
+        inv = rank_of[inv0].astype(np.int32)
+        uniq_s = uniq[o]
+        bounds = np.searchsorted(dblk[o], np.arange(b + 1)).astype(np.int64)
+        return pd.DataFrame([{
+            "blk": int(pdf["blk"].iloc[0]),
+            "n_src": int(srcs.size),
+            "n_edge": int(dst.size),
+            "n_dst": int(uniq.size),
+            "srcs": srcs.tobytes(),
+            "indptr": indptr.tobytes(),
+            "inv": inv.tobytes(),
+            "uniq": uniq_s.tobytes(),
+            "bounds": bounds.tobytes(),
+        }])
+
+    blocks = (
+        e.withColumn("blk", block_expr("src", b))
+        .groupBy("blk")
+        .applyInPandas(_pack_idx, _PACK_IDX_SCHEMA)
+    )
+    return persist_partitioned(blocks.repartition(b, "blk"))
