@@ -1514,6 +1514,25 @@ def _q_node2vec(spark, sf_dir):
                               starts=starts)
 
 
+def _q_graphar_roundtrip(spark, sf_dir):
+    """GraphAr v1 archive → reload → edge set. Hash-equality vs the plain
+    edge-derivation SQL proves the layout loses nothing (positional
+    internal ids, adj-list chunks, offsets all consistent). Reference
+    contract: dag_utils.py:1085-1113 save_to_graphar / test_graphar.py."""
+    import tempfile
+
+    from graphscope_spark.sources.graphar import (
+        load_from_graphar, save_to_graphar,
+    )
+
+    g = tg.copurchase_graph(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="gar_gate_")
+    uri = save_to_graphar(g, d + "/gar", vertex_chunk_size=1024,
+                          edge_chunk_size=4096)
+    g2 = load_from_graphar(spark, uri)
+    return g2.edges.select("src", "dst")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate hashes the FIRST 50
     # entries only, so the window is curated — slots 1-15 carry the
@@ -1616,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_no_out": _q_gremlin_no_out,
         "gremlin_match": _q_gremlin_match,
         "property_project": _q_property_project,
+        "graphar_roundtrip": _q_graphar_roundtrip,
         # round-2 additions
         "ppr": _q_ppr,
         "articlerank": _q_articlerank,
@@ -1715,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": tg.edges_sql(),
+        "graphar_roundtrip": tg.edges_sql(),
         "graph_degrees": tg.degrees_sql(),
         "pagerank": tg.pagerank_sql(rounds=10, directed=False),
         "pagerank_push": tg.pagerank_push_sql(rounds=10, directed=False),

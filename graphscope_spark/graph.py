@@ -447,6 +447,42 @@ class Graph:
             assume_symmetric=True,
         )
 
+    def save_to(self, path: str, format: str = "graphar", **kwargs) -> dict:
+        """Reference-parity archive facade (python/graphscope/framework/
+        graph.py save_to / dag_utils.py:1085-1113 save_to_graphar):
+        ``format="graphar"`` emits the GraphAr v1 layout and returns
+        ``{"type": "graphar", "URI": "graphar+file://..."}``; any other
+        format falls back to the plain parquet archive (:meth:`save`).
+        GraphAr knobs use the reference's kwarg names
+        (``graphar_graph_name``, ``graphar_vertex_chunk_size``,
+        ``graphar_edge_chunk_size`` — test_graphar.py:36-48)."""
+        if format == "graphar":
+            from graphscope_spark.sources.graphar import save_to_graphar
+
+            uri = save_to_graphar(
+                self, path,
+                name=kwargs.get("graphar_graph_name", "graph"),
+                vertex_chunk_size=kwargs.get(
+                    "graphar_vertex_chunk_size", 1 << 18),
+                edge_chunk_size=kwargs.get(
+                    "graphar_edge_chunk_size", 1 << 20),
+            )
+            return {"type": "graphar", "URI": uri}
+        self.save(path, mode=kwargs.get("mode", "error"))
+        return {"type": format, "URI": f"file://{path}"}
+
+    @classmethod
+    def load_from(cls, uri: str, sess: SparkSession,
+                  num_partitions: int | None = None) -> "Graph":
+        """Reference-parity restore: ``graphar+file://`` URIs route to the
+        GraphAr reader, anything else to the plain parquet archive."""
+        if uri.startswith("graphar"):
+            from graphscope_spark.sources.graphar import load_from_graphar
+
+            return load_from_graphar(sess, uri, num_partitions)
+        path = uri[len("file://"):] if uri.startswith("file://") else uri
+        return cls.load(sess, path, num_partitions)
+
     def save_bucketed(self, name: str, mode: str = "error") -> None:
         """Archive this graph as BUCKETED catalog tables: edges bucketed +
         sorted by ``src`` into ``num_partitions`` buckets (``<name>_edges``),

@@ -5,8 +5,8 @@ The static-plan skew regime (operators/skew.py): the per-superstep message
 join streams the edge table from a cache partitioned by src, so a hub
 vertex's whole adjacency is ONE task per round and AQE cannot split it.
 This script generates a deterministic power-law-ish link graph whose top
-hubs hold a partition-dwarfing share of the edges (hub0 8%, hub1 4%,
-hub2 2%, hub3 1% — the classic web super-node shape) plus a uniform
+hubs hold a partition-dwarfing share of the edges (hub0 20%, hub1 8%,
+hub2 4%, hub3 2% — the classic web super-node shape) plus a uniform
 control graph, and runs pagerank / wcc with and without
 ``hub_salts`` in separate JVMs. The claim under test:
 
@@ -52,16 +52,16 @@ base = spark.range(n_edges)
 h = F.xxhash64(F.col("id"))
 h2 = F.xxhash64(F.col("id"), F.lit(1))
 if {skewed}:
-    # power-law head: hub vertex 0 holds 8% of ALL edges as src, hub 1
-    # holds 4%, hub 2 2%, hub 3 1% (≈ zipf alpha~2 head over the top
-    # ranks); the 85% tail is uniform. At P=cpus partitions the top
-    # hub's block is ~{pct}x the average partition — the static-plan
-    # straggler this bench exists to show.
+    # power-law head: hub vertex 0 holds 20% of ALL edges as src, hub 1
+    # holds 8%, hub 2 4%, hub 3 2% (a web super-node head); the 66% tail
+    # is uniform. At P=cpus partitions the top hub's block is ~{pct}x the
+    # average partition — the static-plan straggler this bench exists to
+    # show (AQE cannot split it: the edge side streams from a cache).
     r = F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(100))
-    src = (F.when(r < 8, F.lit(0))
-            .when(r < 12, F.lit(1))
-            .when(r < 14, F.lit(2))
-            .when(r < 15, F.lit(3))
+    src = (F.when(r < 20, F.lit(0))
+            .when(r < 28, F.lit(1))
+            .when(r < 32, F.lit(2))
+            .when(r < 34, F.lit(3))
             .otherwise(F.pmod(h, F.lit(nv))))
 else:
     src = F.pmod(h, F.lit(nv))
@@ -122,7 +122,7 @@ def run_leg(algo: str, skewed: bool, salts: int, n_edges: int, cpus: int,
             rounds: int) -> dict:
     code = WORKER.format(repo=REPO, cpus=cpus, n_edges=n_edges,
                          rounds=rounds, skewed=skewed, salts=salts,
-                         algo=algo, pct=round(0.08 * cpus, 1))
+                         algo=algo, pct=round(0.20 * cpus, 1))
     env = dict(os.environ)
     env.pop("SPARK_TEST_CPUS", None)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
