@@ -44,6 +44,7 @@ def pagerank(
     init_state: DataFrame | None = None,
     hub_salts: int = 0,
     hub_top_n: int = 16,
+    hub_isolate: bool = False,
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is ``(id: long, rank: double,
     out_deg: long)`` (out_deg rides along so no per-round degree join).
@@ -55,6 +56,13 @@ def pagerank(
     whole adjacency to 1/n_salts of it, for one extra edge shuffle at
     setup. Same fixpoint; float sum order within a destination may differ
     at the ulp level (partial-aggregation partitioning changes).
+
+    ``hub_isolate=True`` instead splits off MEASURED hubs (edge block >
+    a partition's share) into an evenly-spread cache joined per round by
+    broadcasting the ≤hub_top_n hub message rows (operators/skew.py
+    HubIsolatedEdges). Unlike salting it re-keys nothing on a
+    skew-free input (empty hub set → exactly the plain join), so it's
+    the default remedy to reach for; mutually exclusive with hub_salts.
 
     ``tol=None`` reproduces the fixed-round app; ``tol`` set reproduces
     pagerank_nx L1 convergence (alpha=0.85, max_iter=100, tol=1e-6 defaults
@@ -79,7 +87,16 @@ def pagerank(
     # pagerank.h PEval, and never re-fetches it).
     edges = g.out_edges.select("src", "dst")
     salted = None
-    if hub_salts > 1:
+    if hub_isolate:
+        from graphscope_spark.operators.skew import HubIsolatedEdges
+
+        # out_edges is already src-partitioned+sorted: the tail streams
+        # the existing cache through a filter, no new edge shuffle at all
+        salted = HubIsolatedEdges(
+            edges, key="src", top_n=hub_top_n,
+            num_partitions=g.num_partitions, pre_partitioned=True,
+        )
+    elif hub_salts > 1:
         from graphscope_spark.operators.skew import HubSaltedEdges
 
         salted = HubSaltedEdges(

@@ -34,6 +34,7 @@ def wcc(
     resume: bool = False,
     hub_salts: int = 0,
     hub_top_n: int = 16,
+    hub_isolate: bool = False,
 ) -> SuperstepResult:
     """Returns state ``(id: long, comp: long, changed: boolean)``; ``comp``
     is the min reachable vertex id. Callers typically select(id, comp).
@@ -42,7 +43,9 @@ def wcc(
     blocks across salted partitions (operators/skew.py HubSaltedEdges) so
     the per-round frontier join has no single-task hub straggler. Min is
     order-independent, so the salted run is bit-identical to the plain
-    one."""
+    one. ``hub_isolate=True``: broadcast-isolate MEASURED hubs instead
+    (operators/skew.py HubIsolatedEdges) — no salt re-key, degrades to
+    the plain join when no key exceeds a partition's share."""
     spark = g.spark
     # both directions, symmetrized ONCE outside the loop — weak
     # connectivity ignores orientation (wcc_projected.h:92-106 iterates
@@ -60,7 +63,15 @@ def wcc(
         # wastes half the shuffle).
         both = e
     salted = None
-    if hub_salts > 1:
+    if hub_isolate:
+        from graphscope_spark.operators.skew import HubIsolatedEdges
+
+        # hub set over the symmetrized table: catches in- AND out-hubs
+        salted = HubIsolatedEdges(
+            both, key="src", top_n=hub_top_n,
+            num_partitions=g.num_partitions,
+        )
+    elif hub_salts > 1:
         from graphscope_spark.operators.skew import HubSaltedEdges
 
         # hub set over the symmetrized table: catches in- AND out-hubs

@@ -87,6 +87,98 @@ def skew_isolated_join(
     )
 
 
+class HubIsolatedEdges:
+    """Hub-ISOLATION edge partitioning for iterative message joins — the
+    broadcast cousin of :class:`HubSaltedEdges`, and the cheaper remedy
+    when hubs are few and extreme (the web super-node case).
+
+    Split at pack time on MEASURED skew: keys whose edge block exceeds
+    ``min_share`` × (E / num_partitions) become hubs. Hub edges get their
+    own cache spread EVENLY over all partitions (round-robin — since the
+    hub join needs no key partitioning at all); tail edges keep the
+    standard src-partitioned sorted cache. Per round:
+
+      * tail: plain sort-merge join, messages filtered by a ≤top_n-literal
+        predicate (hub messages never shuffle);
+      * hub: the ≤top_n hub message rows BROADCAST onto the evenly-spread
+        hub cache — perfectly balanced, no replication factor to tune.
+
+    On an input with NO dominant key the hub set is EMPTY and
+    ``message_join`` degrades to exactly the plain join — the
+    does-not-hurt-uniform property holds by construction, unlike salting
+    (whose (key,_salt) re-key + per-round replica explode costs ~45% on a
+    uniform 20M-edge input, BENCH/skew_runs.jsonl). Reference analog:
+    GRAPE mirrors high-degree vertices across fragments and routes their
+    messages by broadcast rather than point-to-point
+    (docs/frag_intro.md outer vertices).
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        key: str = "src",
+        top_n: int = 16,
+        num_partitions: int | None = None,
+        min_share: float = 1.0,
+        pre_partitioned: bool = False,
+    ) -> None:
+        from graphscope_spark.graph import persist_partitioned
+
+        self.key = key
+        if num_partitions is None:
+            num_partitions = edges.rdd.getNumPartitions()
+        total = edges.count()
+        threshold = max(1.0, min_share * total / num_partitions)
+        self.hub_keys = sorted(
+            r[key]
+            for r in top_degree_keys(edges, key, top_n).collect()
+            if r["deg"] > threshold
+        )
+        if not self.hub_keys:
+            # no measured skew: stream the caller's cache untouched
+            self.tail = (
+                edges if pre_partitioned
+                else persist_partitioned(
+                    edges.repartition(num_partitions, key)
+                    .sortWithinPartitions(key))
+            )
+            self.hub_edges = None
+            return
+        is_hub = F.col(key).isin(self.hub_keys)
+        # tail keeps (or gets) the standard CSR-contract cache; when the
+        # caller's cache is already src-partitioned the filter streams it
+        # with partitioning AND ordering preserved — no new tail cache.
+        self.tail = (
+            edges.filter(~is_hub) if pre_partitioned
+            else persist_partitioned(
+                edges.filter(~is_hub).repartition(num_partitions, key)
+                .sortWithinPartitions(key))
+        )
+        self.hub_edges = persist_partitioned(
+            edges.filter(is_hub).repartition(num_partitions)
+        )
+        self.hub_edges.count()
+
+    def message_join(self, msgs: DataFrame, how: str = "inner") -> DataFrame:
+        """Row-for-row equal to ``edges ⋈ msgs on key`` (union order — and
+        hence float partial-sum order downstream — may differ)."""
+        if self.hub_edges is None:
+            return self.tail.join(msgs, self.key, how)
+        is_hub = F.col(self.key).isin(self.hub_keys)
+        tail = self.tail.join(msgs.filter(~is_hub), self.key, how)
+        hub = self.hub_edges.join(
+            F.broadcast(msgs.filter(is_hub)), self.key, how)
+        return tail.unionByName(hub)
+
+    def unpersist(self) -> None:
+        for df in (self.tail, self.hub_edges):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+
 class HubSaltedEdges:
     """Statically hub-split edge partitioning for iterative message joins.
 

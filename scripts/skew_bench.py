@@ -84,10 +84,12 @@ def totals(ss):
 before = stages()
 seen = {{s["stageId"] for s in before}}
 t0 = time.monotonic()
+kw = dict(hub_isolate=True) if "{mode}" == "isolate" else dict(
+    hub_salts={salts})
 if "{algo}" == "pagerank":
-    res = pagerank(g, alpha=0.85, max_iter=rounds, hub_salts={salts})
+    res = pagerank(g, alpha=0.85, max_iter=rounds, **kw)
 else:
-    res = wcc(g, max_iter=rounds, hub_salts={salts})
+    res = wcc(g, max_iter=rounds, **kw)
 res.state.write.format("noop").mode("overwrite").save()
 wall = time.monotonic() - t0
 after = stages()
@@ -119,10 +121,10 @@ spark.stop()
 
 
 def run_leg(algo: str, skewed: bool, salts: int, n_edges: int, cpus: int,
-            rounds: int) -> dict:
+            rounds: int, mode: str = "salt") -> dict:
     code = WORKER.format(repo=REPO, cpus=cpus, n_edges=n_edges,
                          rounds=rounds, skewed=skewed, salts=salts,
-                         algo=algo, pct=round(0.20 * cpus, 1))
+                         algo=algo, mode=mode, pct=round(0.20 * cpus, 1))
     env = dict(os.environ)
     env.pop("SPARK_TEST_CPUS", None)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -132,7 +134,8 @@ def run_leg(algo: str, skewed: bool, salts: int, n_edges: int, cpus: int,
         raise SystemExit(f"leg failed: {algo} skewed={skewed} salts={salts}")
     row = json.loads(out.stdout.strip().splitlines()[-1])
     row.update({"algo": algo, "skewed": skewed, "hub_salts": salts,
-                "edges": n_edges, "cpus": cpus, "rounds": rounds})
+                "edges": n_edges, "cpus": cpus, "rounds": rounds,
+                "mode": mode})
     return row
 
 
@@ -142,15 +145,23 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument("--modes", default="plain,salt,isolate",
+                    help="comma list of plain/salt/isolate legs to run")
     args = ap.parse_args()
+    wanted = set(args.modes.split(","))
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
 
     rows = []
     for algo in ("pagerank", "wcc"):
         for skewed in (True, False):
-            for salts in (0, args.salts):
+            legs = [("plain", 0), ("salt", args.salts), ("isolate", 0)]
+            for mode, salts in legs:
+                if mode not in wanted:
+                    continue
+                if mode == "plain":
+                    mode, salts = "salt", 0  # salts=0 → plain join path
                 row = run_leg(algo, skewed, salts, args.edges, args.cpus,
-                              args.rounds)
+                              args.rounds, mode=mode)
                 rows.append(row)
                 print(json.dumps(row))
     with open(os.path.join(REPO, "BENCH", "skew_runs.jsonl"), "a") as f:

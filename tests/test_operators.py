@@ -271,6 +271,67 @@ def test_hub_salted_algorithms_parity(spark):
     assert plain_cc == salt_cc
 
 
+def test_hub_isolated_edges_parity(spark, g):
+    """HubIsolatedEdges.message_join ≡ plain edges⋈msgs row-for-row; the
+    hub set is measured (share-based), and a uniform input yields an
+    EMPTY hub set (the does-not-hurt guarantee is structural)."""
+    from graphscope_spark.operators.skew import HubIsolatedEdges
+
+    e = g.edges.select("src", "dst")
+    msgs = g.vertices.select(
+        F.col("id").alias("src"), (F.col("id") % 97).alias("m"))
+    want = sorted(map(tuple, e.join(msgs, "src").collect()))
+    # min_share=0 forces every top-n key into the hub set → exercises
+    # the split path even on a smallish fixture
+    hie = HubIsolatedEdges(e, key="src", top_n=4, num_partitions=8,
+                           min_share=0.0)
+    assert len(hie.hub_keys) > 0
+    got = sorted(map(tuple, hie.message_join(msgs).collect()))
+    assert got == want
+    # left joins must keep unmatched edge rows exactly once too
+    sub = msgs.filter(F.col("src") % 2 == 0)
+    want_left = sorted(map(tuple, e.join(sub, "src", "left").collect()))
+    got_left = sorted(map(tuple, hie.message_join(sub, "left").collect()))
+    assert got_left == want_left
+    hie.unpersist()
+
+    # perfectly uniform input: every key has the same block size, nobody
+    # exceeds min_share×(E/P) with the default share → hub set empty,
+    # message_join IS the plain join
+    uni = spark.range(64).select(
+        (F.col("id") % 8).alias("src"), F.col("id").alias("dst"))
+    hie2 = HubIsolatedEdges(uni, key="src", num_partitions=4)
+    assert hie2.hub_keys == [] and hie2.hub_edges is None
+    umsgs = spark.range(8).select(F.col("id").alias("src"),
+                                  F.lit(1).alias("m"))
+    assert hie2.message_join(umsgs).count() == 64
+    hie2.unpersist()
+
+
+def test_hub_isolated_algorithms_parity(spark):
+    """pagerank/wcc with hub_isolate on a star-skewed graph: wcc bit-equal
+    (min is order-free), pagerank allclose to the plain run."""
+    import math
+    from graphscope_spark.algorithms import pagerank, wcc
+
+    rows = [(0, i) for i in range(1, 41)] + [(i, i + 1) for i in range(41, 50)]
+    gg = Graph(spark.createDataFrame(rows, "src long, dst long"),
+               directed=True, num_partitions=4)
+    plain_pr = {r["id"]: r["rank"]
+                for r in pagerank(gg, max_iter=5).state.collect()}
+    iso_pr = {r["id"]: r["rank"]
+              for r in pagerank(gg, max_iter=5, hub_isolate=True,
+                                hub_top_n=2).state.collect()}
+    assert plain_pr.keys() == iso_pr.keys()
+    for k in plain_pr:
+        assert math.isclose(plain_pr[k], iso_pr[k], rel_tol=1e-12)
+    plain_cc = sorted((r["id"], r["comp"]) for r in wcc(gg).state.collect())
+    iso_cc = sorted((r["id"], r["comp"])
+                    for r in wcc(gg, hub_isolate=True,
+                                 hub_top_n=2).state.collect())
+    assert plain_cc == iso_cc
+
+
 def test_vertex_range_slicing(spark):
     from graphscope_spark.operators import vertex_range
     df = spark.range(100).withColumnRenamed("id", "id")
