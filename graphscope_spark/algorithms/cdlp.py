@@ -92,19 +92,19 @@ def cdlp_block(
 
     The join engine's per-round ``groupBy(id, label).count`` + window
     argmax shuffles Θ(E) message rows then Θ(distinct (id,label)) count
-    rows. Here each CSR block run-length-counts its own (dst, label)
-    pairs in numpy (the map-side partial of the histogram), ships them as
-    ≤B packed (ids, labels, counts) buffers per block, and the receive
-    cogroup finishes the count-sum + (count DESC, label ASC) argmax —
-    integer arithmetic throughout, so the result is deterministic and
-    hash-matches the join engine's SQL twin exactly."""
+    rows. Here each block run-length-counts its own (dst, label) pairs
+    in numpy against the FRAGMENT-LOCAL mmap'd adjacency
+    (csr.spill_csr_blocks_indexed — edges cross Arrow exactly once, at
+    pack time), ships them as ≤B packed (ids, labels, counts) buffers
+    per block, and the receive cogroup finishes the count-sum +
+    (count DESC, label ASC) argmax — integer arithmetic throughout, so
+    the result is deterministic and hash-matches the join engine's SQL
+    twin exactly."""
     import numpy as np
     import pandas as pd
 
-    from graphscope_spark.csr import (
-        argmax_packed_labels, block_expr, build_csr_blocks,
-        scatter_packed_counts,
-    )
+    from graphscope_spark import csr as csrmod
+    from graphscope_spark.csr import argmax_packed_labels, block_expr
 
     spark = g.spark
     if g.num_vertices == 0:
@@ -112,7 +112,7 @@ def cdlp_block(
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
     b = num_blocks or g.num_partitions
-    csr = build_csr_blocks(g, b, direction="both")
+    sd, _ = csrmod.spill_csr_blocks_indexed(g, b, direction="both")
     init = g.vertices.select(
         "id", F.col("id").alias("label"), block_expr("id", b).alias("blk")
     )
@@ -135,7 +135,7 @@ def cdlp_block(
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
         vals = state.select("blk", "id", F.col("label").alias("val"))
-        packed = scatter_packed_counts(csr, vals, b)
+        packed = csrmod.scatter_spilled_counts(vals, sd, b)
         return (
             packed.groupby("dblk")
             .cogroup(state.groupby("blk"))
@@ -144,7 +144,7 @@ def cdlp_block(
 
     runner = SuperstepRunner(spark, name="cdlp_block", truncate_every=1)
     res = runner.run(init, step, max_iter)
-    csr.unpersist()
+    csrmod.cleanup_spill(sd)
     return SuperstepResult(
         state=res.state.select("id", "label"),
         rounds=res.rounds, metrics=res.metrics, run_id=res.run_id,

@@ -210,40 +210,50 @@ def pagerank_block(
     max_iter: int = 10,
     tol: float | None = None,
     num_blocks: int | None = None,
+    spill_dir: str | None = None,
 ) -> SuperstepResult:
-    """PageRank over hash-partitioned CSR block DataFrames — identical
-    semantics (and fixpoint) to :func:`pagerank`, different physical plan.
+    """PageRank over hash-partitioned CSR blocks — identical semantics
+    (and fixpoint) to :func:`pagerank`, different physical plan.
 
     Where :func:`pagerank` expresses the gather as ``edges ⋈ contribs →
     groupBy(dst)`` (tuple-at-a-time over E rows in the JVM each round),
-    this variant walks a packed CSR (graphscope_spark/csr.py) with numpy
-    inside one Arrow-batched cogroup per round — the gather-scatter loop
-    of the reference's fragment kernel (benchmarks/apps/pagerank/
-    pagerank.h:82-199 iterates the CSR column index directly). Per round:
+    this variant walks a packed indexed CSR with numpy inside Arrow-batched
+    grouped UDFs — the gather-scatter loop of the reference's fragment
+    kernel (benchmarks/apps/pagerank/pagerank.h:82-199 iterates the CSR
+    column index directly). The adjacency is FRAGMENT-LOCAL
+    (csr.spill_csr_blocks_indexed): packed once to .npy spill files and
+    mmap'd read-only by the Python workers, so edges cross the
+    JVM↔Python Arrow boundary exactly ONCE — the per-round dataflow is
 
-      * the vertex state stays PACKED: B rows ``(blk, n, ids, ranks,
-        degs, dang)`` whose buffers hold the block's sorted vertex ids,
-        ranks, and out-degrees — Θ(B) Arrow rows per round, never Θ(V);
-      * each block's SpMV is sort-free: the dst-block index is
-        precomputed at pack time (csr.build_csr_blocks_indexed), so a
-        round is searchsorted + repeat + bincount — three linear passes;
-      * partial sums ship as ≤B packed buffers per source block, and the
+      * the vertex state stays PACKED and MINIMAL: B rows ``(blk, n,
+        ranks, dang)`` — the invariant (vids, degs) arrays are spilled
+        at init and mmap'd, so a round moves Θ(V)·8 bytes of rank
+        buffer, never ids/degs, never edges;
+      * each block's SpMV is sort-free: searchsorted + repeat + bincount
+        over the mmap'd (srcs, indptr, inv) — three linear passes, with
+        the dst-block index (uniq, bounds) precomputed at pack time;
+      * partial sums ship as ≤B packed buffers per source block; the
         receive side finishes the combine with one bincount directly
         into the block's vertex slots;
       * the dangling mass rides the state row as a scalar column — the
         per-round allreduce is a SUM over B doubles.
 
-    Edges never move after the one-time pack; per-round row-shaped
-    shuffle volume is Θ(B²) packed rows whose total bytes are the
-    combined message volume. Bit-identical to the round-2 row-state
-    engine (same per-destination float add order). Scale contract: a
-    block must fit one core's memory (the reference's own per-fragment
-    constraint) — size ``num_blocks`` accordingly.
+    Deterministic: reruns are bit-identical (contributions accumulate in
+    (src,dst)-sorted edge order, buffers merge in sblk order — no
+    partition-order dependence). vs the join engine the per-destination
+    float add order differs at the ulp level only (gate twin rounds to 8
+    decimals; rel diff ~1e-16 measured). Scale contract: a block must
+    fit one core's memory (the reference's own per-fragment constraint)
+    — size ``num_blocks`` ≈ E / 10⁷⁻⁸; ``spill_dir`` must be visible to
+    every executor (node-local here; HDFS/NFS on a multi-node cluster —
+    the same locality decision vineyard makes for fragments,
+    docs/frag_intro.md).
     """
     import numpy as np
     import pandas as pd
 
-    from graphscope_spark.csr import block_expr, build_csr_blocks_indexed
+    from graphscope_spark import csr as csrmod
+    from graphscope_spark.csr import block_expr
 
     spark = g.spark
     n = g.num_vertices
@@ -252,78 +262,76 @@ def pagerank_block(
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
     b = num_blocks or g.num_partitions
-    csr = build_csr_blocks_indexed(g, b)
+    sd, _ = csrmod.spill_csr_blocks_indexed(g, b, spill_dir)
     teleport = (1.0 - alpha) / n
 
-    _STATE_SCHEMA = (
-        "blk int, n long, ids binary, ranks binary, degs binary, dang double"
+    vdf = (
+        g.vertices.select("id")
+        .join(g.degrees.select("id", "out_deg"), "id", "left")
+        .select("id", F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"))
     )
+    csrmod.spill_vertex_arrays(vdf, sd, b)
 
-    def _pack_state(pdf: pd.DataFrame) -> pd.DataFrame:
+    _STATE_SCHEMA = "blk int, n long, ranks binary, dang double"
+
+    def _init_state(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", kind="mergesort")
-        ids = pdf["id"].to_numpy(np.int64)
-        ranks = pdf["rank"].to_numpy(np.float64)
         degs = pdf["out_deg"].to_numpy(np.int64)
+        ranks = np.full(len(pdf), 1.0 / n, np.float64)
         return pd.DataFrame([{
             "blk": int(pdf["blk"].iloc[0]),
-            "n": int(ids.size),
-            "ids": ids.tobytes(),
+            "n": int(len(pdf)),
             "ranks": ranks.tobytes(),
-            "degs": degs.tobytes(),
             "dang": float(ranks[degs == 0].sum()),
         }])
 
     init = (
-        g.vertices.select("id")
-        .join(g.degrees.select("id", "out_deg"), "id", "left")
-        .select(
-            "id",
-            F.lit(1.0 / n).alias("rank"),
-            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
-            block_expr("id", b).alias("blk"),
-        )
+        vdf.withColumn("blk", block_expr("id", b))
         .groupBy("blk")
-        .applyInPandas(_pack_state, _STATE_SCHEMA)
+        .applyInPandas(_init_state, _STATE_SCHEMA)
         .repartition(b, "blk")
     )
 
     _MSG_SCHEMA = "sblk int, dblk int, ids binary, sums binary"
 
-    def gather(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left: the block's (single) indexed-CSR row; right: the block's
-        # (single) packed state row. Emits ≤B packed message rows.
+    def gather(key, pdf):
+        # pdf: the block's (single) packed state row; adjacency and the
+        # block's sorted vertex ids/degrees come from the worker-local
+        # mmap — nothing edge-shaped enters through Arrow.
         empty = pd.DataFrame({
             "sblk": pd.Series(dtype=np.int32),
             "dblk": pd.Series(dtype=np.int32),
             "ids": pd.Series(dtype=object),
             "sums": pd.Series(dtype=object),
         })
-        if len(left) == 0 or len(right) == 0:
+        blk = int(key[0])
+        buf = csrmod.load_spilled_block(sd, blk)
+        if buf is None or len(pdf) == 0:
             return empty
-        st = right.iloc[0]
-        ids = np.frombuffer(st["ids"], np.int64)
+        vb = csrmod.load_spilled_vertices(sd, blk)
+        st = pdf.iloc[0]
+        ids = vb["vids"]
+        degs = vb["degs"]
         ranks = np.frombuffer(st["ranks"], np.float64)
-        degs = np.frombuffer(st["degs"], np.int64)
         vals = np.divide(ranks, degs, out=np.zeros_like(ranks),
                          where=degs > 0)
+        srcs = buf["srcs"]
+        indptr = buf["indptr"]
+        inv = buf["inv"]
+        uniq = buf["uniq"]
+        bounds = buf["bounds"]
+        per_edge = np.repeat(vals[np.searchsorted(ids, srcs)],
+                             np.diff(indptr))
+        sums = np.bincount(inv, weights=per_edge, minlength=uniq.size)
         rows: list[dict] = []
-        for row in left.itertuples(index=False):
-            srcs = np.frombuffer(row.srcs, np.int64)
-            indptr = np.frombuffer(row.indptr, np.int64)
-            inv = np.frombuffer(row.inv, np.int32)
-            uniq = np.frombuffer(row.uniq, np.int64)
-            bounds = np.frombuffer(row.bounds, np.int64)
-            per_edge = np.repeat(vals[np.searchsorted(ids, srcs)],
-                                 np.diff(indptr))
-            sums = np.bincount(inv, weights=per_edge, minlength=uniq.size)
-            for d in range(bounds.size - 1):
-                lo, hi = bounds[d], bounds[d + 1]
-                if lo < hi:
-                    rows.append({
-                        "sblk": int(row.blk), "dblk": int(d),
-                        "ids": uniq[lo:hi].tobytes(),
-                        "sums": sums[lo:hi].tobytes(),
-                    })
+        for d in range(bounds.size - 1):
+            lo, hi = bounds[d], bounds[d + 1]
+            if lo < hi:
+                rows.append({
+                    "sblk": blk, "dblk": int(d),
+                    "ids": np.ascontiguousarray(uniq[lo:hi]).tobytes(),
+                    "sums": sums[lo:hi].tobytes(),
+                })
         return pd.DataFrame(rows) if rows else empty
 
     def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -331,11 +339,12 @@ def pagerank_block(
         # the block's packed state row carrying the broadcast dangling
         # scalar. Emits the block's next packed state row.
         if len(right) == 0:
-            return pd.DataFrame(
-                columns=["blk", "n", "ids", "ranks", "degs", "dang"])
+            return pd.DataFrame(columns=["blk", "n", "ranks", "dang"])
         st = right.iloc[0]
-        ids = np.frombuffer(st["ids"], np.int64)
-        degs = np.frombuffer(st["degs"], np.int64)
+        blk = int(st["blk"])
+        vb = csrmod.load_spilled_vertices(sd, blk)
+        ids = vb["vids"]
+        degs = vb["degs"]
         dang = float(st["_dang"])
         if len(left):
             left = left.sort_values("sblk", kind="mergesort")
@@ -349,23 +358,17 @@ def pagerank_block(
             gathered = np.zeros(ids.size, np.float64)
         rank = alpha * gathered + teleport + alpha * dang / n
         return pd.DataFrame([{
-            "blk": int(st["blk"]),
+            "blk": blk,
             "n": int(ids.size),
-            "ids": st["ids"],
             "ranks": rank.tobytes(),
-            "degs": st["degs"],
-            "dang": float(rank[degs == 0].sum()),
+            "dang": float(rank[np.asarray(degs) == 0].sum()),
         }])
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
         # scalar allreduce over B per-block dangling sums; broadcast into
         # the receive side (no driver action of its own)
         dang = state.agg(F.sum("dang").alias("_dang"))
-        packed = (
-            csr.groupby("blk")
-            .cogroup(state.groupby("blk"))
-            .applyInPandas(gather, _MSG_SCHEMA)
-        )
+        packed = state.groupBy("blk").applyInPandas(gather, _MSG_SCHEMA)
         receivers = state.crossJoin(F.broadcast(dang))
         return (
             packed.groupby("dblk")
@@ -405,18 +408,24 @@ def pagerank_block(
     runner = SuperstepRunner(spark, name="pagerank_block", truncate_every=1)
     res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
                      should_stop=should_stop)
-    csr.unpersist()
 
     def _unpack(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
+                vb = csrmod.load_spilled_vertices(sd, int(row.blk))
                 yield pd.DataFrame({
-                    "id": np.frombuffer(row.ids, np.int64),
+                    "id": np.asarray(vb["vids"]),
                     "rank": np.frombuffer(row.ranks, np.float64),
-                    "out_deg": np.frombuffer(row.degs, np.int64),
+                    "out_deg": np.asarray(vb["degs"]),
                 })
 
-    state = res.state.mapInPandas(_unpack, "id long, rank double, out_deg long")
+    # materialize the unpacked state BEFORE dropping the spill files the
+    # lazy plan would otherwise read (caller-owned spill_dir is kept)
+    state = res.state.mapInPandas(
+        _unpack, "id long, rank double, out_deg long"
+    ).localCheckpoint(eager=True)
+    if spill_dir is None:
+        csrmod.cleanup_spill(sd)
     return SuperstepResult(
         state=state, rounds=res.rounds, metrics=res.metrics,
         run_id=res.run_id,

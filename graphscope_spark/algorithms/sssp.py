@@ -137,21 +137,21 @@ def sssp_block(
     min is order-free), alternative physical plan
     (graphscope_spark/csr.py; see pagerank_block for the architecture).
 
-    Per round the changed frontier cogroups with its weighted CSR block;
-    numpy computes per-destination candidate MINIMA (dist(u)+w, the relax
-    + min combiner of grape SSSPOpt) block-locally and ships ≤B packed
+    Per round the changed frontier groups by block; numpy computes
+    per-destination candidate MINIMA (dist(u)+w, the relax + min combiner
+    of grape SSSPOpt) against the FRAGMENT-LOCAL mmap'd weighted
+    adjacency (csr.spill_csr_blocks_indexed) and ships ≤B packed
     (ids, mins) buffers; the receive cogroup keeps-smaller against the
     current state. Row-shaped shuffle per round is Θ(frontier) + Θ(V);
-    per-edge volume crosses as packed bytes. Returns state
+    per-edge volume never crosses a boundary after the one-time pack.
+    Returns state
     ``(id, dist, changed)`` with NULL dist for unreachable vertices —
     the same surface as :func:`sssp`."""
     import numpy as np
     import pandas as pd
 
-    from graphscope_spark.csr import (
-        block_expr, build_csr_blocks_weighted, merge_packed_fmin,
-        scatter_packed_relax,
-    )
+    from graphscope_spark import csr as csrmod
+    from graphscope_spark.csr import block_expr, merge_packed_fmin
 
     spark = g.spark
     if g.num_vertices == 0:
@@ -159,7 +159,7 @@ def sssp_block(
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
     b = num_blocks or g.num_partitions
-    csr = build_csr_blocks_weighted(g, b, weight_col=weight_col)
+    sd, _ = csrmod.spill_csr_blocks_indexed(g, b, weight_col=weight_col)
     inf = float("inf")
     # +inf spells "unreachable" inside the loop (NaN would poison numpy
     # mins); converted to the NULL surface at the end.
@@ -194,7 +194,7 @@ def sssp_block(
         frontier = state.filter("changed").select(
             "blk", "id", F.col("dist").alias("val")
         )
-        packed = scatter_packed_relax(csr, frontier, b)
+        packed = csrmod.scatter_spilled_relax(frontier, sd, b)
         receivers = state.select("blk", "id", "dist")
         return (
             packed.groupby("dblk")
@@ -208,7 +208,7 @@ def sssp_block(
     runner = SuperstepRunner(spark, name="sssp_block", truncate_every=1)
     res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
                      should_stop=lambda m: m["frontier"] == 0, check_every=2)
-    csr.unpersist()
+    csrmod.cleanup_spill(sd)
     return SuperstepResult(
         state=res.state.select(
             "id",

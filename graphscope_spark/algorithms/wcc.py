@@ -145,20 +145,21 @@ def wcc_block(
     semantics (and fixpoint) to :func:`wcc`, alternative physical plan
     (graphscope_spark/csr.py; see pagerank_block for the architecture).
 
-    Per round the changed frontier (``(blk, id, comp)`` rows) cogroups
-    with its CSR block; numpy computes per-destination label MINIMA
-    block-locally (the Pregel min combiner) and ships them as ≤B packed
-    binary buffers per source block; the receive cogroup merges and
-    keeps-smaller against the current state. Row-shaped shuffle per
-    round is Θ(frontier) + Θ(V); per-edge volume crosses as packed
-    bytes. Terminates when no label changes (vote checked every 2
-    rounds — min-label is monotone, late votes are free)."""
+    Per round the changed frontier (``(blk, id, comp)`` rows) groups by
+    block; numpy computes per-destination label MINIMA block-locally
+    against the FRAGMENT-LOCAL adjacency (csr.spill_csr_blocks_indexed —
+    mmap'd by the worker, edges cross Arrow exactly once at pack time)
+    and ships them as ≤B packed binary buffers per source block; the
+    receive cogroup merges and keeps-smaller against the current state.
+    Row-shaped shuffle per round is Θ(frontier) + Θ(V); per-edge volume
+    never crosses a boundary at all after the pack. Terminates when no
+    label changes (vote checked every 2 rounds — min-label is monotone,
+    late votes are free)."""
     import numpy as np
     import pandas as pd
 
-    from graphscope_spark.csr import (
-        block_expr, build_csr_blocks, merge_packed_min, scatter_packed_min,
-    )
+    from graphscope_spark import csr as csrmod
+    from graphscope_spark.csr import block_expr, merge_packed_min
 
     spark = g.spark
     if g.num_vertices == 0:
@@ -166,7 +167,7 @@ def wcc_block(
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
     b = num_blocks or g.num_partitions
-    csr = build_csr_blocks(g, b, direction="both")
+    sd, _ = csrmod.spill_csr_blocks_indexed(g, b, direction="both")
     init = g.vertices.select(
         "id",
         F.col("id").alias("comp"),
@@ -197,7 +198,7 @@ def wcc_block(
         frontier = state.filter("changed").select(
             "blk", "id", F.col("comp").alias("val")
         )
-        packed = scatter_packed_min(csr, frontier, b)
+        packed = csrmod.scatter_spilled_min(frontier, sd, b)
         receivers = state.select("blk", "id", "comp")
         return (
             packed.groupby("dblk")
@@ -214,7 +215,9 @@ def wcc_block(
     runner = SuperstepRunner(spark, name="wcc_block", truncate_every=1)
     res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
                      should_stop=should_stop, check_every=2)
-    csr.unpersist()
+    # the per-round truncation already materialized the final state rows;
+    # no stage of the returned plan reads the spill files
+    csrmod.cleanup_spill(sd)
     return SuperstepResult(
         state=res.state.select("id", "comp", "changed"),
         rounds=res.rounds, metrics=res.metrics, run_id=res.run_id,

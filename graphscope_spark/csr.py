@@ -41,6 +41,9 @@ volume up to B ≈ 10⁴ blocks ≈ 10¹²-edge graphs.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -619,3 +622,390 @@ def build_csr_blocks_indexed(g: Graph, num_blocks: int | None = None) -> DataFra
         .applyInPandas(_pack_idx, _PACK_IDX_SCHEMA)
     )
     return persist_partitioned(blocks.repartition(b, "blk"))
+
+
+# --------------------------------------------------------------------- #
+# Spilled CSR blocks — fragment-LOCAL adjacency storage.
+#
+# Keeping the packed CSR in a persisted DataFrame still ships every
+# block's buffers JVM→Python through Arrow EVERY round (the cogroup
+# reads the cache and pipes ~12-20 bytes/edge into the worker each
+# superstep — at 100M edges that is >1.2 GB/round of pure transfer the
+# reference never pays: its fragment CSR sits in the worker's memory).
+#
+# spill_csr_blocks_indexed writes each block's buffers ONCE as raw .npy
+# files; the per-round kernel then np.load(mmap_mode='r')s its block on
+# first touch and caches the mapping per worker process. Read-only mmap
+# pages are shared by the OS page cache across ALL Python workers on the
+# node — no per-process duplication, evictable under pressure. Edges
+# cross the JVM↔Python boundary exactly once, at pack time.
+#
+# Cluster contract: ``spill_dir`` must be visible to every executor — a
+# node-local path works single-node (this sandbox; page-cache-shared),
+# multi-node wants shared storage (HDFS/NFS/fuse-mounted object store)
+# or node-local spill + block-affinity scheduling. The reference makes
+# the same choice at fragment load (vineyard shared-memory fragments,
+# docs/frag_intro.md).
+# --------------------------------------------------------------------- #
+
+_SPILL_BUFS = ("srcs", "indptr", "inv", "uniq", "bounds")
+_CSR_SPILL_CACHE: dict = {}  # (spill_dir, blk) -> {name: mmap'd ndarray}
+
+
+def _save_atomic(path: str, arr: np.ndarray) -> None:
+    """np.save to a temp name, then atomic rename — a crashed pack task
+    (or speculative duplicate) can never leave a torn buffer behind."""
+    tmp = f"{path}.tmp-{os.getpid()}"
+    np.save(tmp, arr)  # np.save appends .npy to names without it
+    os.replace(f"{tmp}.npy", path)
+
+
+def load_spilled_block(spill_dir: str, blk: int) -> dict | None:
+    """The worker-side read: mmap the block's buffers on first touch,
+    reuse the mapping for the life of the worker process (Spark reuses
+    Python workers across rounds). Returns None when the block has no
+    edges (no file was packed)."""
+    key = (spill_dir, int(blk))
+    bufs = _CSR_SPILL_CACHE.get(key)
+    if bufs is None:
+        first = os.path.join(spill_dir, f"blk{int(blk)}_srcs.npy")
+        if not os.path.exists(first):
+            return None
+        bufs = {
+            name: np.load(
+                os.path.join(spill_dir, f"blk{int(blk)}_{name}.npy"),
+                mmap_mode="r",
+            )
+            for name in _SPILL_BUFS
+        }
+        wpath = os.path.join(spill_dir, f"blk{int(blk)}_ws.npy")
+        if os.path.exists(wpath):
+            bufs["ws"] = np.load(wpath, mmap_mode="r")
+        _CSR_SPILL_CACHE[key] = bufs
+    return bufs
+
+
+def default_spill_dir() -> str:
+    """A fresh spill directory — /dev/shm when present (page-cache-native
+    single-node speed), the system temp dir otherwise."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="gs_csr_", dir=base)
+
+
+def spill_csr_blocks_indexed(
+    g: Graph,
+    num_blocks: int | None = None,
+    spill_dir: str | None = None,
+    direction: str = "out",
+    weight_col: str | None = None,
+) -> tuple[str, int]:
+    """Pack ``g``'s edges into indexed CSR blocks written to
+    ``spill_dir`` (same buffers and bit-identical layout as
+    :func:`build_csr_blocks_indexed`: srcs, indptr, per-edge int32 inv
+    into the dblk-sorted uniq, uniq, bounds; plus a float64 ``ws``
+    buffer aligned with the (src,dst)-sorted edge order when
+    ``weight_col`` is set). ``direction`` as in
+    :func:`build_csr_blocks` ('out' / 'in' / 'both'). One edge shuffle,
+    paid once; only a Θ(B) manifest returns to the JVM. Returns
+    ``(spill_dir, num_blocks)``."""
+    b = num_blocks or g.num_partitions
+    sd = spill_dir or default_spill_dir()
+    os.makedirs(sd, exist_ok=True)
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    if direction == "out":
+        e = g.out_edges.select(*cols)
+    elif direction == "in":
+        e = g.in_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *([weight_col] if weight_col else []),
+        )
+    elif direction == "both":
+        e = g.out_edges.select(*cols)
+        if g.directed:
+            e = e.union(e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                *([weight_col] if weight_col else []),
+            ))
+    else:
+        raise ValueError("direction must be 'out', 'in' or 'both'")
+    if weight_col:
+        e = e.withColumn(weight_col, F.col(weight_col).cast("double"))
+
+    def _pack_spill(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["blk", "n_src", "n_edge", "n_dst"])
+        if len(pdf) > _MAX_BLOCK_EDGES:
+            raise ValueError(
+                f"CSR block of {len(pdf)} edges exceeds the 2 GiB Arrow "
+                "binary cap; rebuild with more blocks (num_blocks)"
+            )
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        srcs, counts = np.unique(src, return_counts=True)
+        indptr = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        uniq, inv0 = np.unique(dst, return_inverse=True)
+        dblk = np.mod(uniq, b)
+        o = np.argsort(dblk, kind="mergesort")
+        rank_of = np.empty(o.size, np.int64)
+        rank_of[o] = np.arange(o.size)
+        inv = rank_of[inv0].astype(np.int32)
+        uniq_s = uniq[o]
+        bounds = np.searchsorted(dblk[o], np.arange(b + 1)).astype(np.int64)
+        blk = int(pdf["blk"].iloc[0])
+        bufs = [("srcs", srcs), ("indptr", indptr), ("inv", inv),
+                ("uniq", uniq_s), ("bounds", bounds)]
+        if weight_col:
+            bufs.append(("ws", pdf[weight_col].to_numpy(np.float64)))
+        for name, arr in bufs:
+            _save_atomic(os.path.join(sd, f"blk{blk}_{name}.npy"), arr)
+        return pd.DataFrame([{
+            "blk": blk, "n_src": int(srcs.size),
+            "n_edge": int(dst.size), "n_dst": int(uniq.size),
+        }])
+
+    (
+        e.withColumn("blk", block_expr("src", b))
+        .groupBy("blk")
+        .applyInPandas(_pack_spill, "blk int, n_src long, n_edge long, n_dst long")
+        .collect()
+    )
+    return sd, b
+
+
+_VSPILL_BUFS = ("vids", "degs")
+
+
+def spill_vertex_arrays(
+    vdf: DataFrame, spill_dir: str, num_blocks: int
+) -> None:
+    """Write the per-block INVARIANT vertex arrays (sorted ids and
+    out-degrees) once, so the per-round packed state carries only the
+    mutable ranks buffer — Θ(V)·8 bytes/round instead of ·24.
+    ``vdf`` is ``(id, out_deg)``; block = pmod(id, B) as everywhere."""
+
+    def _pack_v(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["blk", "n"])
+        pdf = pdf.sort_values("id", kind="mergesort")
+        blk = int(pdf["blk"].iloc[0])
+        ids = pdf["id"].to_numpy(np.int64)
+        degs = pdf["out_deg"].to_numpy(np.int64)
+        _save_atomic(os.path.join(spill_dir, f"blk{blk}_vids.npy"), ids)
+        _save_atomic(os.path.join(spill_dir, f"blk{blk}_degs.npy"), degs)
+        return pd.DataFrame([{"blk": blk, "n": int(ids.size)}])
+
+    (
+        vdf.withColumn("blk", block_expr("id", num_blocks))
+        .groupBy("blk")
+        .applyInPandas(_pack_v, "blk int, n long")
+        .collect()
+    )
+
+
+def load_spilled_vertices(spill_dir: str, blk: int) -> dict | None:
+    """Worker-side mmap of the block's (vids, degs) arrays, cached per
+    process like :func:`load_spilled_block`."""
+    key = (spill_dir, int(blk), "v")
+    bufs = _CSR_SPILL_CACHE.get(key)
+    if bufs is None:
+        first = os.path.join(spill_dir, f"blk{int(blk)}_vids.npy")
+        if not os.path.exists(first):
+            return None
+        bufs = {
+            name: np.load(
+                os.path.join(spill_dir, f"blk{int(blk)}_{name}.npy"),
+                mmap_mode="r",
+            )
+            for name in _VSPILL_BUFS
+        }
+        _CSR_SPILL_CACHE[key] = bufs
+    return bufs
+
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def scatter_spilled_min(
+    frontier: DataFrame, spill_dir: str, num_blocks: int
+) -> DataFrame:
+    """Spilled-CSR analog of :func:`scatter_packed_min`: the frontier is
+    ``(blk, id, val:int64)`` rows; each block's adjacency comes from the
+    worker-local mmap, so nothing edge-shaped crosses Arrow. Per block:
+    restrict edges to frontier sources, take per-destination MINIMA
+    (integer min — order-free), emit ≤B packed ``(sblk, dblk, ids,
+    mins)`` buffers. Merge with :func:`merge_packed_min`; bit-identical
+    values to the DataFrame-cogroup path."""
+
+    def gather(key, pdf):
+        empty = pd.DataFrame({
+            "sblk": pd.Series(dtype=np.int32),
+            "dblk": pd.Series(dtype=np.int32),
+            "ids": pd.Series(dtype=object),
+            "mins": pd.Series(dtype=object),
+        })
+        blk = int(key[0])
+        buf = load_spilled_block(spill_dir, blk)
+        if buf is None or len(pdf) == 0:
+            return empty
+        per_edge, inv_m, _ = _frontier_edges(
+            buf, pdf["id"].to_numpy(np.int64), pdf["val"].to_numpy(np.int64)
+        )
+        if inv_m.size == 0:
+            return empty
+        uniq = buf["uniq"]
+        res = np.full(uniq.size, _I64_MAX, np.int64)
+        np.minimum.at(res, inv_m, per_edge)
+        sel = np.flatnonzero(res != _I64_MAX)
+        rows = _emit_packed(blk, buf["bounds"], uniq, sel,
+                            {"mins": res[sel]})
+        return pd.DataFrame(rows) if rows else empty
+
+    return frontier.groupBy("blk").applyInPandas(
+        gather, "sblk int, dblk int, ids binary, mins binary"
+    )
+
+
+def _frontier_edges(buf: dict, ids: np.ndarray, val: np.ndarray):
+    """Shared frontier restriction for the spilled scatters: sort the
+    frontier, map block sources onto it, and return (per-edge value,
+    per-edge inv index, per-edge mask) with edges from absent sources
+    dropped. ``val`` may be any dtype (labels, distances...)."""
+    o = np.argsort(ids, kind="mergesort")
+    ids_s, val_s = ids[o], val[o]
+    srcs = buf["srcs"]
+    counts = np.diff(buf["indptr"])
+    idx = np.searchsorted(ids_s, srcs)
+    idx_c = np.minimum(idx, ids_s.size - 1)
+    valid = ids_s[idx_c] == srcs
+    if valid.all():
+        return np.repeat(val_s[idx_c], counts), np.asarray(buf["inv"]), None
+    per_edge = np.repeat(val_s[idx_c], np.where(valid, counts, 0))
+    emask = np.repeat(valid, counts)
+    return per_edge, np.asarray(buf["inv"])[emask], emask
+
+
+def _emit_packed(blk: int, bounds, uniq, sel_idx: np.ndarray,
+                 extras: dict[str, np.ndarray]) -> list[dict]:
+    """Split entry arrays (indexed by ascending ``sel_idx`` positions in
+    ``uniq``) into per-destination-block packed rows. ``sel_idx`` must be
+    NON-DECREASING (uniq is dblk-ordered, so ascending inv order is)."""
+    if sel_idx.size == 0:
+        return []
+    dblk = np.searchsorted(np.asarray(bounds), sel_idx, side="right") - 1
+    cuts = np.flatnonzero(np.diff(dblk)) + 1
+    starts = np.concatenate(([0], cuts))
+    id_parts = np.split(np.asarray(uniq)[sel_idx], cuts)
+    extra_parts = {k: np.split(v, cuts) for k, v in extras.items()}
+    rows = []
+    for i, part_ids in enumerate(id_parts):
+        row = {
+            "sblk": int(blk),
+            "dblk": int(dblk[starts[i]]),
+            "ids": np.ascontiguousarray(part_ids).tobytes(),
+        }
+        for k, parts in extra_parts.items():
+            row[k] = np.ascontiguousarray(parts[i]).tobytes()
+        rows.append(row)
+    return rows
+
+
+def scatter_spilled_counts(
+    vals: DataFrame, spill_dir: str, num_blocks: int
+) -> DataFrame:
+    """Spilled-CSR analog of :func:`scatter_packed_counts`: per-block
+    (dst, label) run-length counts over the mmap'd adjacency — the
+    map-side partial of CDLP's histogram. ``vals`` is ``(blk, id,
+    val:int64)`` label rows. Finish with :func:`argmax_packed_labels`."""
+
+    def gather(key, pdf):
+        empty = pd.DataFrame({
+            "sblk": pd.Series(dtype=np.int32),
+            "dblk": pd.Series(dtype=np.int32),
+            "ids": pd.Series(dtype=object),
+            "labels": pd.Series(dtype=object),
+            "counts": pd.Series(dtype=object),
+        })
+        blk = int(key[0])
+        buf = load_spilled_block(spill_dir, blk)
+        if buf is None or len(pdf) == 0:
+            return empty
+        labels_e, inv_m, _ = _frontier_edges(
+            buf, pdf["id"].to_numpy(np.int64), pdf["val"].to_numpy(np.int64)
+        )
+        if inv_m.size == 0:
+            return empty
+        o = np.lexsort((labels_e, inv_m))
+        i_s, l_s = inv_m[o], labels_e[o]
+        first = np.concatenate(
+            ([True], (i_s[1:] != i_s[:-1]) | (l_s[1:] != l_s[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, i_s.size)).astype(np.int64)
+        rows = _emit_packed(
+            blk, buf["bounds"], buf["uniq"], i_s[starts].astype(np.int64),
+            {"labels": l_s[starts], "counts": cnt},
+        )
+        return pd.DataFrame(rows) if rows else empty
+
+    return vals.groupBy("blk").applyInPandas(
+        gather,
+        "sblk int, dblk int, ids binary, labels binary, counts binary",
+    )
+
+
+def scatter_spilled_relax(
+    frontier: DataFrame, spill_dir: str, num_blocks: int
+) -> DataFrame:
+    """Spilled-CSR analog of :func:`scatter_packed_relax`: weighted
+    distance relaxation over the mmap'd adjacency (pack with
+    ``weight_col=`` so the ``ws`` buffer exists). ``frontier`` is
+    ``(blk, id, val:double)`` changed-vertex rows; each candidate is one
+    ``dist + w`` double add and float min is order-free — bit-equal
+    fixpoint to the cogroup path. Merge with :func:`merge_packed_fmin`."""
+
+    def gather(key, pdf):
+        empty = pd.DataFrame({
+            "sblk": pd.Series(dtype=np.int32),
+            "dblk": pd.Series(dtype=np.int32),
+            "ids": pd.Series(dtype=object),
+            "mins": pd.Series(dtype=object),
+        })
+        blk = int(key[0])
+        buf = load_spilled_block(spill_dir, blk)
+        if buf is None or len(pdf) == 0:
+            return empty
+        dist_e, inv_m, emask = _frontier_edges(
+            buf, pdf["id"].to_numpy(np.int64),
+            pdf["val"].to_numpy(np.float64),
+        )
+        if inv_m.size == 0:
+            return empty
+        ws = buf.get("ws")
+        if ws is None:  # packed without weight_col → unit weights (BFS)
+            cand = dist_e + 1.0
+        else:
+            ws = np.asarray(ws)
+            cand = dist_e + (ws if emask is None else ws[emask])
+        uniq = buf["uniq"]
+        res = np.full(uniq.size, np.inf, np.float64)
+        np.minimum.at(res, inv_m, cand)
+        sel = np.flatnonzero(res != np.inf)
+        rows = _emit_packed(blk, buf["bounds"], uniq, sel,
+                            {"mins": res[sel]})
+        return pd.DataFrame(rows) if rows else empty
+
+    return frontier.groupBy("blk").applyInPandas(
+        gather, "sblk int, dblk int, ids binary, mins binary"
+    )
+
+
+def cleanup_spill(spill_dir: str) -> None:
+    """Best-effort removal of a spill directory (call after the final
+    state is materialized — the unpack reads vids lazily)."""
+    import shutil
+
+    try:
+        shutil.rmtree(spill_dir)
+    except OSError:
+        pass
