@@ -111,7 +111,7 @@ def cdlp_block(
         empty = spark.createDataFrame([], "id long, label long")
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
-    b = num_blocks or g.num_partitions
+    b = num_blocks or csrmod.default_num_blocks(g)
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, direction="both")
     init = g.vertices.select(
         "id", F.col("id").alias("label"), block_expr("id", b).alias("blk")
@@ -143,7 +143,8 @@ def cdlp_block(
         )
 
     runner = SuperstepRunner(spark, name="cdlp_block", truncate_every=1)
-    res = runner.run(init, step, max_iter)
+    with csrmod.block_run_confs(spark, b):
+        res = runner.run(init, step, max_iter)
     csrmod.cleanup_spill(sd)
     return SuperstepResult(
         state=res.state.select("id", "label"),

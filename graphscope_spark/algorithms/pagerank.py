@@ -261,7 +261,7 @@ def pagerank_block(
         empty = spark.createDataFrame([], "id long, rank double")
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
-    b = num_blocks or g.num_partitions
+    b = num_blocks or csrmod.default_num_blocks(g)
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, spill_dir)
     teleport = (1.0 - alpha) / n
 
@@ -406,8 +406,9 @@ def pagerank_block(
     # materialization is near-free and keeps the nested Python cogroup
     # stages from recomputing (measured 2× at 8M edges/20 rounds).
     runner = SuperstepRunner(spark, name="pagerank_block", truncate_every=1)
-    res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
-                     should_stop=should_stop)
+    with csrmod.block_run_confs(spark, b):
+        res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                         should_stop=should_stop)
 
     def _unpack(it):
         for pdf in it:

@@ -158,7 +158,7 @@ def sssp_block(
         empty = spark.createDataFrame([], "id long, dist double, changed boolean")
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
-    b = num_blocks or g.num_partitions
+    b = num_blocks or csrmod.default_num_blocks(g)
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, weight_col=weight_col)
     inf = float("inf")
     # +inf spells "unreachable" inside the loop (NaN would poison numpy
@@ -206,8 +206,10 @@ def sssp_block(
         return {"frontier": int(new.filter("changed").count())}
 
     runner = SuperstepRunner(spark, name="sssp_block", truncate_every=1)
-    res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
-                     should_stop=lambda m: m["frontier"] == 0, check_every=2)
+    with csrmod.block_run_confs(spark, b):
+        res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                         should_stop=lambda m: m["frontier"] == 0,
+                         check_every=2)
     csrmod.cleanup_spill(sd)
     return SuperstepResult(
         state=res.state.select(

@@ -166,7 +166,7 @@ def wcc_block(
         empty = spark.createDataFrame([], "id long, comp long, changed boolean")
         return SuperstepResult(state=empty, rounds=0, metrics=[])
 
-    b = num_blocks or g.num_partitions
+    b = num_blocks or csrmod.default_num_blocks(g)
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, direction="both")
     init = g.vertices.select(
         "id",
@@ -213,8 +213,9 @@ def wcc_block(
         return m["frontier"] == 0
 
     runner = SuperstepRunner(spark, name="wcc_block", truncate_every=1)
-    res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
-                     should_stop=should_stop, check_every=2)
+    with csrmod.block_run_confs(spark, b):
+        res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                         should_stop=should_stop, check_every=2)
     # the per-round truncation already materialized the final state rows;
     # no stage of the returned plan reads the spill files
     csrmod.cleanup_spill(sd)
