@@ -113,15 +113,37 @@ def main() -> None:
     sink(pagerank(gl, alpha=0.85, max_iter=lrounds).state)
     large_sec = round(time.monotonic() - t0, 3)
 
-    # Same probe through the CSR-block SpMV engine (csr.py +
-    # pagerank_block): packed-byte message shuffles, numpy gather-scatter.
-    # 10 rounds so the one-time CSR pack amortizes the way a real
-    # convergence run would.
+    # Same probe through the CSR-block SpMV engine (csr.py spilled
+    # fragment-local adjacency + pagerank_block): packed-byte message
+    # shuffles, numpy gather-scatter. 10 rounds so the one-time CSR pack
+    # amortizes the way a real convergence run would.
     from graphscope_spark.algorithms import pagerank_block  # noqa: E402
     brounds = 10
     t0 = time.monotonic()
     sink(pagerank_block(gl, alpha=0.85, max_iter=brounds).state)
     block_sec = round(time.monotonic() - t0, 3)
+
+    # Block engine at shuffle-dominated scale: 100M edges (default),
+    # B = 2x cores (the csr.default_num_blocks derivation). This is the
+    # scale row BASELINE.md's reference numbers live at (1B+ edges);
+    # edges cross JVM<->Python exactly once at pack time, rounds move
+    # Theta(V) rank bytes + packed message buffers.
+    n_be = int(os.environ.get("SPARK_GRAFT_BENCH_BLOCK_EDGES", "100000000"))
+    nvb = n_be // 8
+    bbase = spark.range(n_be)
+    bh = F.xxhash64(F.col("id"))
+    bh2 = F.xxhash64(F.col("id"), F.lit(1))
+    bhub = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(100)) < 20
+    bedges = bbase.select(
+        F.pmod(bh, F.lit(nvb)).alias("src"),
+        F.when(bhub, F.pmod(bh2, F.lit(nvb // 100 + 1)))
+         .otherwise(F.pmod(bh2, F.lit(nvb))).alias("dst"),
+    )
+    gb = Graph(bedges, directed=True, num_partitions=cpus)
+    gb.num_edges; gb.degrees.count()
+    t0 = time.monotonic()
+    sink(pagerank_block(gb, alpha=0.85, max_iter=brounds).state)
+    block100_sec = round(time.monotonic() - t0, 3)
 
     # North-star corpus-path probe: synthesize repos(content) → vectorized
     # pandas-UDF import extraction → dense-id encode → 10-round PageRank.
@@ -166,6 +188,9 @@ def main() -> None:
         "block_rounds": brounds,
         "block_sec": block_sec,
         "pagerank_block_eups_large": round(n_le * brounds / block_sec, 1),
+        "block100_edges": n_be,
+        "block100_sec": block100_sec,
+        "pagerank_block_eups_100m": round(n_be * brounds / block100_sec, 1),
         "corpus_repos": n_repos,
         "corpus_end_to_end_pagerank_sec": corpus_sec,
         "n_docs": n_docs,

