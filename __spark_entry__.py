@@ -104,6 +104,26 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_pagerank_resume(spark, sf_dir):
+    """North-rule resume evidence as a VALUE gate: 5 rounds with a durable
+    checkpoint (parquet state snapshot + per-partition lineage + metrics,
+    pregel.py:100-141), then a SECOND run that restarts from the durable
+    round-5 state via ``resume=True`` and continues to round 10. The
+    resumed fixpoint must equal the uninterrupted 10-round run at the
+    gate's rounding — it shares ``pagerank``'s unrolled SQL twin, so the
+    driver value-hashes the resume path itself."""
+    import tempfile
+
+    g = tg.copurchase_graph(spark, sf_dir)
+    ck = tempfile.mkdtemp(prefix="gs_pr_resume_")
+    first = pagerank(g, alpha=0.85, max_iter=5, checkpoint_dir=ck,
+                     checkpoint_every=5, run_id="gate")
+    first.state.unpersist()
+    res = pagerank(g, alpha=0.85, max_iter=10, checkpoint_dir=ck,
+                   run_id="gate", resume=True)
+    return res.state.select("id", F.round("rank", RD).alias("pr"))
+
+
 def _q_pagerank_push(spark, sf_dir):
     from graphscope_spark.algorithms.pagerank import pagerank_push
     g = tg.copurchase_graph(spark, sf_dir)
@@ -1589,12 +1609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sssp": _q_stream_sssp,
         "sample_neighbors": _q_sample_neighbors,
         "sample_weighted": _q_sample_weighted,
-        "random_walks": _q_random_walks,
+        "pagerank_resume": _q_pagerank_resume,
         "multimodal_decode": _q_multimodal_decode,
         "louvain": _q_louvain,
         "ktruss": _q_ktruss,
         "zorder": _q_zorder,
         # --- end of driver window; full gate coverage continues below
+        "random_walks": _q_random_walks,
         # breadth algorithms
         "bfs": _q_bfs,
         "bfs_push": _q_bfs_push,
@@ -1738,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "graphar_roundtrip": tg.edges_sql(),
         "graph_degrees": tg.degrees_sql(),
         "pagerank": tg.pagerank_sql(rounds=10, directed=False),
+        "pagerank_resume": tg.pagerank_sql(rounds=10, directed=False),
         "pagerank_push": tg.pagerank_push_sql(rounds=10, directed=False),
         "pagerank_block": tg.pagerank_sql(rounds=10, directed=False),
         "pagerank_directed": tg.pagerank_sql(rounds=10, directed=True),
