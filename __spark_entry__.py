@@ -956,6 +956,18 @@ def _q_repo_sha256(spark, sf_dir):
     return corpus_mod.content_fingerprints(repos)
 
 
+def _q_repo_file_dedup(spark, sf_dir):
+    """Corpus-shape x dedup-family composition: plant org-shared vendored
+    files in the synthetic repos table, then exact content dedup across
+    all (repo, path) files — digests shuffle, content never does
+    (corpus.file_dedup_stats)."""
+    n_repos, files = _corpus_scale(sf_dir)
+    repos = corpus_mod.vendor_shared_files(
+        corpus_mod.synthesize_repos(spark, n_repos, files))
+    return corpus_mod.file_dedup_stats(repos)
+
+
+
 # --------------------------------------------------------------------- #
 # document-pipeline queries
 # --------------------------------------------------------------------- #
@@ -1616,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": _q_zorder,
         # --- end of driver window; full gate coverage continues below
         "random_walks": _q_random_walks,
+        "repo_file_dedup": _q_repo_file_dedup,
         # breadth algorithms
         "bfs": _q_bfs,
         "bfs_push": _q_bfs_push,
@@ -1760,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degrees": tg.degrees_sql(),
         "pagerank": tg.pagerank_sql(rounds=10, directed=False),
         "pagerank_resume": tg.pagerank_sql(rounds=10, directed=False),
+        "repo_file_dedup": cor.repo_file_dedup_sql(),
         "pagerank_push": tg.pagerank_push_sql(rounds=10, directed=False),
         "pagerank_block": tg.pagerank_sql(rounds=10, directed=False),
         "pagerank_directed": tg.pagerank_sql(rounds=10, directed=True),

@@ -287,3 +287,56 @@ def repo_graph(
     vertices = vmap.select("id", "repo")
     return Graph(edges, vertices.select("id"), directed=True,
                  num_partitions=num_partitions), vertices, repos
+
+
+# --------------------------------------------------------------------- #
+# file-level exact dedup over the corpus (vendored-file removal)
+# --------------------------------------------------------------------- #
+
+
+def vendor_shared_files(repos: DataFrame) -> DataFrame:
+    """Deterministic stand-in for vendored files in the synthetic corpus:
+    every repo's ``src/mod0/file0.*`` is replaced by its org's shared
+    license text (real corpora carry such org-wide duplicated files;
+    the synthesis itself makes every file unique). Pure column
+    expressions, mirrored verbatim in the SQL twin."""
+    org = F.split(F.col("repo"), "/").getItem(0)
+    vendored = F.col("path").rlike(r"^src/mod0/file0\.")
+    return repos.withColumn(
+        "content",
+        F.when(vendored,
+               F.format_string("// vendored license of %s", org))
+         .otherwise(F.col("content")),
+    )
+
+
+def file_dedup_stats(repos: DataFrame) -> DataFrame:
+    """(repo, n_files, n_removed) — exact content dedup across the whole
+    file table: files grouped by content digest; the canonical keeper of
+    each group is the lexicographically smallest ``repo:path``; every
+    other member counts as removed for its repo.
+
+    100 TB shape: the content column is reduced to a 16-byte digest
+    BEFORE anything shuffles (same discipline as functions/dedup.py
+    ``dedup_exact``); the digest groupBy partial-aggregates map-side, and
+    the keeper map that joins back is (digest, keeper) — never content.
+    """
+    f = repos.select(
+        "repo", "path", F.md5(F.col("content")).alias("digest")
+    )
+    keep = f.groupBy("digest").agg(
+        F.min(F.concat_ws(":", "repo", "path")).alias("keeper")
+    )
+    return (
+        f.join(keep, "digest")
+        .select(
+            "repo",
+            (F.concat_ws(":", "repo", "path") != F.col("keeper"))
+            .cast("int").alias("removed"),
+        )
+        .groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("removed").alias("n_removed"),
+        )
+    )

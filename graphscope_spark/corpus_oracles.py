@@ -225,3 +225,29 @@ r{k} AS (
         f" FROM r{rounds} ORDER BY repo"
     )
     return _materialized("WITH " + "".join(parts))
+
+
+def repo_file_dedup_sql(**kw) -> str:
+    """Twin of corpus.vendor_shared_files + corpus.file_dedup_stats:
+    org-shared vendored content planted at src/mod0/file0.*, then exact
+    content dedup with the lexicographically-smallest repo:path as the
+    canonical keeper per digest group."""
+    return _materialized(f"""WITH {repos_cte(**kw)},
+vend AS (
+  SELECT repo, path,
+         CASE WHEN regexp_matches(path, '^src/mod0/file0\\.')
+              THEN printf('// vendored license of %s',
+                          split_part(repo, '/', 1))
+              ELSE content END AS content
+  FROM repos
+),
+f AS (SELECT repo, path, md5(content) AS digest FROM vend),
+keep AS (
+  SELECT digest, min(repo || ':' || path) AS keeper FROM f GROUP BY digest
+)
+SELECT f.repo AS repo,
+       COUNT(*) AS n_files,
+       CAST(SUM(CASE WHEN f.repo || ':' || f.path <> k.keeper
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM f JOIN keep k USING (digest)
+GROUP BY f.repo""")

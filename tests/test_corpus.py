@@ -100,3 +100,19 @@ def test_planted_structure(spark):
     pr = pagerank(g, alpha=0.85, max_iter=5).state
     total = pr.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-6
+
+
+def test_vendored_file_dedup(spark):
+    # 60 repos / 20 orgs → 3 repos per org; vendor_shared_files plants one
+    # org-shared file per repo, so each digest group has 3 members: the
+    # lexicographically-smallest repo:path keeps it, the other two lose it.
+    repos = corpus.vendor_shared_files(
+        corpus.synthesize_repos(spark, 60, 12))
+    stats = corpus.file_dedup_stats(repos).collect()
+    assert len(stats) == 60
+    assert all(r["n_files"] == 12 for r in stats)
+    removed = sorted(r["n_removed"] for r in stats)
+    assert removed.count(0) == 20 and removed.count(1) == 40
+    # without the vendor step every file is unique — nothing removed
+    clean = corpus.file_dedup_stats(corpus.synthesize_repos(spark, 60, 12))
+    assert clean.agg(F.sum("n_removed")).first()[0] == 0
