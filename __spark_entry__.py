@@ -1384,6 +1384,15 @@ def _q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(ev, "event_type", "user_id", k=64)
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog per-group distinct estimate — the sketch itself is
+    deterministic (portable hash + integer register sum), so the gate
+    value-hashes the registers' estimate, not a tolerance band."""
+    from graphscope_spark.functions.sketches import hll_distinct
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(ev, "event_type", "user_id")
+
+
 def _q_count_min(spark, sf_dir):
     from graphscope_spark.functions.sketches import count_min_sketch
     from graphscope_spark.functions.text import tokenize
@@ -1737,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "tfidf_terms": _q_tfidf_terms,
         "kmv_distinct": _q_kmv_distinct,
+        "hll_distinct": _q_hll_distinct,
         "count_min": _q_count_min,
         "funnel": _q_funnel,
         "retention": _q_retention,
@@ -1921,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": do.tfidf_terms_sql(top_n=3),
         "kmeans": do.kmeans_sql(k=8, rounds=3),
         "kmv_distinct": do.kmv_distinct_sql(k=64),
+        "hll_distinct": do.hll_distinct_sql(),
         "count_min": do.count_min_sql(depth=4, width=64),
         "quantiles": do.quantiles_sql(QUANTILE_QS),
         "ann_ivf_exact": do.ann_ivf_sql(

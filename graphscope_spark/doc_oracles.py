@@ -1457,3 +1457,48 @@ top AS (
 SELECT vocab_size, n_tokens, hapax, top_token,
        ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_share
 FROM tot CROSS JOIN top"""
+
+
+def hll_distinct_sql(b: int = 6) -> str:
+    """Twin of functions/sketches.py::hll_distinct over
+    events(event_type, user_id). Same trailing-zero observable
+    (log2 of the isolated lowest set bit — exact for powers of two in
+    both engines), same integer register sum."""
+    m = 1 << b
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hx AS (
+  SELECT event_type AS grp, {h} AS h FROM events
+),
+bits AS (
+  SELECT grp, h % {m} AS reg, (h - (h % {m})) // {m} AS w FROM hx
+),
+rhos AS (
+  SELECT grp, reg,
+         CASE WHEN w = 0 THEN 55
+              ELSE CAST(log2(CAST(w & (-w) AS DOUBLE)) + 1 AS INT)
+         END AS rho
+  FROM bits
+),
+regs AS (
+  SELECT grp, reg, MAX(rho) AS M FROM rhos GROUP BY grp, reg
+),
+agg AS (
+  SELECT grp, COUNT(*) AS n_registers,
+         SUM(CAST(power(2.0, 55 - M) AS BIGINT)) AS s_int
+  FROM regs GROUP BY grp
+)
+SELECT grp AS event_type,
+       CAST(n_registers AS BIGINT) AS n_registers,
+       ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / {float(m)}))
+                       * {float(m * m)} * {float(2 ** 55)}
+                       / (s_int + ({m} - n_registers) * {float(2 ** 55)})
+                       <= 2.5 * {m}
+                  AND ({m} - n_registers) > 0
+             THEN {float(m)} * ln({float(m)}
+                                  / CAST({m} - n_registers AS DOUBLE))
+             ELSE (0.7213 / (1.0 + 1.079 / {float(m)}))
+                  * {float(m * m)} * {float(2 ** 55)}
+                  / (s_int + ({m} - n_registers) * {float(2 ** 55)})
+             END, {FLOAT_DECIMALS}) AS est_distinct
+FROM agg"""

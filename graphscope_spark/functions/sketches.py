@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from graphscope_spark.functions.hashing import hash64
 from graphscope_spark.functions.text import FLOAT_DECIMALS
 
-__all__ = ["kmv_distinct", "count_min_sketch", "cm_lookup"]
+__all__ = ["kmv_distinct", "count_min_sketch", "cm_lookup", "hll_distinct"]
 
 HASH_SPACE = float(1 << 60)
 
@@ -141,4 +141,70 @@ def cm_lookup(
         .fillna(0, subset=["cnt"])
         .groupBy("item")
         .agg(F.min("cnt").alias("est"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """(group, n_registers, est_distinct) — HyperLogLog distinct-count
+    estimate per group, built on the portable 60-bit hash so the sketch
+    itself is value-hash-verifiable in DuckDB (Spark's own
+    approx_count_distinct has no cross-engine twin).
+
+    Register j = h mod m (m = 2^b); the geometric observable is the
+    TRAILING-zero count of the remaining 54 hash bits (the original
+    Flajolet–Martin observable — same ``P(rho ≥ r) = 2^-r`` geometry as
+    HLL's leading zeros, but computable exactly in both engines as
+    ``log2(w & -w)``: the isolated lowest set bit is an exact power of
+    two, so ``log2`` of it is exact in IEEE doubles). The register sum
+    ``Σ 2^-M_j`` is carried as the INTEGER ``Σ 2^(55-M_j)`` (≤ 64·2^54,
+    exact in int64 — a double sum of dyadics spanning 2^54 would be
+    partition-order-dependent at the last ulp); doubles appear only in
+    the final α·m²·2^55 / S division and the linear-counting branch.
+    Small-range correction per the HLL paper: raw ≤ 2.5·m with empty
+    registers → linear counting m·ln(m/V).
+
+    Scale shape: one groupBy over (group, register) with map-side
+    combined MAX — state per group is m registers regardless of
+    cardinality; the shuffle carries ≤ partitions·m rows per group.
+    """
+    m = 1 << b
+    hx = df.select(
+        F.col(group_col).alias("grp"),
+        hash64(F.col(value_col).cast("string")).alias("h"),
+    )
+    # integer `div`, NOT `/`: the float path rounds h's 54 significant
+    # bits through a 53-bit mantissa and can move w by ±1 near 2^60,
+    # silently diverging from the twin's exact `//`
+    w = F.expr(f"h div {m}")
+    rho = (
+        F.when(w == 0, F.lit(55))
+        .otherwise((F.log2((w.bitwiseAND(-w)).cast("double")) + 1).cast("int"))
+    )
+    regs = (
+        hx.select("grp", F.pmod(F.col("h"), F.lit(m)).alias("reg"), rho.alias("rho"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("M"))
+    )
+    agg = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.expr("CAST(power(2.0, 55 - M) AS BIGINT)")).alias("s_int"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    # empty registers contribute 2^-0 = 1, i.e. 2^55 in integer units
+    s_full = F.col("s_int") + (F.lit(m) - F.col("n_registers")) * F.lit(float(2 ** 55))
+    raw = alpha * F.lit(float(m * m)) * F.lit(float(2 ** 55)) / s_full
+    v_zero = F.lit(m) - F.col("n_registers")
+    est = F.when(
+        (raw <= 2.5 * m) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_registers",
+        F.round(est, FLOAT_DECIMALS).alias("est_distinct"),
     )

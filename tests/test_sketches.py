@@ -79,3 +79,45 @@ def test_count_min_exact_at_full_width(spark):
         for r in cm_lookup(sk, items, "v", depth=4, width=1024).collect()
     }
     assert got == {"a": 5, "b": 2, "c": 1}
+
+
+def test_hll_distinct_accuracy(spark):
+    from graphscope_spark.functions.sketches import hll_distinct
+    import pyspark.sql.functions as F
+
+    # big group: 5000 distincts through m=64 registers → standard error
+    # ~1.04/sqrt(64) = 13%; assert within 3 sigma. small group: 3
+    # distincts → linear-counting branch, ln-based but near-exact.
+    df = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").cast("string").alias("v")
+    ).union(
+        spark.range(3).select(
+            F.lit("small").alias("g"), F.col("id").cast("string").alias("v")
+        )
+    )
+    got = {r["g"]: r for r in hll_distinct(df, "g", "v").collect()}
+    assert abs(got["big"]["est_distinct"] - 5000) / 5000 < 0.40
+    assert 1 <= got["small"]["est_distinct"] <= 10
+    # duplicates must not move the sketch (distinct-count, not count)
+    dup = df.union(df)
+    got2 = {r["g"]: r for r in hll_distinct(dup, "g", "v").collect()}
+    assert got2["big"]["est_distinct"] == got["big"]["est_distinct"]
+
+
+def test_hll_rho_log2_exact(spark):
+    # rho = log2(w & -w) + 1 must be EXACT for every possible bit
+    # position (0..54): log2 of an isolated power of two is exact in
+    # IEEE doubles, but an engine computing log2 as log(x)/log(2) could
+    # round below the integer and truncate wrong — pin it per position.
+    import pyspark.sql.functions as F
+
+    df = spark.range(55).select(
+        F.col("id").alias("k"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("w"),
+    )
+    got = df.select(
+        "k",
+        (F.log2((F.col("w").bitwiseAND(-F.col("w"))).cast("double")) + 1)
+        .cast("int").alias("rho"),
+    ).collect()
+    assert all(r["rho"] == r["k"] + 1 for r in got)
