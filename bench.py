@@ -137,6 +137,23 @@ def main() -> None:
     sink(pagerank(gl, alpha=0.85, max_iter=lrounds).state)
     large_sec = round(time.monotonic() - t0, 3)
 
+    # North-star four at shuffle-dominated scale: WCC (min-label frontier
+    # to convergence, symmetrized input) and degree-ordered wedge-join
+    # triangle counting on the same 8M-edge hub-skewed graph — pagerank
+    # covers the fixed-round shape; these cover the frontier-shrinking and
+    # the join-explosion shapes.
+    from graphscope_spark.algorithms.triangles import triangle_count  # noqa: E402
+    gu = gl.to_undirected()
+    gu.num_edges; gu.degrees.count()
+    t0 = time.monotonic()
+    wres = wcc(gu)
+    sink(wres.state)
+    wcc_large_sec = round(time.monotonic() - t0, 3)
+    wcc_rounds = wres.rounds
+    t0 = time.monotonic()
+    tri_count_large = triangle_count(gu)
+    tri_large_sec = round(time.monotonic() - t0, 3)
+
     # Same probe with the engine's skew remedy ON (the probe input IS
     # skewed: 20% of edges land on ~1% hub destinations): HubIsolatedEdges
     # splits the measured hubs' edge blocks off the per-round message
@@ -234,6 +251,13 @@ def main() -> None:
         "large_iso_sec": large_iso_sec,
         "pagerank_eups_large_isolate": round(
             n_le * irounds / large_iso_sec, 1),
+        "wcc_large_sec": wcc_large_sec,
+        "wcc_rounds_large": wcc_rounds,
+        "wcc_eups_large": round(
+            2 * n_le * wcc_rounds / wcc_large_sec, 1),
+        "triangles_large_sec": tri_large_sec,
+        "triangles_large_count": tri_count_large,
+        "triangles_edges_per_sec": round(2 * n_le / tri_large_sec, 1),
         "block_rounds": brounds,
         "block_sec": block_sec,
         "pagerank_block_eups_large": round(n_le * brounds / block_sec, 1),
