@@ -213,10 +213,18 @@ def main() -> None:
     # Guards the round-1 gate-killer (plan growth through the derived edge
     # lineage): this stays seconds iff repo_graph truncates lineage before
     # the iterative loop (corpus.py localCheckpoint discipline).
-    from graphscope_spark.corpus import repo_graph  # noqa: E402
+    from graphscope_spark.corpus import (  # noqa: E402
+        extract_edges, repo_graph, synthesize_repos,
+    )
     n_repos = int(os.environ.get("SPARK_GRAFT_BENCH_REPOS", "2000"))
+    # warm the Python-worker pool + Arrow path untimed (this is the first
+    # pandas UDF in the JVM; otherwise the timed probe pays ~32 worker
+    # spawns — measured 26s vs 8s on identical work). Different scale
+    # literals → different analyzed plans → no cache leak into the probe.
+    extract_edges(synthesize_repos(spark, 50, 3)).count()
     t0 = time.monotonic()
-    gr, _, _ = repo_graph(spark, n_repos=n_repos, files_per_repo=12)
+    gr, _, _ = repo_graph(spark, n_repos=n_repos, files_per_repo=12,
+                          num_partitions=parts)
     sink(pagerank(gr, alpha=0.85, max_iter=PR_ROUNDS).state)
     corpus_sec = round(time.monotonic() - t0, 3)
 
