@@ -260,15 +260,29 @@ def repo_graph(
     (docs/frag_intro.md:17-19).
     """
     repos = synthesize_repos(spark, n_repos, files_per_repo, seed=seed)
-    # Eager localCheckpoint (NOT just persist): persist caches the data but
-    # the logical plan still carries the full synthesize → pandas-UDF extract
-    # → explode → broadcast-join lineage, and every iterative-algorithm round
-    # re-embeds and re-analyzes it — plan analysis alone OOMs the driver on a
-    # 60-vertex graph (round-1 verdict "What's wrong #1"). Checkpointing
-    # truncates the plan to a flat in-memory RDD scan, the same discipline
-    # paths.py applies per BFS level. On a real cluster this is a
-    # write/read of the (tiny, content-free) edge list — O(#repos), not
-    # O(corpus).
+    g, vertices = graph_from_repos(repos, num_partitions)
+    return g, vertices, repos
+
+
+def graph_from_repos(
+    repos: DataFrame, num_partitions: int | None = None
+) -> tuple[Graph, DataFrame]:
+    """repos table → (Graph, vertices(id, repo)) — extract + dense-id
+    encode with the MANDATORY lineage-cut discipline.
+
+    Eager localCheckpoint (NOT just persist): persist caches the data but
+    the logical plan still carries the full synthesize/read → pandas-UDF
+    extract → explode → broadcast-join lineage, and every
+    iterative-algorithm round re-embeds and re-analyzes it — plan
+    analysis alone OOMs the driver on a 60-vertex graph (round-1 verdict
+    "What's wrong #1"; the same bug re-surfaced in
+    scripts/run_analytics.py, which had rebuilt this assembly WITHOUT
+    the checkpoints and OOM'd a 1g spark-submit driver — found by
+    tests/test_submit.py). Checkpointing truncates the plan to a flat
+    in-memory RDD scan, the same discipline paths.py applies per BFS
+    level. On a real cluster this is a write/read of the (tiny,
+    content-free) edge list — O(#repos), not O(corpus).
+    """
     str_edges = extract_edges(repos).localCheckpoint(eager=True)
     vmap = assign_dense_ids(
         str_edges.select(F.col("src_repo").alias("repo"))
@@ -286,7 +300,7 @@ def repo_graph(
     )
     vertices = vmap.select("id", "repo")
     return Graph(edges, vertices.select("id"), directed=True,
-                 num_partitions=num_partitions), vertices, repos
+                 num_partitions=num_partitions), vertices
 
 
 # --------------------------------------------------------------------- #

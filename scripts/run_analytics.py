@@ -52,7 +52,6 @@ def main() -> None:
 
     from graphscope_spark import corpus
     from graphscope_spark.algorithms import cdlp, pagerank, triangles, wcc
-    from graphscope_spark.graph import Graph, assign_dense_ids
 
     if args.synthesize:
         repos = corpus.synthesize_repos(spark, n_repos=args.synthesize)
@@ -61,20 +60,11 @@ def main() -> None:
     else:
         repos = spark.read.parquet(args.input)
 
-    str_edges = corpus.extract_edges(repos)
-    vmap = assign_dense_ids(
-        str_edges.selectExpr("src_repo AS repo")
-        .union(str_edges.selectExpr("dst_repo AS repo")),
-        "repo",
-    )
-    edges = (
-        str_edges.join(vmap.withColumnRenamed("repo", "src_repo"), "src_repo")
-        .withColumnRenamed("id", "src")
-        .join(vmap.withColumnRenamed("repo", "dst_repo"), "dst_repo")
-        .withColumnRenamed("id", "dst")
-        .select("src", "dst")
-    )
-    g = Graph(edges, directed=True)
+    # graph_from_repos carries the lineage-cut discipline (eager
+    # localCheckpoints after extract / id-map / encode) — rebuilding the
+    # assembly inline WITHOUT them re-embeds the pandas-UDF extract plan
+    # into every superstep and OOMs the driver (tests/test_submit.py).
+    g, vmap = corpus.graph_from_repos(repos)
 
     kw = dict(checkpoint_dir=args.checkpoint_dir,
               checkpoint_every=args.checkpoint_every,
