@@ -112,16 +112,25 @@ def _q_pagerank_resume(spark, sf_dir):
     resumed fixpoint must equal the uninterrupted 10-round run at the
     gate's rounding — it shares ``pagerank``'s unrolled SQL twin, so the
     driver value-hashes the resume path itself."""
+    import shutil
     import tempfile
 
     g = tg.copurchase_graph(spark, sf_dir)
     ck = tempfile.mkdtemp(prefix="gs_pr_resume_")
-    first = pagerank(g, alpha=0.85, max_iter=5, checkpoint_dir=ck,
-                     checkpoint_every=5, run_id="gate")
-    first.state.unpersist()
-    res = pagerank(g, alpha=0.85, max_iter=10, checkpoint_dir=ck,
-                   run_id="gate", resume=True)
-    return res.state.select("id", F.round("rank", RD).alias("pr"))
+    try:
+        first = pagerank(g, alpha=0.85, max_iter=5, checkpoint_dir=ck,
+                         checkpoint_every=5, run_id="gate")
+        first.state.unpersist()
+        res = pagerank(g, alpha=0.85, max_iter=10, checkpoint_dir=ck,
+                       run_id="gate", resume=True)
+        # materialize BEFORE removing the checkpoint dir (the resumed
+        # lineage starts at the durable round-5 parquet) — repeated gate
+        # runs must not accumulate checkpoint data under /tmp
+        return res.state.select(
+            "id", F.round("rank", RD).alias("pr")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
 
 
 def _q_pagerank_push(spark, sf_dir):
@@ -1576,33 +1585,77 @@ def _q_graphar_roundtrip(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate hashes the FIRST 50
-    # entries only, so the window is curated — slots 1-15 carry the
-    # north-star four + the CSR-block engines, slots 16-50 the corpus /
-    # LLM-data-pipeline tier (dedup family, retrieval, ANN, tokenization,
-    # packing, event joins, TPC-H, streaming folds, GNN sampling). The
-    # remaining ~120 entries keep full-gate coverage via
-    # scripts/gate_check.py, which runs them all.
+    # entries only, so the window is curated AND ROTATED each round so
+    # driver-green coverage accumulates (VERDICT r3 next-round #1).
     return {
-        # --- driver window 1-15: substrate + north-star + block engines
+        # --- driver window slots 1-12: SENTINELS, kept every round —
+        #     substrate, the north-star four, the CSR-block engines, the
+        #     checkpoint/resume path, and the repo corpus path (north
+        #     rule: derived edges, content sha256 invariant).
         "graph_edges": _q_graph_edges,
-        "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
+        "wcc": _q_wcc,
+        "cdlp": _q_cdlp,
+        "triangles": _q_triangles,
         "pagerank_block": _q_pagerank_block,
+        "wcc_block": _q_wcc_block,
+        "cdlp_block": _q_cdlp_block,
+        "sssp_block": _q_sssp_block,
+        "pagerank_resume": _q_pagerank_resume,
+        "repo_pagerank": _q_repo_pagerank,
+        "repo_sha256": _q_repo_sha256,
+        # --- driver window slots 13-50: ROTATED for round 4 to the
+        #     breadth-algorithm tier (bfs family, spectral/path
+        #     centralities, FLASH census, gremlin/cypher front ends,
+        #     GraphAr, sketches) — none of these had a driver-green row
+        #     in rounds 1-3. The round-3 window (LLM-pipeline tier) moved
+        #     below the fold; scripts/gate_check.py still runs ALL entries.
+        "bfs": _q_bfs,
+        "bfs_push": _q_bfs_push,
+        "bfs_pull": _q_bfs_pull,
+        "bfs_parents": _q_bfs_parents,
+        "sssp_delta": _q_sssp_delta,
+        "hits": _q_hits,
+        "eigenvector": _q_eigenvector,
+        "katz": _q_katz,
+        "betweenness": _q_betweenness,
+        "betweenness_endpoints": _q_betweenness_endpoints,
+        "betweenness_weighted": _q_betweenness_weighted,
+        "scc": _q_scc,
+        "kcore": _q_kcore,
+        "kshell": _q_kshell,
+        "closeness": _q_closeness,
+        "apsp": _q_apsp,
+        "voterank": _q_voterank,
+        "dfs": _q_dfs,
+        "clustering": _q_clustering,
+        "repo_file_dedup": _q_repo_file_dedup,
+        "rectangle": _q_rectangle,
+        "diamond": _q_diamond,
+        "tailed_triangle": _q_tailed_triangle,
+        "three_path": _q_three_path,
+        "kclique4": _q_kclique4,
+        "acyclic_triangle": _q_acyclic_triangle,
+        "cyclic_triangle": _q_cyclic_triangle,
+        "cycle_plus_triangle": _q_cycle_plus_triangle,
+        "in_triangle": _q_in_triangle,
+        "out_triangle": _q_out_triangle,
+        "gremlin_khop": _q_gremlin_khop,
+        "gremlin_topk": _q_gremlin_topk,
+        "gremlin_match": _q_gremlin_match,
+        "cypher_multi_match": _q_cypher_multi_match,
+        "cypher_shortest": _q_cypher_shortest,
+        "path_expand_trail": _q_path_expand_trail,
+        "graphar_roundtrip": _q_graphar_roundtrip,
+        "hll_distinct": _q_hll_distinct,
+        # --- end of driver window (50); full gate coverage continues ---
+        "graph_degrees": _q_graph_degrees,
         "pagerank_directed": _q_pagerank_directed,
         "pagerank_tol": _q_pagerank_tol,
         "pagerank_push": _q_pagerank_push,
-        "wcc": _q_wcc,
-        "wcc_block": _q_wcc_block,
-        "cdlp": _q_cdlp,
-        "cdlp_block": _q_cdlp_block,
-        "triangles": _q_triangles,
         "triangle_count": _q_triangle_count,
         "sssp": _q_sssp,
-        "sssp_block": _q_sssp_block,
-        # --- driver window 16-50: corpus north rule + pipeline tier
         "repo_edges": _q_repo_edges,
-        "repo_pagerank": _q_repo_pagerank,
-        "repo_sha256": _q_repo_sha256,
         "dedup_exact": _q_dedup_exact,
         "minhash": _q_minhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1630,83 +1683,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sssp": _q_stream_sssp,
         "sample_neighbors": _q_sample_neighbors,
         "sample_weighted": _q_sample_weighted,
-        "pagerank_resume": _q_pagerank_resume,
         "multimodal_decode": _q_multimodal_decode,
         "louvain": _q_louvain,
         "ktruss": _q_ktruss,
         "zorder": _q_zorder,
-        # --- end of driver window; full gate coverage continues below
         "random_walks": _q_random_walks,
-        "repo_file_dedup": _q_repo_file_dedup,
-        # breadth algorithms
-        "bfs": _q_bfs,
-        "bfs_push": _q_bfs_push,
-        "bfs_pull": _q_bfs_pull,
-        "sssp_delta": _q_sssp_delta,
         "degree_centrality": _q_degree_centrality,
-        "clustering": _q_clustering,
         "lcc_directed": _q_lcc_directed,
         "transitivity": _q_transitivity,
         "avg_clustering": _q_avg_clustering,
-        "kcore": _q_kcore,
-        "kshell": _q_kshell,
         "assortativity": _q_assortativity,
         "avg_degree_connectivity": _q_avg_degree_connectivity,
-        "eigenvector": _q_eigenvector,
-        "katz": _q_katz,
-        "hits": _q_hits,
-        "closeness": _q_closeness,
-        "apsp": _q_apsp,
-        "betweenness": _q_betweenness,
-        "betweenness_endpoints": _q_betweenness_endpoints,
-        "betweenness_weighted": _q_betweenness_weighted,
         "closeness_weighted": _q_closeness_weighted,
         "harmonic_weighted": _q_harmonic_weighted,
         "apsp_weighted": _q_apsp_weighted,
         "flash_cc": _q_flash_cc,
         "sssp_path": _q_sssp_path,
         "path_expand": _q_path_expand,
-        "path_expand_trail": _q_path_expand_trail,
-        "gremlin_khop": _q_gremlin_khop,
         "gremlin_path": _q_gremlin_path,
         "cypher_triangle": _q_cypher_triangle,
         "cypher_degree_hist": _q_cypher_degree_hist,
-        "cypher_multi_match": _q_cypher_multi_match,
-        "cypher_shortest": _q_cypher_shortest,
-        "gremlin_topk": _q_gremlin_topk,
         "gremlin_nbr_size": _q_gremlin_nbr_size,
         "gremlin_no_out": _q_gremlin_no_out,
-        "gremlin_match": _q_gremlin_match,
         "property_project": _q_property_project,
-        "graphar_roundtrip": _q_graphar_roundtrip,
-        # round-2 additions
         "ppr": _q_ppr,
         "articlerank": _q_articlerank,
-        "scc": _q_scc,
         "lpa_u2i": _q_lpa_u2i,
         "attr_assortativity": _q_attr_assortativity,
-        "voterank": _q_voterank,
         "all_simple_paths": _q_all_simple_paths,
         "shortest_path_expand": _q_shortest_path_expand,
-        "bfs_parents": _q_bfs_parents,
-        "dfs": _q_dfs,
-        # FLASH subgraph-counting family
-        "rectangle": _q_rectangle,
-        "diamond": _q_diamond,
-        "tailed_triangle": _q_tailed_triangle,
-        "three_path": _q_three_path,
-        "kclique4": _q_kclique4,
-        "acyclic_triangle": _q_acyclic_triangle,
-        "cyclic_triangle": _q_cyclic_triangle,
-        "cycle_plus_triangle": _q_cycle_plus_triangle,
-        "in_triangle": _q_in_triangle,
-        "out_triangle": _q_out_triangle,
-        # biconnectivity (rows-only; exact Tarjan oracle in pytest)
         "bcc": _q_bcc,
         "bridges": _q_bridges,
         "articulation_points": _q_articulation_points,
         "densest_subgraph": _q_densest_subgraph,
-        # FLASH matching / measurement / clustering / core-ordering
         "harmonic": _q_harmonic,
         "mis": _q_mis,
         "maximal_matching": _q_maximal_matching,
@@ -1727,8 +1736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fluid_community": _q_fluid_community,
         "lpa_by_color": _q_lpa_by_color,
         "fluid_by_color": _q_fluid_by_color,
-        # corpus input path (north rule)
-        # document pipeline
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1746,7 +1753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "tfidf_terms": _q_tfidf_terms,
         "kmv_distinct": _q_kmv_distinct,
-        "hll_distinct": _q_hll_distinct,
         "count_min": _q_count_min,
         "funnel": _q_funnel,
         "retention": _q_retention,
@@ -1767,10 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab_stats,
         "importance_resample": _q_importance_resample,
         "multimodal_meta": _q_multimodal_meta,
-        # remaining FLASH compositions
         "k_core_search": _q_k_core_search,
         "random_multi_bfs": _q_random_multi_bfs,
-        # GNN training-data sampling (GLE analog)
         "negative_sample": _q_negative_sample,
         "node2vec": _q_node2vec,
     }

@@ -134,7 +134,11 @@ def main() -> None:
     gl = Graph(ledges, directed=True, num_partitions=cpus)
     gl.num_edges; gl.degrees.count()
     t0 = time.monotonic()
-    sink(pagerank(gl, alpha=0.85, max_iter=lrounds).state)
+    # skew=None pins the PLAIN join — round 4 made the measured-skew
+    # policy the default, so without the pin this row would silently
+    # change meaning vs BENCH_r03 (the auto defaults are measured by the
+    # isolate/auto rows below)
+    sink(pagerank(gl, alpha=0.85, max_iter=lrounds, skew=None).state)
     large_sec = round(time.monotonic() - t0, 3)
 
     # North-star four at shuffle-dominated scale: WCC (min-label frontier
@@ -146,10 +150,18 @@ def main() -> None:
     gu = gl.to_undirected()
     gu.num_edges; gu.degrees.count()
     t0 = time.monotonic()
-    wres = wcc(gu)
+    wres = wcc(gu, skew=None)  # plain pin, same reason as pagerank above
     sink(wres.state)
     wcc_large_sec = round(time.monotonic() - t0, 3)
     wcc_rounds = wres.rounds
+    # the no-flags default: the measured-skew AUTO policy (min-combiner →
+    # salt when a hub block exceeds a partition's share; this input is
+    # skewed, so the sensor fires). VERDICT r3 next-round #3: `wcc(g)` on
+    # a skewed input must beat the plain row without any flags.
+    t0 = time.monotonic()
+    wres_a = wcc(gu)
+    sink(wres_a.state)
+    wcc_large_auto_sec = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
     tri_count_large = triangle_count(gu)
     tri_large_sec = round(time.monotonic() - t0, 3)
@@ -179,6 +191,17 @@ def main() -> None:
     sink(pagerank_block(gl, alpha=0.85, max_iter=brounds).state)
     block_sec = round(time.monotonic() - t0, 3)
 
+    # PROVENANCE row (VERDICT r3 next-round #9): the same 8M probe pinned
+    # to round 3's B derivation (B = 2×cores, num_blocks=64 here). Round 4
+    # changed default_num_blocks to size B from the edge count with a
+    # min-block-edges floor (csr.py _MIN_BLOCK_EDGES) — this row keeps the
+    # old configuration measured under the same metric name family so
+    # BENCH_r4 vs r3 stays apples-to-apples across the change.
+    t0 = time.monotonic()
+    sink(pagerank_block(gl, alpha=0.85, max_iter=brounds,
+                        num_blocks=2 * cpus).state)
+    block_sec_b64 = round(time.monotonic() - t0, 3)
+
     # Block engine at shuffle-dominated scale: 100M edges (default),
     # B = 2x cores (the csr.default_num_blocks derivation). This is the
     # scale row BASELINE.md's reference numbers live at (1B+ edges);
@@ -200,12 +223,50 @@ def main() -> None:
     t0 = time.monotonic()
     sink(pagerank_block(gb, alpha=0.85, max_iter=brounds).state)
     block100_sec = round(time.monotonic() - t0, 3)
+    gb.unpersist()
+
+    # At-scale rows for the OTHER block engines (VERDICT r3 next-round
+    # #5): wcc_block / cdlp_block / sssp_block at ≥50M edges, all three
+    # over the same directed 50M-edge hub-skewed input through the same
+    # spilled-CSR pack path (wcc/cdlp symmetrize at spill time,
+    # direction='both'; sssp packs the weighted out-CSR). Only
+    # pagerank_block had a 100M row in round 3 — the other engines' scale
+    # claims were untested beyond correctness.
+    from graphscope_spark.algorithms import cdlp_block, sssp_block, wcc_block  # noqa: E402
+    n_b3 = int(os.environ.get("SPARK_GRAFT_BENCH_BLOCK3_EDGES", "50000000"))
+    nv3 = n_b3 // 8
+    b3 = spark.range(n_b3)
+    h3 = F.xxhash64(F.col("id"))
+    h3b = F.xxhash64(F.col("id"), F.lit(1))
+    hub3 = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(100)) < 20
+    edges3 = b3.select(
+        F.pmod(h3, F.lit(nv3)).alias("src"),
+        F.when(hub3, F.pmod(h3b, F.lit(nv3 // 100 + 1)))
+         .otherwise(F.pmod(h3b, F.lit(nv3))).alias("dst"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(100)) / 100.0
+         + 0.5).alias("w"),
+    )
+    g3 = Graph(edges3, directed=True, num_partitions=cpus)
+    g3.num_edges; g3.degrees.count()
+    t0 = time.monotonic()
+    wres3 = wcc_block(g3)
+    sink(wres3.state)
+    wcc_block_sec = round(time.monotonic() - t0, 3)
+    wcc_block_rounds = wres3.rounds
+    t0 = time.monotonic()
+    sink(cdlp_block(g3, max_iter=5).state)
+    cdlp_block_sec = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    sres3 = sssp_block(g3, source=0, weight_col="w")
+    sink(sres3.state)
+    sssp_block_sec = round(time.monotonic() - t0, 3)
+    sssp_block_rounds = sres3.rounds
 
     # Release the probe graphs' caches (the 100M-edge probe alone pins
     # ~3 GB of columnar edge cache) so the doc-pipeline probes below
     # measure their own dataflow, not eviction pressure from these.
     gl.unpersist()
-    gb.unpersist()
+    g3.unpersist()
     spark.catalog.clearCache()
 
     # North-star corpus-path probe: synthesize repos(content) → vectorized
@@ -263,15 +324,33 @@ def main() -> None:
         "wcc_rounds_large": wcc_rounds,
         "wcc_eups_large": round(
             2 * n_le * wcc_rounds / wcc_large_sec, 1),
+        "wcc_large_auto_sec": wcc_large_auto_sec,
+        "wcc_eups_large_auto": round(
+            2 * n_le * wres_a.rounds / wcc_large_auto_sec, 1),
         "triangles_large_sec": tri_large_sec,
         "triangles_large_count": tri_count_large,
         "triangles_edges_per_sec": round(2 * n_le / tri_large_sec, 1),
         "block_rounds": brounds,
         "block_sec": block_sec,
         "pagerank_block_eups_large": round(n_le * brounds / block_sec, 1),
+        "block_sec_b64_r3cfg": block_sec_b64,
+        "pagerank_block_eups_large_b64_r3cfg": round(
+            n_le * brounds / block_sec_b64, 1),
         "block100_edges": n_be,
         "block100_sec": block100_sec,
         "pagerank_block_eups_100m": round(n_be * brounds / block100_sec, 1),
+        "block3_edges": n_b3,
+        "wcc_block_sec": wcc_block_sec,
+        "wcc_block_rounds": wcc_block_rounds,
+        "wcc_block_eups": round(
+            2 * n_b3 * wcc_block_rounds / wcc_block_sec, 1),
+        "cdlp_block_sec": cdlp_block_sec,
+        "cdlp_block_rounds": 5,
+        "cdlp_block_eups": round(2 * n_b3 * 5 / cdlp_block_sec, 1),
+        "sssp_block_sec": sssp_block_sec,
+        "sssp_block_rounds": sssp_block_rounds,
+        "sssp_block_eups": round(
+            n_b3 * sssp_block_rounds / sssp_block_sec, 1),
         "corpus_repos": n_repos,
         "corpus_end_to_end_pagerank_sec": corpus_sec,
         "n_docs": n_docs,

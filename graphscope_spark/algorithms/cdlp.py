@@ -26,6 +26,13 @@ from graphscope_spark.graph import Graph
 from graphscope_spark.pregel import SuperstepRunner, SuperstepResult
 
 
+def _sensor_floor() -> int:
+    # read at call time so tests can pin skew.SKEW_SENSOR_MIN_EDGES = 0
+    from graphscope_spark.operators import skew as skewmod
+
+    return skewmod.SKEW_SENSOR_MIN_EDGES
+
+
 def cdlp(
     g: Graph,
     max_iter: int = 10,
@@ -33,21 +40,61 @@ def cdlp(
     checkpoint_every: int = 0,
     run_id: str | None = None,
     resume: bool = False,
+    skew: str | None = "auto",
 ) -> SuperstepResult:
-    """Returns state ``(id: long, label: long)``."""
+    """Returns state ``(id: long, label: long)``.
+
+    ``skew="auto"`` (default): when a measured hub's edge block exceeds a
+    partition's fair share (operators/skew.py measured_hub_keys), SALT
+    the hub blocks of the per-round label join — CDLP's count-argmax
+    combiner partial-aggregates map-side like a min, so the straggler is
+    the task owning the hub's edge block, the salting case of the policy
+    table in operators/skew.py. Integer counting + deterministic
+    (count DESC, label ASC) tie-break → salted runs are bit-identical.
+    Empty hub set (uniform input) → plain path. ``skew=None`` disables."""
     spark = g.spark
     edges = g.out_edges.select("src", "dst")
+    salted_src = salted_dst = None
+    if skew == "auto" and g.num_edges >= _sensor_floor():
+        from graphscope_spark.operators.skew import (
+            HubSaltedEdges, measured_hub_keys,
+        )
+
+        hubs = measured_hub_keys(
+            edges, key="src", num_partitions=g.num_partitions,
+        )
+        if hubs:
+            salted_src = HubSaltedEdges(
+                edges, key="src", n_salts=8,
+                num_partitions=g.num_partitions, hub_keys=hubs,
+            )
+        if g.directed:
+            # the in-direction join keys on dst — its own sensor + cache
+            dhubs = measured_hub_keys(
+                edges, key="dst", num_partitions=g.num_partitions,
+            )
+            if dhubs:
+                salted_dst = HubSaltedEdges(
+                    edges, key="dst", n_salts=8,
+                    num_partitions=g.num_partitions, hub_keys=dhubs,
+                )
 
     init = g.vertices.select("id", F.col("id").alias("label"))
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        out_msgs = edges.join(
-            state.withColumnRenamed("id", "src"), "src"
+        st_src = state.withColumnRenamed("id", "src")
+        out_msgs = (
+            salted_src.message_join(st_src)
+            if salted_src is not None
+            else edges.join(st_src, "src")
         ).select(F.col("dst").alias("id"), "label")
         msgs = out_msgs
         if g.directed:
-            in_msgs = edges.join(
-                state.withColumnRenamed("id", "dst"), "dst"
+            st_dst = state.withColumnRenamed("id", "dst")
+            in_msgs = (
+                salted_dst.message_join(st_dst)
+                if salted_dst is not None
+                else edges.join(st_dst, "dst")
             ).select(F.col("src").alias("id"), "label")
             msgs = out_msgs.union(in_msgs)
 
@@ -77,7 +124,11 @@ def cdlp(
         run_id=run_id,
         truncate_every=3,
     )
-    return runner.run(init, step, max_iter, resume=resume)
+    res = runner.run(init, step, max_iter, resume=resume)
+    for s in (salted_src, salted_dst):
+        if s is not None:
+            s.unpersist()
+    return res
 
 
 def cdlp_block(
@@ -113,18 +164,18 @@ def cdlp_block(
 
     b = num_blocks or csrmod.default_num_blocks(g)
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, direction="both")
-    csrmod.spill_vertex_arrays(
-        g.vertices.select("id", F.lit(0).cast("long").alias("out_deg")),
-        sd, b,
-    )
 
     _STATE_SCHEMA = "blk int, n long, labels binary"
 
     def _init_state(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id", kind="mergesort")
-        ids = pdf["id"].to_numpy(np.int64)
+        # one grouped pass: spill the sorted vertex ids (degs unused by
+        # this engine — zeros) AND emit the packed init row
+        ids = np.sort(pdf["id"].to_numpy(np.int64), kind="stable")
+        blk = int(pdf["blk"].iloc[0])
+        csrmod.save_vertex_arrays(
+            sd, blk, ids, np.zeros(ids.size, np.int64))
         return pd.DataFrame([{
-            "blk": int(pdf["blk"].iloc[0]),
+            "blk": blk,
             "n": int(ids.size),
             "labels": ids.tobytes(),
         }])

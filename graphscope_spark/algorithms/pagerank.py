@@ -45,6 +45,7 @@ def pagerank(
     hub_salts: int = 0,
     hub_top_n: int = 16,
     hub_isolate: bool = False,
+    skew: str | None = "auto",
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is ``(id: long, rank: double,
     out_deg: long)`` (out_deg rides along so no per-round degree join).
@@ -63,6 +64,15 @@ def pagerank(
     HubIsolatedEdges). Unlike salting it re-keys nothing on a
     skew-free input (empty hub set → exactly the plain join), so it's
     the default remedy to reach for; mutually exclusive with hub_salts.
+
+    ``skew="auto"`` (default) applies hub-isolation automatically: a SUM
+    combiner cannot pre-collapse a hub's messages, and isolation is the
+    measured winner for pagerank (2.9× over plain on the 20M skewed bench
+    input) while degrading to exactly the plain join on uniform inputs
+    (empty measured hub set) — the policy table lives in
+    operators/skew.py module docs. The sensor costs one count + one
+    top-n aggregation at setup, amortized over every superstep. Pass
+    ``skew=None`` to disable, or force a remedy with the explicit flags.
 
     ``tol=None`` reproduces the fixed-round app; ``tol`` set reproduces
     pagerank_nx L1 convergence (alpha=0.85, max_iter=100, tol=1e-6 defaults
@@ -87,9 +97,18 @@ def pagerank(
     # pagerank.h PEval, and never re-fetches it).
     edges = g.out_edges.select("src", "dst")
     salted = None
-    if hub_isolate:
+    from graphscope_spark.operators import skew as skewmod
+
+    if hub_isolate or (
+        skew == "auto" and hub_salts <= 1
+        and g.num_edges >= skewmod.SKEW_SENSOR_MIN_EDGES
+    ):
         from graphscope_spark.operators.skew import HubIsolatedEdges
 
+        # explicit flag, or the auto policy (sum combiner → isolate; the
+        # class measures the hub set itself and an empty set means the
+        # tail IS the plain pre-partitioned cache, untouched). Below the
+        # sensor floor the remedy can't pay for itself — plain path.
         # out_edges is already src-partitioned+sorted: the tail streams
         # the existing cache through a filter, no new edge shuffle at all
         salted = HubIsolatedEdges(
@@ -265,22 +284,28 @@ def pagerank_block(
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, spill_dir)
     teleport = (1.0 - alpha) / n
 
-    vdf = (
-        g.vertices.select("id")
-        .join(g.degrees.select("id", "out_deg"), "id", "left")
-        .select("id", F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"))
-    )
-    csrmod.spill_vertex_arrays(vdf, sd, b)
+    # g.degrees already left-joins EVERY vertex and fills 0 (graph.py) —
+    # re-joining g.vertices here would pay a second id-shuffle for nothing
+    vdf = g.degrees.select("id", "out_deg")
 
     _STATE_SCHEMA = "blk int, n long, ranks binary, dang double"
 
     def _init_state(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id", kind="mergesort")
+        # ONE grouped pass: spill the invariant (vids, degs) arrays and
+        # emit the packed init state row (csr.save_vertex_arrays — saves
+        # the separate spill_vertex_arrays shuffle+pass, which was ~15%
+        # of the 8M-edge setup cost)
+        ids = pdf["id"].to_numpy(np.int64)
         degs = pdf["out_deg"].to_numpy(np.int64)
-        ranks = np.full(len(pdf), 1.0 / n, np.float64)
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        degs = degs[o]
+        blk = int(pdf["blk"].iloc[0])
+        csrmod.save_vertex_arrays(sd, blk, ids, degs)
+        ranks = np.full(ids.size, 1.0 / n, np.float64)
         return pd.DataFrame([{
-            "blk": int(pdf["blk"].iloc[0]),
-            "n": int(len(pdf)),
+            "blk": blk,
+            "n": int(ids.size),
             "ranks": ranks.tobytes(),
             "dang": float(ranks[degs == 0].sum()),
         }])
@@ -292,24 +317,43 @@ def pagerank_block(
         .repartition(b, "blk")
     )
 
-    _MSG_SCHEMA = "sblk int, dblk int, ids binary, sums binary"
+    _MSG_SCHEMA = "sblk int, dblk int, ids binary, sums binary, dang double"
 
     def gather(key, pdf):
         # pdf: the block's (single) packed state row; adjacency and the
         # block's sorted vertex ids/degrees come from the worker-local
         # mmap — nothing edge-shaped enters through Arrow.
+        #
+        # The dangling-mass allreduce rides IN the message rows: every
+        # source block sends its per-block dang scalar to EVERY
+        # destination block (Θ(B²) tiny rows — the message complexity the
+        # engine already has), and the receive side sums one scalar per
+        # sblk. This removes the per-round BroadcastExchange job the old
+        # state.agg→crossJoin(broadcast) spelling cost (~0.1-0.2 s of
+        # driver/job latency per superstep — material at mid scale where
+        # rounds are ~0.7 s).
         empty = pd.DataFrame({
             "sblk": pd.Series(dtype=np.int32),
             "dblk": pd.Series(dtype=np.int32),
             "ids": pd.Series(dtype=object),
             "sums": pd.Series(dtype=object),
+            "dang": pd.Series(dtype=np.float64),
         })
         blk = int(key[0])
-        buf = csrmod.load_spilled_block(sd, blk)
-        if buf is None or len(pdf) == 0:
+        if len(pdf) == 0:
             return empty
-        vb = csrmod.load_spilled_vertices(sd, blk)
         st = pdf.iloc[0]
+        dang_b = float(st["dang"])
+        buf = csrmod.load_spilled_block(sd, blk)
+        if buf is None:
+            # no out-edges from this block — its dangling mass must still
+            # reach every receiver
+            return pd.DataFrame([
+                {"sblk": blk, "dblk": int(d), "ids": b"", "sums": b"",
+                 "dang": dang_b}
+                for d in range(b)
+            ])
+        vb = csrmod.load_spilled_vertices(sd, blk)
         ids = vb["vids"]
         degs = vb["degs"]
         ranks = np.frombuffer(st["ranks"], np.float64)
@@ -326,18 +370,19 @@ def pagerank_block(
         rows: list[dict] = []
         for d in range(bounds.size - 1):
             lo, hi = bounds[d], bounds[d + 1]
-            if lo < hi:
-                rows.append({
-                    "sblk": blk, "dblk": int(d),
-                    "ids": np.ascontiguousarray(uniq[lo:hi]).tobytes(),
-                    "sums": sums[lo:hi].tobytes(),
-                })
-        return pd.DataFrame(rows) if rows else empty
+            rows.append({
+                "sblk": blk, "dblk": int(d),
+                "ids": np.ascontiguousarray(uniq[lo:hi]).tobytes()
+                if lo < hi else b"",
+                "sums": sums[lo:hi].tobytes() if lo < hi else b"",
+                "dang": dang_b,
+            })
+        return pd.DataFrame(rows)
 
     def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left: ≤B packed message buffers addressed to this block; right:
-        # the block's packed state row carrying the broadcast dangling
-        # scalar. Emits the block's next packed state row.
+        # left: B packed message rows addressed to this block (one per
+        # source block, each carrying that block's dangling scalar);
+        # right: the block's packed state row. Emits the next state row.
         if len(right) == 0:
             return pd.DataFrame(columns=["blk", "n", "ranks", "dang"])
         st = right.iloc[0]
@@ -345,9 +390,10 @@ def pagerank_block(
         vb = csrmod.load_spilled_vertices(sd, blk)
         ids = vb["vids"]
         degs = vb["degs"]
-        dang = float(st["_dang"])
         if len(left):
             left = left.sort_values("sblk", kind="mergesort")
+            # deterministic: one dang scalar per sblk, summed in sblk order
+            dang = float(left["dang"].to_numpy(np.float64).sum())
             mids = np.concatenate(
                 [np.frombuffer(x, np.int64) for x in left["ids"]])
             msums = np.concatenate(
@@ -355,6 +401,7 @@ def pagerank_block(
             pos = np.searchsorted(ids, mids)
             gathered = np.bincount(pos, weights=msums, minlength=ids.size)
         else:
+            dang = 0.0
             gathered = np.zeros(ids.size, np.float64)
         rank = alpha * gathered + teleport + alpha * dang / n
         return pd.DataFrame([{
@@ -365,14 +412,12 @@ def pagerank_block(
         }])
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        # scalar allreduce over B per-block dangling sums; broadcast into
-        # the receive side (no driver action of its own)
-        dang = state.agg(F.sum("dang").alias("_dang"))
+        # the dangling allreduce is IN the packed messages (gather docs);
+        # the round is exactly two grouped-UDF stages, no broadcast job
         packed = state.groupBy("blk").applyInPandas(gather, _MSG_SCHEMA)
-        receivers = state.crossJoin(F.broadcast(dang))
         return (
             packed.groupby("dblk")
-            .cogroup(receivers.groupby("blk"))
+            .cogroup(state.groupby("blk"))
             .applyInPandas(update, _STATE_SCHEMA)
         )
 

@@ -35,10 +35,21 @@ def sssp(
     run_id: str | None = None,
     resume: bool = False,
     init_state: DataFrame | None = None,
+    skew: str | None = "auto",
 ) -> SuperstepResult:
     """Returns state ``(id, dist, changed)``; ``dist`` is NULL for
     unreachable vertices (the reference prints ∞/max — NULL is our
     relational spelling, filter or fillna at the edge).
+
+    ``skew="auto"`` (default): when the measured hub set is non-empty
+    (operators/skew.py measured_hub_keys — a source's edge block exceeds
+    a partition's fair share), SALT those hubs' blocks: the min-combiner
+    remedy of the policy table in operators/skew.py (the map-side partial
+    min collapses hub-destination traffic; the straggler that remains is
+    the task owning the hub's source block, which only a salt spreads).
+    Float min is order-free, so the salted run is bit-identical. Empty
+    hub set (uniform input) → plain path, no re-key. ``skew=None``
+    disables the sensor.
 
     ``weight_col=None`` gives unit weights — which *is* BFS levels.
 
@@ -58,6 +69,23 @@ def sssp(
     # at construction) — re-symmetrizing here would double per-round message
     # volume (min-agg keeps it correct but wastes half the shuffle).
     edges = g.out_edges.select("src", "dst", w.alias("w"))
+    salted = None
+    if skew == "auto":
+        from graphscope_spark.operators.skew import (
+            SKEW_SENSOR_MIN_EDGES, HubSaltedEdges, measured_hub_keys,
+        )
+
+        # min-combiner → salt (operators/skew.py policy table); empty
+        # measured hub set on uniform inputs (or a graph below the
+        # sensor floor) → plain path, no re-key
+        hubs = [] if g.num_edges < SKEW_SENSOR_MIN_EDGES else measured_hub_keys(
+            edges, key="src", num_partitions=g.num_partitions,
+        )
+        if hubs:
+            salted = HubSaltedEdges(
+                edges, key="src", n_salts=8,
+                num_partitions=g.num_partitions, hub_keys=hubs,
+            )
 
     init = g.vertices.select(
         "id",
@@ -83,9 +111,14 @@ def sssp(
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
         frontier = state.filter("changed").select("id", "dist")
+        fr = frontier.withColumnRenamed("id", "src")
+        sent = (
+            salted.message_join(fr)
+            if salted is not None
+            else edges.join(fr, "src")
+        )
         relaxed = (
-            edges.join(frontier.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
+            sent.groupBy(F.col("dst").alias("id"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
         return (
@@ -119,9 +152,12 @@ def sssp(
     )
     # distance relaxation is monotone — rounds past convergence are no-ops,
     # so the termination vote runs every 2 rounds (pregel.py check_every)
-    return runner.run(init, step, max_iter, metrics_fn=metrics_fn,
-                      should_stop=lambda m: m["frontier"] == 0, resume=resume,
-                      check_every=2)
+    res = runner.run(init, step, max_iter, metrics_fn=metrics_fn,
+                     should_stop=lambda m: m["frontier"] == 0, resume=resume,
+                     check_every=2)
+    if salted is not None:
+        salted.unpersist()
+    return res
 
 
 def sssp_block(

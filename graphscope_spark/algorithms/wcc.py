@@ -35,17 +35,29 @@ def wcc(
     hub_salts: int = 0,
     hub_top_n: int = 16,
     hub_isolate: bool = False,
+    skew: str | None = "auto",
 ) -> SuperstepResult:
     """Returns state ``(id: long, comp: long, changed: boolean)``; ``comp``
     is the min reachable vertex id. Callers typically select(id, comp).
 
-    ``hub_salts > 1``: statically split the top ``hub_top_n`` hubs' edge
-    blocks across salted partitions (operators/skew.py HubSaltedEdges) so
-    the per-round frontier join has no single-task hub straggler. Min is
-    order-independent, so the salted run is bit-identical to the plain
-    one. ``hub_isolate=True``: broadcast-isolate MEASURED hubs instead
-    (operators/skew.py HubIsolatedEdges) — no salt re-key, degrades to
-    the plain join when no key exceeds a partition's share."""
+    ``skew="auto"`` (default): measure the hub set once (operators/skew.py
+    measured_hub_keys — one count + top-n agg) and, when any key's edge
+    block exceeds a partition's fair share, SALT those hubs' blocks.
+    Salting — not isolation — is the right remedy for a min-combiner: the
+    map-side partial min already collapses hub-destination traffic, so
+    the remaining cost is the straggler task owning the hub's source
+    block, which only a salt spreads (measured on the 20M skewed bench
+    input: plain 83.1 s = isolate 83.1 s with a 106.7 s worst task vs
+    salted 63.4 s; see operators/skew.py module docs). On uniform inputs
+    the measured hub set is empty and the plan stays plain. Min is
+    order-independent, so every variant is bit-identical. Pass
+    ``skew=None`` to disable the sensor.
+
+    ``hub_salts > 1``: force-salt the top ``hub_top_n`` hubs
+    (operators/skew.py HubSaltedEdges). ``hub_isolate=True``:
+    broadcast-isolate MEASURED hubs instead (HubIsolatedEdges) — kept for
+    the bench matrix; the sum-combiner remedy, not the right default
+    here."""
     spark = g.spark
     # both directions, symmetrized ONCE outside the loop — weak
     # connectivity ignores orientation (wcc_projected.h:92-106 iterates
@@ -79,7 +91,25 @@ def wcc(
             both, key="src", n_salts=hub_salts, top_n=hub_top_n,
             num_partitions=g.num_partitions,
         )
-    else:
+    elif skew == "auto":
+        from graphscope_spark.operators.skew import (
+            SKEW_SENSOR_MIN_EDGES, HubSaltedEdges, measured_hub_keys,
+        )
+
+        # measured-skew auto policy (module docs in operators/skew.py):
+        # min-combiner → salt, and only when a hub block exceeds a
+        # partition's share; empty hub set (or a graph below the sensor
+        # floor) → plain path below
+        hubs = [] if g.num_edges < SKEW_SENSOR_MIN_EDGES else measured_hub_keys(
+            both, key="src", top_n=hub_top_n,
+            num_partitions=g.num_partitions,
+        )
+        if hubs:
+            salted = HubSaltedEdges(
+                both, key="src", n_salts=8, top_n=hub_top_n,
+                num_partitions=g.num_partitions, hub_keys=hubs,
+            )
+    if salted is None:
         both = both.repartition(g.num_partitions, "src").persist()
 
     init = g.vertices.select(
@@ -169,20 +199,20 @@ def wcc_block(
 
     b = num_blocks or csrmod.default_num_blocks(g)
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, direction="both")
-    csrmod.spill_vertex_arrays(
-        g.vertices.select("id", F.lit(0).cast("long").alias("out_deg")),
-        sd, b,
-    )
 
     _STATE_SCHEMA = (
         "blk int, n long, comps binary, changed binary, nchanged long"
     )
 
     def _init_state(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id", kind="mergesort")
-        ids = pdf["id"].to_numpy(np.int64)
+        # one grouped pass: spill the sorted vertex ids (degs unused by
+        # this engine — zeros) AND emit the packed init row
+        ids = np.sort(pdf["id"].to_numpy(np.int64), kind="stable")
+        blk = int(pdf["blk"].iloc[0])
+        csrmod.save_vertex_arrays(
+            sd, blk, ids, np.zeros(ids.size, np.int64))
         return pd.DataFrame([{
-            "blk": int(pdf["blk"].iloc[0]),
+            "blk": blk,
             "n": int(ids.size),
             "comps": ids.tobytes(),
             "changed": np.ones(ids.size, np.uint8).tobytes(),

@@ -20,6 +20,33 @@ Reference analog: GRAPE splits hub work physically — the edge-cut
 partitioner spreads a hub's edges across fragments and mirrors the vertex
 (docs/frag_intro.md outer vertices), which is exactly what the salt does
 to the join key space.
+
+**Which remedy, measured (the AUTO policy).** The skew bench
+(scripts/skew_bench.py, BENCH/BASELINE.md skew table, 20M-edge hub-skewed
+input) shows the right remedy depends on the superstep's COMBINER, so the
+iterative algorithms select it from the measured hub set by default:
+
+* **sum-like combiners (pagerank): hub-ISOLATE.** Every message counts —
+  the hub's Θ(deg) messages cannot pre-collapse, so the win is removing
+  the hub block from the keyed join entirely (broadcast the ≤top_n hub
+  message rows onto an evenly-spread hub-edge cache). Measured 2.9× over
+  plain on skewed pagerank; degrades to exactly the plain join on uniform
+  inputs (empty measured hub set).
+* **min/max-like combiners (wcc, sssp; cdlp's count-argmax): SALT.** The
+  map-side partial aggregation already collapses a hub DESTINATION's
+  traffic to one row per partition — what remains is the straggler task
+  that owns the hub's SOURCE block in the statically-partitioned edge
+  cache, which isolation does not touch (wcc skewed: isolate 83.1 s =
+  plain 83.1 s, worst-task 106.7 s) but salting spreads (63.4 s).
+  Min/max are order-free, so the salted run is bit-identical.
+* **neither on uniform inputs**: salting a uniform input is pure overhead
+  (1.48× slower — the (key,salt) re-key + per-round replica explode);
+  the sensor (:func:`measured_hub_keys` — one count + one top-n agg,
+  threshold = a partition's fair share of edges) returns an empty hub
+  set and the plan stays plain.
+
+Callers can still force a remedy (``hub_salts`` / ``hub_isolate``) or turn
+the sensor off (``skew=None``).
 """
 
 from __future__ import annotations
@@ -63,6 +90,39 @@ def top_degree_keys(edges: DataFrame, key: str = "src", top_n: int = 16) -> Data
         .agg(F.count(F.lit(1)).alias("deg"))
         .orderBy(F.col("deg").desc(), F.col(key))
         .limit(top_n)
+    )
+
+
+# Below this edge count the AUTO sensor doesn't even measure: any single
+# task finishes a sub-1M-edge block in milliseconds, so no remedy can pay
+# for its own re-key — and the sensor's two jobs would tax every tiny
+# gate/test graph for nothing. Tests pin it to 0 to exercise the policy
+# on small planted-hub inputs.
+SKEW_SENSOR_MIN_EDGES = 1_000_000
+
+
+def measured_hub_keys(
+    edges: DataFrame,
+    key: str = "src",
+    top_n: int = 16,
+    num_partitions: int | None = None,
+    min_share: float = 1.0,
+) -> list:
+    """The measured-skew sensor of the auto policy: keys whose edge block
+    exceeds ``min_share`` × (E / num_partitions) — i.e. keys a single
+    statically-partitioned task cannot own without becoming the straggler.
+    One count + one top-n aggregation; EMPTY on uniform inputs, so
+    policies keyed on it are no-ops there."""
+    if num_partitions is None:
+        num_partitions = edges.rdd.getNumPartitions()
+    total = edges.count()
+    if total == 0:
+        return []
+    threshold = max(1.0, min_share * total / num_partitions)
+    return sorted(
+        r[key]
+        for r in top_degree_keys(edges, key, top_n).collect()
+        if r["deg"] > threshold
     )
 
 
@@ -209,6 +269,7 @@ class HubSaltedEdges:
         n_salts: int = 8,
         top_n: int = 16,
         num_partitions: int | None = None,
+        hub_keys: list | None = None,
     ) -> None:
         from graphscope_spark.graph import persist_partitioned
 
@@ -217,14 +278,21 @@ class HubSaltedEdges:
         other = [c for c in edges.columns if c != key]
         salt_src = F.xxhash64(*[F.col(c) for c in other]) if other else (
             F.xxhash64(F.col(key)))
-        # hub set: the top_n heaviest keys (one agg, top-n heap),
+        # hub set: the top_n heaviest keys (one agg, top-n heap) — or the
+        # caller's pre-measured ``hub_keys`` (the auto policy already paid
+        # the aggregation in measured_hub_keys; don't pay it twice) —
         # MATERIALIZED to a literal local DataFrame — it re-enters the
         # plan every round, and an unevaluated lineage would re-aggregate
         # the whole edge table per superstep. ≤ top_n rows, always
         # broadcast.
-        hub_rows = [
-            (r[key],) for r in top_degree_keys(edges, key, top_n).collect()
-        ]
+        hub_rows = (
+            [(k,) for k in hub_keys]
+            if hub_keys is not None
+            else [
+                (r[key],)
+                for r in top_degree_keys(edges, key, top_n).collect()
+            ]
+        )
         self.hub_marks = (
             edges.sparkSession.createDataFrame(hub_rows, f"{key} long")
             .select(key, F.lit(True).alias("_h"))

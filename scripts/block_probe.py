@@ -28,8 +28,10 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--blocks", type=int, default=0,
-                    help="num_blocks; 0 = one per core (the executor-count "
-                         "derivation the csr.py scale contract prescribes)")
+                    help="num_blocks passed to the engine; 0 = the engine's "
+                         "default derivation (csr.default_num_blocks: "
+                         "edge-count-sized with a min-block-edges floor, "
+                         "capped at 2x cores)")
     ap.add_argument("--algo", default="pagerank",
                     choices=["pagerank", "wcc", "cdlp"])
     args = ap.parse_args()
@@ -57,27 +59,33 @@ def main() -> None:
         F.when(hub, F.pmod(h2, F.lit(nv // 100 + 1)))
         .otherwise(F.pmod(h2, F.lit(nv))).alias("dst"),
     )
-    b = args.blocks or args.cpus
-    g = Graph(ledges, directed=True, num_partitions=b)
+    nb = args.blocks or None
+    g = Graph(ledges, directed=True, num_partitions=args.cpus)
     g.num_edges
     g.degrees.count()
+    if nb is None:
+        from graphscope_spark import csr as csrmod
+        nb_effective = csrmod.default_num_blocks(g)
+    else:
+        nb_effective = nb
 
     t0 = time.monotonic()
     if args.algo == "pagerank":
         from graphscope_spark.algorithms import pagerank_block
-        res = pagerank_block(g, alpha=0.85, max_iter=args.rounds)
+        res = pagerank_block(g, alpha=0.85, max_iter=args.rounds,
+                             num_blocks=nb)
     elif args.algo == "wcc":
         from graphscope_spark.algorithms import wcc_block
-        res = wcc_block(g, max_iter=args.rounds)
+        res = wcc_block(g, max_iter=args.rounds, num_blocks=nb)
     else:
         from graphscope_spark.algorithms import cdlp_block
-        res = cdlp_block(g, max_iter=args.rounds)
+        res = cdlp_block(g, max_iter=args.rounds, num_blocks=nb)
     res.state.write.format("noop").mode("overwrite").save()
     wall = time.monotonic() - t0
 
     print(json.dumps({
         "algo": args.algo, "edges": n_le, "rounds": args.rounds,
-        "cpus": args.cpus, "blocks": b,
+        "cpus": args.cpus, "blocks": nb_effective,
         "wall_s": round(wall, 3),
         "eups": round(n_le * args.rounds / wall, 1),
     }))

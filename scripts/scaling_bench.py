@@ -22,6 +22,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -224,6 +225,7 @@ def main() -> None:
     eff = r_large["edge_updates_per_sec"] / (4 * r_small["edge_updates_per_sec"])
     result = {
         "job": args.job,
+        "ts": time.strftime("%Y-%m-%d %H:%M"),
         "edges": args.edges,
         "rounds": args.rounds,
         **({"blocks": parts * 2} if args.job == "block" else {}),
@@ -240,7 +242,7 @@ def main() -> None:
             f.write(json.dumps(result) + "\n")
 
 
-def _fmt_row(rec: dict) -> str:
+def _fmt_row(i: int, rec: dict) -> str:
     s, l = rec["small"], rec["large"]
     infl = l["task_seconds"] / s["task_seconds"]
     cpu_infl = (l.get("task_cpu_seconds", 0) / s["task_cpu_seconds"]
@@ -248,6 +250,7 @@ def _fmt_row(rec: dict) -> str:
     busy_ratio = l["busy_frac"] / s["busy_frac"]
     label = rec["job"] + (f" B={rec['blocks']}" if rec.get("blocks") else "")
     return (
+        f"| {i} | {rec.get('ts') or '—'} "
         f"| {label} {rec['edges']:,}×{rec['rounds']} "
         f"| {rec['pair'][0]}→{rec['pair'][1]} "
         f"| {s['edge_updates_per_sec']:,.0f} | {l['edge_updates_per_sec']:,.0f} "
@@ -257,23 +260,29 @@ def _fmt_row(rec: dict) -> str:
     )
 
 
+# write_report owns the file only UP TO this marker; everything from it on
+# (the skew table scripts/skew_bench.py documents) is preserved verbatim.
+_TAIL_MARKER = "## Skew handling"
+
+
 def write_report(runs_path: str) -> None:
     """BENCH/BASELINE.md from the recorded runs: wall-clock efficiency per
     pair, factorized as eff = (busy_4N / busy_N) × (task_run_N / task_run_4N)
     — the first factor is what the engine controls (scheduler gaps, barrier
     stalls, driver critical path) and is what transfers to a real N→4N
     cluster; the second is per-task slowdown from co-scheduling on ONE box's
-    shared cache/memory system, which a real 4N cluster does not share."""
+    shared cache/memory system, which a real 4N cluster does not share.
+
+    EVERY recorded run is rendered (numbered, timestamped when the record
+    carries ``ts``) — regenerating never discards history, and the claims
+    below the table are computed from the full history (best + latest per
+    pair), so the committed file and this generator cannot diverge."""
     recs = []
     with open(runs_path) as f:
         for line in f:
             recs.append(json.loads(line))
-    # latest run per (job, pair, edges)
-    latest: dict = {}
-    for r in recs:
-        latest[(r["job"], r.get("blocks"), tuple(r["pair"]), r["edges"])] = r
-    rows = "\n".join(_fmt_row(r) for r in latest.values())
-    pr = [r for r in latest.values() if r["job"] == "pagerank"]
+    rows = "\n".join(_fmt_row(i + 1, r) for i, r in enumerate(recs))
+    pr = [r for r in recs if r["job"] == "pagerank"]
     min_busy = min(
         r["large"]["busy_frac"] / r["small"]["busy_frac"] for r in pr
     )
@@ -281,24 +290,42 @@ def write_report(runs_path: str) -> None:
         r["large"]["task_cpu_seconds"] / r["small"]["task_cpu_seconds"]
         for r in pr
     )
+    # identity check on the LATEST run per expressible pair
+    latest_per_pair: dict = {}
+    for r in pr:
+        latest_per_pair[tuple(r["pair"])] = r
     identity = " and ".join(
         f"{r['pair'][0]}→{r['pair'][1]}: "
         f"{r['scaling_efficiency']:.3f} × "
         f"{r['large']['task_seconds'] / r['small']['task_seconds']:.2f} = "
         f"{r['scaling_efficiency'] * r['large']['task_seconds'] / r['small']['task_seconds']:.2f}"
-        for r in pr
+        for r in latest_per_pair.values()
     )
-    # criterion bullet: best pagerank pair the box can still express
-    # (8→32 is bounded by the hypervisor/memory ceiling, documented below)
-    pr28 = sorted((r for r in pr if r["pair"] != [8, 32]),
+    # criterion bullet: per expressible pair (8→32 is bounded by the
+    # hypervisor/memory ceiling, documented below), best AND latest run
+    # plus the full spread — the history is the claim, not one cherry.
+    pairs: dict = {}
+    for r in pr:
+        if r["pair"] != [8, 32]:
+            pairs.setdefault(tuple(r["pair"]), []).append(r)
+    frags = []
+    crit_met = bool(pairs)
+    for pair in sorted(pairs):
+        rs = pairs[pair]
+        effs = [r["scaling_efficiency"] for r in rs]
+        crit_met &= max(effs) >= 0.8
+        frag = (f"{pair[0]}→{pair[1]}: best {max(effs):.3f}, "
+                f"latest {effs[-1]:.3f}")
+        if len(effs) > 1:
+            frag += (f" ({len(effs)} runs, spread "
+                     f"{min(effs):.3f}–{max(effs):.3f})")
+        frags.append(frag)
+    pr28_eff = "; ".join(frags) if frags else "n/a"
+    crit_line = ("met at every expressible pair on the best run"
+                 if crit_met else "NOT met on wall clock at every pair")
+    pr28 = sorted((r for rs in pairs.values() for r in rs),
                   key=lambda r: -r["scaling_efficiency"])
-    if pr28:
-        best = pr28[0]
-        pr28_eff = (f"{best['scaling_efficiency']:.3f} at "
-                    f"N={best['pair'][0]} → 4N={best['pair'][1]}")
-    else:
-        pr28_eff = "n/a"
-    blk = sorted((r for r in latest.values()
+    blk = sorted((r for r in recs
                   if r["job"] == "block" and r["pair"] == [2, 8]),
                  key=lambda r: -r["scaling_efficiency"])
     if blk and pr28:
@@ -326,7 +353,13 @@ def write_report(runs_path: str) -> None:
         )
     else:
         block_bullet = ""
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(md_path):
+        prev = open(md_path).read()
+        if _TAIL_MARKER in prev:
+            tail = prev[prev.index(_TAIL_MARKER):]
+    with open(md_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
 North rule: throughput scaling efficiency ≥ 0.8 from N to 4N executors.
@@ -345,17 +378,23 @@ core budget actually executing tasks. Factorization (algebraic identity):
 
     wall-clock efficiency = (busy_4N / busy_N) × (Σtask_N / Σtask_4N)
 
-| job | cores N→4N | eups N | eups 4N | wall eff | busy N / 4N | busy ratio | task-time inflation | task-CPU inflation |
-|---|---|---|---|---|---|---|---|---|
+Every recorded run is listed (newest last); the claims below are computed
+from the full history, never a curated subset.
+
+| run | when | job | cores N→4N | eups N | eups 4N | wall eff | busy N / 4N | busy ratio | task-time inflation | task-CPU inflation |
+|---|---|---|---|---|---|---|---|---|---|---|
 {rows}
 
 ## Reading
 
-- **Best wall-clock efficiency on an expressible pair:
-  {pr28_eff}** — the real PageRank job, pinned cores, separate JVMs,
-  identical plan. The wider the pair sits on one box, the deeper it digs
-  into the shared L3/memory-bandwidth ceiling (a faster per-core engine
-  reaches that wall at NARROWER pairs — compare this row's task-CPU
+- **≥0.8 criterion {crit_line}** — per expressible pair:
+  {pr28_eff}. The real PageRank job, pinned cores, separate JVMs,
+  identical plan. Repeat runs of an identical config spread because the
+  variance lives in the box's shared L3/memory bandwidth, never in idle
+  executors (busy ratio stays pinned across the spread — see the
+  factorization below). The wider the pair sits on one box, the deeper
+  it digs into the shared memory-bandwidth ceiling (a faster per-core
+  engine reaches that wall at NARROWER pairs — compare task-CPU
   inflation across pairs); at 8→32 every added thread shares the SAME
   L3 and memory controllers, which no multi-executor cluster does.
 - **The engine-controlled factor — the busy ratio — is ≥{min_busy:.2f} on
@@ -398,7 +437,10 @@ GraphScope GAE PageRank, com-friendster (1.81B edges, 10 rounds) on
 Our absolute per-core numbers are JVM-shuffle-bound (no in-memory CSR
 message rings); the criterion tracked here is the scaling-efficiency
 evidence plus these absolute numbers for the record.
+
 """)
+        if tail:
+            f.write(tail)
 
 
 if __name__ == "__main__":

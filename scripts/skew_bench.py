@@ -84,8 +84,16 @@ def totals(ss):
 before = stages()
 seen = {{s["stageId"] for s in before}}
 t0 = time.monotonic()
-kw = dict(hub_isolate=True) if "{mode}" == "isolate" else dict(
-    hub_salts={salts})
+mode = "{mode}"
+if mode == "isolate":
+    kw = dict(hub_isolate=True, skew=None)
+elif mode == "auto":
+    kw = dict(skew="auto")  # the no-flags default: measured-skew policy
+else:
+    # salts=0 is the PLAIN leg — pin skew=None so the auto policy
+    # (now the default) doesn't silently turn the plain leg into a
+    # remedied one
+    kw = dict(hub_salts={salts}, skew=None)
 if "{algo}" == "pagerank":
     res = pagerank(g, alpha=0.85, max_iter=rounds, **kw)
 else:
@@ -145,8 +153,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--salts", type=int, default=8)
-    ap.add_argument("--modes", default="plain,salt,isolate",
-                    help="comma list of plain/salt/isolate legs to run")
+    ap.add_argument("--modes", default="plain,salt,isolate,auto",
+                    help="comma list of plain/salt/isolate/auto legs to run "
+                    "(auto = no-flags default, the measured-skew policy)")
     args = ap.parse_args()
     wanted = set(args.modes.split(","))
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
@@ -154,7 +163,8 @@ def main() -> None:
     rows = []
     for algo in ("pagerank", "wcc"):
         for skewed in (True, False):
-            legs = [("plain", 0), ("salt", args.salts), ("isolate", 0)]
+            legs = [("plain", 0), ("salt", args.salts), ("isolate", 0),
+                    ("auto", 0)]
             for mode, salts in legs:
                 if mode not in wanted:
                     continue
