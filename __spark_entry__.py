@@ -202,6 +202,14 @@ def _q_triangle_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_tri long")
 
 
+def _q_triangles_block(spark, sf_dir):
+    """Packed-CSR intersection kernel (triangles.triangles_block, the
+    at-scale default of `triangles`) — identical counts to the wedge-join
+    plan; shares its SQL twin."""
+    from graphscope_spark.algorithms.triangles import triangles_block
+    return triangles_block(tg.copurchase_graph(spark, sf_dir))
+
+
 def _q_bfs(spark, sf_dir):
     g = tg.copurchase_graph(spark, sf_dir)
     return bfs(g, _min_id(g)).state.select("id", "dist")
@@ -1654,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_tol": _q_pagerank_tol,
         "pagerank_push": _q_pagerank_push,
         "triangle_count": _q_triangle_count,
+        "triangles_block": _q_triangles_block,
         "sssp": _q_sssp,
         "repo_edges": _q_repo_edges,
         "dedup_exact": _q_dedup_exact,
@@ -1798,6 +1807,7 @@ def oracle_sql() -> dict[str, str]:
         "cdlp_block": tg.cdlp_sql(rounds=10),
         "triangles": tg.triangles_sql(),
         "triangle_count": tg.triangle_count_sql(),
+        "triangles_block": tg.triangles_sql(),
         "bfs": tg.bfs_sql(),
         # bfs-push/bfs-pull are join-strategy variants of the same level
         # fixed point — one oracle (flash/traversal/bfs-push.h, bfs-pull.h)

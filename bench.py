@@ -162,9 +162,18 @@ def main() -> None:
     wres_a = wcc(gu)
     sink(wres_a.state)
     wcc_large_auto_sec = round(time.monotonic() - t0, 3)
+    # PROVENANCE: engine="join" pins round 3's wedge-join plan (round 4
+    # added the packed-CSR block kernel and made it the at-scale default)
     t0 = time.monotonic()
-    tri_count_large = triangle_count(gu)
+    tri_count_large = triangle_count(gu, engine="join")
     tri_large_sec = round(time.monotonic() - t0, 3)
+    # the new default at this scale: packed-CSR intersection kernel
+    # (triangles.triangles_block — worker-side orientation + offset-k
+    # wedge enumeration + sorted-key closing probe)
+    t0 = time.monotonic()
+    tri_count_blk = triangle_count(gu, engine="block")
+    tri_block_sec = round(time.monotonic() - t0, 3)
+    assert tri_count_blk == tri_count_large
 
     # Same probe with the engine's skew remedy ON (the probe input IS
     # skewed: 20% of edges land on ~1% hub destinations): HubIsolatedEdges
@@ -330,6 +339,8 @@ def main() -> None:
         "triangles_large_sec": tri_large_sec,
         "triangles_large_count": tri_count_large,
         "triangles_edges_per_sec": round(2 * n_le / tri_large_sec, 1),
+        "triangles_block_large_sec": tri_block_sec,
+        "triangles_block_edges_per_sec": round(2 * n_le / tri_block_sec, 1),
         "block_rounds": brounds,
         "block_sec": block_sec,
         "pagerank_block_eups_large": round(n_le * brounds / block_sec, 1),

@@ -708,8 +708,6 @@ def spill_csr_blocks_indexed(
     paid once; only a Θ(B) manifest returns to the JVM. Returns
     ``(spill_dir, num_blocks)``."""
     b = num_blocks or g.num_partitions
-    sd = spill_dir or default_spill_dir()
-    os.makedirs(sd, exist_ok=True)
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     if direction == "out":
         e = g.out_edges.select(*cols)
@@ -727,6 +725,23 @@ def spill_csr_blocks_indexed(
             ))
     else:
         raise ValueError("direction must be 'out', 'in' or 'both'")
+    return spill_csr_blocks_from_edges(e, b, spill_dir, weight_col)
+
+
+def spill_csr_blocks_from_edges(
+    edges: DataFrame,
+    num_blocks: int,
+    spill_dir: str | None = None,
+    weight_col: str | None = None,
+) -> tuple[str, int]:
+    """:func:`spill_csr_blocks_indexed` over a RAW ``(src, dst[, w])``
+    DataFrame — for derived edge tables (an oriented triangle graph, a
+    projected view) that don't warrant a full :class:`Graph`."""
+    b = num_blocks
+    sd = spill_dir or default_spill_dir()
+    os.makedirs(sd, exist_ok=True)
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    e = edges.select(*cols)
     if weight_col:
         e = e.withColumn(weight_col, F.col(weight_col).cast("double"))
 
@@ -783,6 +798,48 @@ def spill_csr_blocks_indexed(
         .collect()
     )
     return sd, b
+
+
+def spill_sorted_keys(
+    keyed: DataFrame, num_blocks: int, spill_dir: str, name: str = "ckeys"
+) -> None:
+    """Spill an int64 key set as per-block SORTED arrays
+    (``blk{j}_{name}.npy``), block = the DataFrame's ``blk`` column.
+    Worker kernels membership-test against any block's array with one
+    ``searchsorted`` over the mmap (used by the triangle kernel for the
+    closing-edge probe). One shuffle, paid once."""
+
+    def _pack_k(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["blk", "n"])
+        blk = int(pdf["blk"].iloc[0])
+        ks = np.sort(pdf["key"].to_numpy(np.int64), kind="stable")
+        _save_atomic(os.path.join(spill_dir, f"blk{blk}_{name}.npy"), ks)
+        return pd.DataFrame([{"blk": blk, "n": int(ks.size)}])
+
+    (
+        keyed.select("blk", "key")
+        .groupBy("blk")
+        .applyInPandas(_pack_k, "blk int, n long")
+        .collect()
+    )
+
+
+def load_spilled_keys(
+    spill_dir: str, blk: int, name: str = "ckeys"
+):
+    """Worker-side mmap of one block's sorted key array (empty array when
+    the block spilled nothing), cached per process."""
+    key = (spill_dir, int(blk), name)
+    arr = _CSR_SPILL_CACHE.get(key)
+    if arr is None:
+        path = os.path.join(spill_dir, f"blk{int(blk)}_{name}.npy")
+        if not os.path.exists(path):
+            arr = np.empty(0, np.int64)
+        else:
+            arr = np.load(path, mmap_mode="r")
+        _CSR_SPILL_CACHE[key] = arr
+    return arr
 
 
 _VSPILL_BUFS = ("vids", "degs")
