@@ -813,6 +813,19 @@ def _q_cypher_degree_hist(spark, sf_dir):
     )
 
 
+def _q_cypher_case(spark, sf_dir):
+    # searched CASE in RETURN (round-4 grammar addition; the reference
+    # marks Cypher CASE "planned", supported_cypher.md:105) — lowered to
+    # Catalyst when/otherwise, grouped under the CASE class column.
+    from graphscope_spark.cypher import CypherSession
+    cs = CypherSession(tg.copurchase_graph(spark, sf_dir))
+    return cs.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS deg "
+        "RETURN CASE WHEN deg > 20 THEN 'hub' WHEN deg > 5 THEN 'mid' "
+        "ELSE 'leaf' END AS cls, count(a) AS n"
+    )
+
+
 def _q_cypher_multi_match(spark, sf_dir):
     # chained MATCH clauses: two pattern trees joined on the shared
     # variable b (supported_cypher.md MATCH chain row).
@@ -1657,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphar_roundtrip": _q_graphar_roundtrip,
         "hll_distinct": _q_hll_distinct,
         # --- end of driver window (50); full gate coverage continues ---
+        "cypher_case": _q_cypher_case,
         "graph_degrees": _q_graph_degrees,
         "pagerank_directed": _q_pagerank_directed,
         "pagerank_tol": _q_pagerank_tol,
@@ -1848,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
         "cypher_multi_match": tg.cypher_multi_match_sql(lim=100),
         # same anchors as shortest_path_expand: min id -> max reachable
         "cypher_shortest": tg.shortest_path_expand_sql(),
+        "cypher_case": tg.cypher_case_sql(),
         "gremlin_topk": tg.gremlin_topk_sql(k=20),
         "gremlin_nbr_size": tg.gremlin_nbr_size_sql(min_size=25),
         "gremlin_no_out": tg.gremlin_no_out_sql(),

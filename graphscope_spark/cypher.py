@@ -310,6 +310,42 @@ class CypherSession:
     # ------------------------------------------------------ expressions
     def _term(self, t: str, bind: DataFrame) -> tuple[Column, DataFrame]:
         t = t.strip()
+        cm = re.match(r"(?is)^CASE\s+(.*?)\s+END$", t)
+        if cm:
+            # searched CASE: CASE WHEN c THEN v [WHEN c THEN v]...
+            # [ELSE v] END → Catalyst when/otherwise chain (JVM-side;
+            # the reference marks Cypher CASE "planned",
+            # docs/interactive_engine/neo4j/supported_cypher.md:105 —
+            # the expression layer already had when/otherwise, this adds
+            # the grammar). Conditions use the comparison/string forms
+            # of _cond; pattern predicates (NOT EXISTS) are not valid
+            # inside CASE.
+            body = cm.group(1)
+            else_txt = None
+            em = re.match(r"(?is)^(.*)\s+ELSE\s+(.*?)$", body)
+            if em:
+                body, else_txt = em.group(1), em.group(2)
+            col = None
+            for w in re.split(r"(?i)\bWHEN\b", body):
+                w = w.strip()
+                if not w:
+                    continue
+                cw = re.match(r"(?is)^(.*?)\s+THEN\s+(.*)$", w)
+                if not cw:
+                    raise ValueError(f"unsupported CASE arm: {w!r}")
+                cond, bind = self._cond(cw.group(1), bind)
+                if cond is None:
+                    raise ValueError(
+                        "pattern predicates are not supported in CASE")
+                val, bind = self._term(cw.group(2), bind)
+                col = (F.when(cond, val) if col is None
+                       else col.when(cond, val))
+            if col is None:
+                raise ValueError(f"CASE with no WHEN arm: {t!r}")
+            if else_txt is not None:
+                ev, bind = self._term(else_txt, bind)
+                col = col.otherwise(ev)
+            return col, bind
         im = re.match(r"(?i)^id\(\s*(\w+)\s*\)$", t)
         if im:
             return F.col(im.group(1)), bind

@@ -1886,6 +1886,24 @@ FROM deg WHERE deg > {min_deg} GROUP BY deg"""
     return _materialized(_sql)
 
 
+def cypher_case_sql(hi: int = 20, lo: int = 5) -> str:
+    """MATCH (a)-[]->(b) WITH a, count(b) AS deg
+    RETURN CASE WHEN deg > hi THEN 'hub' WHEN deg > lo THEN 'mid'
+    ELSE 'leaf' END AS cls, count(a) AS n — the searched CASE
+    expression (cypher.py _term) lowered to SQL CASE."""
+    _sql = f"""WITH {COPURCHASE_CTE},
+deg AS (
+  SELECT src AS a, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY src
+)
+SELECT CASE WHEN deg > {hi} THEN 'hub'
+            WHEN deg > {lo} THEN 'mid'
+            ELSE 'leaf' END AS cls,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM deg GROUP BY 1"""
+    return _materialized(_sql)
+
+
 def cypher_triangle_sql() -> str:
     """MATCH (a)-[]->(b)-[]->(c), (a)-[]->(c) WHERE a < b AND b < c
     RETURN count(*) — each undirected triangle counted once."""

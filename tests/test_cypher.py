@@ -231,3 +231,25 @@ def test_multi_match_with_aggregate(cs):
         "RETURN b AS mid, count(c) AS n2 ORDER BY mid"
     ).collect()
     assert [tuple(r) for r in rows] == [(2, 1), (3, 2)]
+
+
+def test_case_when_in_return(cs):
+    # searched CASE → when/otherwise chain, grouped under the CASE column
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS deg "
+        "RETURN CASE WHEN deg >= 2 THEN 'multi' ELSE 'single' END AS cls, "
+        "count(a) AS n ORDER BY cls"
+    ).collect()
+    # node 1 → {2, 3} (deg 2), nodes 2 and 3 → deg 1
+    assert [tuple(r) for r in rows] == [("multi", 1), ("single", 2)]
+
+
+def test_case_when_multiple_arms_and_props(cs):
+    # arms evaluate in order; property access inside a condition joins
+    # the props table; no ELSE → NULL for unmatched rows
+    rows = cs.run(
+        "MATCH (a)-[]->(b) RETURN a, "
+        "CASE WHEN a.grp = 1 THEN 'odd' WHEN b = 3 THEN 'to3' END AS tag"
+    ).collect()
+    got = sorted((r["a"], r["tag"]) for r in rows)
+    assert got == [(1, "odd"), (1, "odd"), (2, "to3"), (3, "odd")]
