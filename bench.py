@@ -162,17 +162,25 @@ def main() -> None:
     wres_a = wcc(gu)
     sink(wres_a.state)
     wcc_large_auto_sec = round(time.monotonic() - t0, 3)
+    # release the wcc probes' superstep-state caches before the triangle
+    # rows (they compete with the wedge/kernel working set)
+    wres.state.unpersist()
+    wres_a.state.unpersist()
+    # the at-scale default: packed-CSR intersection kernel
+    # (triangles.triangles_block — worker-side orientation + offset-k
+    # wedge enumeration + sorted-key closing probe). Runs BEFORE the
+    # join row: the block path cleans up after itself (spill removed,
+    # canon unpersisted) while the join plan's canon/oriented caches
+    # live until the clearCache below — this order keeps both rows on
+    # comparable cache state.
+    t0 = time.monotonic()
+    tri_count_blk = triangle_count(gu, engine="block")
+    tri_block_sec = round(time.monotonic() - t0, 3)
     # PROVENANCE: engine="join" pins round 3's wedge-join plan (round 4
     # added the packed-CSR block kernel and made it the at-scale default)
     t0 = time.monotonic()
     tri_count_large = triangle_count(gu, engine="join")
     tri_large_sec = round(time.monotonic() - t0, 3)
-    # the new default at this scale: packed-CSR intersection kernel
-    # (triangles.triangles_block — worker-side orientation + offset-k
-    # wedge enumeration + sorted-key closing probe)
-    t0 = time.monotonic()
-    tri_count_blk = triangle_count(gu, engine="block")
-    tri_block_sec = round(time.monotonic() - t0, 3)
     assert tri_count_blk == tri_count_large
 
     # Same probe with the engine's skew remedy ON (the probe input IS
@@ -210,6 +218,14 @@ def main() -> None:
     sink(pagerank_block(gl, alpha=0.85, max_iter=brounds,
                         num_blocks=2 * cpus).state)
     block_sec_b64 = round(time.monotonic() - t0, 3)
+
+    # release the 8M probe graphs BEFORE the at-scale block probes: their
+    # ~600 MB of columnar cache plus superstep-state remnants otherwise
+    # compete with the 100M probe's working set (measured ~14% on
+    # block100_sec vs a clean-JVM probe of the same shape)
+    gl.unpersist()
+    gu.unpersist()
+    spark.catalog.clearCache()
 
     # Block engine at shuffle-dominated scale: 100M edges (default),
     # B = 2x cores (the csr.default_num_blocks derivation). This is the
@@ -274,7 +290,6 @@ def main() -> None:
     # Release the probe graphs' caches (the 100M-edge probe alone pins
     # ~3 GB of columnar edge cache) so the doc-pipeline probes below
     # measure their own dataflow, not eviction pressure from these.
-    gl.unpersist()
     g3.unpersist()
     spark.catalog.clearCache()
 

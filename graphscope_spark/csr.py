@@ -651,6 +651,20 @@ _SPILL_BUFS = ("srcs", "indptr", "inv", "uniq", "bounds")
 _CSR_SPILL_CACHE: dict = {}  # (spill_dir, blk) -> {name: mmap'd ndarray}
 
 
+def _purge_dead_spills() -> None:
+    """Drop cache entries whose spill dir was deleted (cleanup_spill runs
+    driver-side; the long-lived Python workers can't be told). Without
+    this the workers pin mmaps of DELETED files forever — the kernel
+    cannot reclaim those page-cache pages while mapped, so every
+    engine run leaks its whole spilled CSR (~GBs at bench scale) into
+    unreclaimable memory for the life of the worker pool. One isdir()
+    per distinct cached dir, amortized over block loads."""
+    dead = {k[0] for k in _CSR_SPILL_CACHE if not os.path.isdir(k[0])}
+    if dead:
+        for k in [k for k in _CSR_SPILL_CACHE if k[0] in dead]:
+            del _CSR_SPILL_CACHE[k]
+
+
 def _save_atomic(path: str, arr: np.ndarray) -> None:
     """np.save to a temp name, then atomic rename — a crashed pack task
     (or speculative duplicate) can never leave a torn buffer behind."""
@@ -667,6 +681,7 @@ def load_spilled_block(spill_dir: str, blk: int) -> dict | None:
     key = (spill_dir, int(blk))
     bufs = _CSR_SPILL_CACHE.get(key)
     if bufs is None:
+        _purge_dead_spills()
         first = os.path.join(spill_dir, f"blk{int(blk)}_srcs.npy")
         if not os.path.exists(first):
             return None
@@ -833,6 +848,7 @@ def load_spilled_keys(
     key = (spill_dir, int(blk), name)
     arr = _CSR_SPILL_CACHE.get(key)
     if arr is None:
+        _purge_dead_spills()
         path = os.path.join(spill_dir, f"blk{int(blk)}_{name}.npy")
         if not os.path.exists(path):
             arr = np.empty(0, np.int64)
@@ -895,6 +911,7 @@ def load_spilled_vertices(spill_dir: str, blk: int) -> dict | None:
     key = (spill_dir, int(blk), "v")
     bufs = _CSR_SPILL_CACHE.get(key)
     if bufs is None:
+        _purge_dead_spills()
         first = os.path.join(spill_dir, f"blk{int(blk)}_vids.npy")
         if not os.path.exists(first):
             return None
