@@ -62,6 +62,7 @@ def cdlp(
 
         hubs = measured_hub_keys(
             edges, key="src", num_partitions=g.num_partitions,
+            total=g.num_edges,
         )
         if hubs:
             salted_src = HubSaltedEdges(
@@ -72,6 +73,7 @@ def cdlp(
             # the in-direction join keys on dst — its own sensor + cache
             dhubs = measured_hub_keys(
                 edges, key="dst", num_partitions=g.num_partitions,
+                total=g.num_edges,
             )
             if dhubs:
                 salted_dst = HubSaltedEdges(

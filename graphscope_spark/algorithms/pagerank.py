@@ -114,6 +114,7 @@ def pagerank(
         salted = HubIsolatedEdges(
             edges, key="src", top_n=hub_top_n,
             num_partitions=g.num_partitions, pre_partitioned=True,
+            total=g.num_edges,  # cached — the sensor skips its own count
         )
     elif hub_salts > 1:
         from graphscope_spark.operators.skew import HubSaltedEdges

@@ -80,6 +80,7 @@ def sssp(
         # sensor floor) → plain path, no re-key
         hubs = [] if g.num_edges < SKEW_SENSOR_MIN_EDGES else measured_hub_keys(
             edges, key="src", num_partitions=g.num_partitions,
+            total=g.num_edges,
         )
         if hubs:
             salted = HubSaltedEdges(

@@ -46,13 +46,23 @@ def triangles(g: Graph, engine: str = "auto") -> DataFrame:
     wedge shuffle is the dominant cost at scale — measured 2.9× at the
     8M-edge bench probe). Both are exact and return identical counts."""
     canon = _undirected_simple_edges(g).persist()
-    if engine == "block" or (
-        engine == "auto" and canon.count() >= _BLOCK_ENGINE_MIN_EDGES
-    ):
-        try:
-            return triangles_block(g, canon=canon)
-        finally:
-            canon.unpersist()
+    if engine in ("block", "auto"):
+        # ONE agg materializes the canon cache and yields everything both
+        # the dispatch and the block kernel need (count, id range) — no
+        # second Θ(E) pass inside triangles_block
+        row = canon.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.min("u").alias("mn"),
+            F.greatest(F.max("u"), F.max("v")).alias("mx"),
+        ).first()
+        stats = (int(row["m"] or 0),
+                 int(row["mn"]) if row["mn"] is not None else 0,
+                 int(row["mx"]) if row["mx"] is not None else 0)
+        if engine == "block" or stats[0] >= _BLOCK_ENGINE_MIN_EDGES:
+            try:
+                return triangles_block(g, canon=canon, canon_stats=stats)
+            finally:
+                canon.unpersist()
 
     # undirected degree over the canonical simple graph
     deg = (
@@ -111,9 +121,10 @@ def triangle_count(g: Graph, engine: str = "auto") -> int:
 # already sub-second
 _BLOCK_ENGINE_MIN_EDGES = 2_000_000
 
-# key packing bound: closing-edge keys are u*K+v with K = max_id+1; K² must
-# fit int64. Ids are dense-encoded everywhere in this engine, so the guard
-# only trips on pathological raw-id graphs — those fall back to the join.
+# key packing bound: closing-edge keys are (u-min)*K+(v-min) with K = the
+# id RANGE (max-min+1); K² must fit int64. Ids are dense-encoded everywhere
+# in this engine, so the guard only trips on pathological raw-id graphs —
+# those fall back to the join plan (no silent overflow/collision).
 _MAX_KEY_BASE = 3_000_000_000
 
 
@@ -122,6 +133,7 @@ def triangles_block(
     num_blocks: int | None = None,
     spill_dir: str | None = None,
     canon: DataFrame | None = None,
+    canon_stats: tuple | None = None,
 ) -> DataFrame:
     """Per-vertex triangle counts over SPILLED oriented CSR blocks — the
     reference's neighbor-set intersection strategy
@@ -135,8 +147,9 @@ def triangles_block(
        adjacency as per-block CSR (csr.spill_csr_blocks_from_edges,
        block = pmod(u, B)), the per-block sorted (vids, degs) arrays
        (csr.spill_vertex_arrays), and the canonical closing-edge key set
-       u*K+v as per-block SORTED arrays (csr.spill_sorted_keys,
-       K = max_id+1);
+       (u-min_id)*K+(v-min_id) as per-block SORTED arrays
+       (csr.spill_sorted_keys, K = the id range — injective for any
+       int64 ids, negatives included);
     2. each block's kernel applies the degree orientation NUMERICALLY
        (keep v iff (deg_v, v) > (deg_u, u), triangles.h:78-91 — deg
        lookups batch-searchsorted against the owning block's spilled
@@ -168,19 +181,29 @@ def triangles_block(
     own_canon = canon is None
     if canon is None:
         canon = _undirected_simple_edges(g).persist()
-    stats = canon.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.greatest(F.max("u"), F.max("v")).alias("mx"),
-    ).first()
-    m = int(stats["m"] or 0)
+    if canon_stats is None:
+        row = canon.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.min("u").alias("mn"),
+            F.greatest(F.max("u"), F.max("v")).alias("mx"),
+        ).first()
+        canon_stats = (int(row["m"] or 0),
+                       int(row["mn"]) if row["mn"] is not None else 0,
+                       int(row["mx"]) if row["mx"] is not None else 0)
+    m, mn, mx = canon_stats
     zeros = g.vertices.select("id", F.lit(0).cast("long").alias("tri"))
     if m == 0:
         if own_canon:
             canon.unpersist()
         return zeros
-    K = int(stats["mx"]) + 1
+    # closing-edge keys are (u-mn)*K + (v-mn) with K = the id RANGE, so
+    # the packing is injective for ANY int64 ids, including negatives —
+    # packing on max_id alone collides for min_id < 0 (e.g. edges (-3,5)
+    # and the non-edge (-2,-1) both pack to -13 at K=6: phantom
+    # triangles). min(u) is the graph's min id (canonical u < v).
+    K = mx - mn + 1
     if K > _MAX_KEY_BASE:
-        # non-dense ids beyond the packable range: the join plan has no
+        # ids too sparse for the int64 key packing: the join plan has no
         # such bound
         if own_canon:
             canon.unpersist()
@@ -220,7 +243,8 @@ def triangles_block(
                 csrmod.spill_sorted_keys,
                 canon.select(
                     csrmod.block_expr("u", b).alias("blk"),
-                    (F.col("u") * F.lit(K) + F.col("v")).alias("key"),
+                    ((F.col("u") - F.lit(mn)) * F.lit(K)
+                     + F.col("v") - F.lit(mn)).alias("key"),
                 ),
                 b, sd,
             ),
@@ -286,7 +310,7 @@ def triangles_block(
             bb = dsts[:-k][valid]
             cc = dsts[k:][valid]  # bb < cc: id-sorted neighbor lists
             uu = srcs[run[:-k][valid]]
-            keys = bb * K + cc
+            keys = (bb - mn) * K + (cc - mn)
             tblk = bb % b
             order = np.argsort(tblk, kind="stable")
             keys_s = keys[order]

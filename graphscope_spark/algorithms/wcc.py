@@ -100,9 +100,12 @@ def wcc(
         # min-combiner → salt, and only when a hub block exceeds a
         # partition's share; empty hub set (or a graph below the sensor
         # floor) → plain path below
+        # |both| is known without a scan: the stored edge count, doubled
+        # when a directed graph was symmetrized above
+        n_both = g.num_edges * (2 if g.directed else 1)
         hubs = [] if g.num_edges < SKEW_SENSOR_MIN_EDGES else measured_hub_keys(
             both, key="src", top_n=hub_top_n,
-            num_partitions=g.num_partitions,
+            num_partitions=g.num_partitions, total=n_both,
         )
         if hubs:
             salted = HubSaltedEdges(

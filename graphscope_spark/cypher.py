@@ -310,16 +310,31 @@ class CypherSession:
     # ------------------------------------------------------ expressions
     def _term(self, t: str, bind: DataFrame) -> tuple[Column, DataFrame]:
         t = t.strip()
-        cm = re.match(r"(?is)^CASE\s+(.*?)\s+END$", t)
-        if cm:
+        if re.match(r"(?is)^CASE\b", t):
             # searched CASE: CASE WHEN c THEN v [WHEN c THEN v]...
             # [ELSE v] END → Catalyst when/otherwise chain (JVM-side;
             # the reference marks Cypher CASE "planned",
             # docs/interactive_engine/neo4j/supported_cypher.md:105 —
             # the expression layer already had when/otherwise, this adds
             # the grammar). Conditions use the comparison/string forms
-            # of _cond; pattern predicates (NOT EXISTS) are not valid
-            # inside CASE.
+            # of _cond; pattern predicates (NOT EXISTS) and nested CASE
+            # are not supported. String literals are MASKED before the
+            # keyword split so 'when'/'else'/'end' inside quotes can't
+            # derail the structure ("THEN 'use when needed'" is legal).
+            lits: list[str] = []
+
+            def _mask(mm):
+                lits.append(mm.group(0))
+                return f"\x00{len(lits) - 1}\x00"
+
+            def _unmask(s2: str) -> str:
+                return re.sub(r"\x00(\d+)\x00",
+                              lambda mm: lits[int(mm.group(1))], s2)
+
+            masked = re.sub(r"'[^']*'", _mask, t)
+            cm = re.match(r"(?is)^CASE\s+(.*?)\s+END$", masked)
+            if not cm:
+                raise ValueError(f"unsupported CASE shape: {t!r}")
             body = cm.group(1)
             else_txt = None
             em = re.match(r"(?is)^(.*)\s+ELSE\s+(.*?)$", body)
@@ -333,17 +348,17 @@ class CypherSession:
                 cw = re.match(r"(?is)^(.*?)\s+THEN\s+(.*)$", w)
                 if not cw:
                     raise ValueError(f"unsupported CASE arm: {w!r}")
-                cond, bind = self._cond(cw.group(1), bind)
+                cond, bind = self._cond(_unmask(cw.group(1)), bind)
                 if cond is None:
                     raise ValueError(
                         "pattern predicates are not supported in CASE")
-                val, bind = self._term(cw.group(2), bind)
+                val, bind = self._term(_unmask(cw.group(2)), bind)
                 col = (F.when(cond, val) if col is None
                        else col.when(cond, val))
             if col is None:
                 raise ValueError(f"CASE with no WHEN arm: {t!r}")
             if else_txt is not None:
-                ev, bind = self._term(else_txt, bind)
+                ev, bind = self._term(_unmask(else_txt), bind)
                 col = col.otherwise(ev)
             return col, bind
         im = re.match(r"(?i)^id\(\s*(\w+)\s*\)$", t)

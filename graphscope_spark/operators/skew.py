@@ -107,15 +107,19 @@ def measured_hub_keys(
     top_n: int = 16,
     num_partitions: int | None = None,
     min_share: float = 1.0,
+    total: int | None = None,
 ) -> list:
     """The measured-skew sensor of the auto policy: keys whose edge block
     exceeds ``min_share`` × (E / num_partitions) — i.e. keys a single
     statically-partitioned task cannot own without becoming the straggler.
-    One count + one top-n aggregation; EMPTY on uniform inputs, so
-    policies keyed on it are no-ops there."""
+    One top-n aggregation (plus a count unless the caller passes the
+    already-known ``total`` — every auto-policy caller has ``g.num_edges``
+    cached); EMPTY on uniform inputs, so policies keyed on it are no-ops
+    there."""
     if num_partitions is None:
         num_partitions = edges.rdd.getNumPartitions()
-    total = edges.count()
+    if total is None:
+        total = edges.count()
     if total == 0:
         return []
     threshold = max(1.0, min_share * total / num_partitions)
@@ -181,19 +185,17 @@ class HubIsolatedEdges:
         num_partitions: int | None = None,
         min_share: float = 1.0,
         pre_partitioned: bool = False,
+        total: int | None = None,
     ) -> None:
         from graphscope_spark.graph import persist_partitioned
 
         self.key = key
         if num_partitions is None:
             num_partitions = edges.rdd.getNumPartitions()
-        total = edges.count()
-        threshold = max(1.0, min_share * total / num_partitions)
-        self.hub_keys = sorted(
-            r[key]
-            for r in top_degree_keys(edges, key, top_n).collect()
-            if r["deg"] > threshold
-        )
+        # the shared sensor (measured_hub_keys) — one logic to keep in
+        # sync; ``total`` lets callers reuse the cached g.num_edges
+        self.hub_keys = measured_hub_keys(
+            edges, key, top_n, num_partitions, min_share, total=total)
         if not self.hub_keys:
             # no measured skew: stream the caller's cache untouched
             self.tail = (

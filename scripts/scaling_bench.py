@@ -87,7 +87,12 @@ if {use_block}:
     res = pagerank_block(g, alpha=0.85, max_iter=rounds,
                          num_blocks={blocks})
 else:
-    res = pagerank(g, alpha=0.85, max_iter=rounds)
+    # skew=None pins the PLAIN join plan: the criterion row must stay
+    # the same measured job across rounds (the auto sensor — round 4's
+    # no-flags default — would add its count+top-n jobs to the timed
+    # region; runs #20-21 in the history ran with the sensor, a no-op
+    # remedy on this src-uniform input plus ~1-2 s of sensor jobs)
+    res = pagerank(g, alpha=0.85, max_iter=rounds, skew=None)
 # JVM-side noop sink: materializes every row without Python serialization
 res.state.write.format("noop").mode("overwrite").save()
 wall = time.monotonic() - t0

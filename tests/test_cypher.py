@@ -253,3 +253,15 @@ def test_case_when_multiple_arms_and_props(cs):
     ).collect()
     got = sorted((r["a"], r["tag"]) for r in rows)
     assert got == [(1, "odd"), (1, "odd"), (2, "to3"), (3, "odd")]
+
+
+def test_case_keywords_inside_string_literals(cs):
+    # 'when'/'end'/'else' inside quoted literals must not derail the
+    # CASE tokenizer (literals are masked before the keyword split)
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS deg "
+        "RETURN CASE WHEN deg >= 2 THEN 'use when needed' "
+        "ELSE 'the end' END AS cls, count(a) AS n ORDER BY cls"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("the end", 2),
+                                        ("use when needed", 1)]

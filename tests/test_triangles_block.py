@@ -48,6 +48,28 @@ def test_dirty_edges_and_empty(spark):
     assert triangles_block(ge).count() == 0
 
 
+def test_negative_ids_no_phantom_triangles(spark):
+    # regression: keys packed on max_id alone collide for negative ids —
+    # canonical edge (-3,5) and NON-edge (-2,-1) both packed to -13 at
+    # K=6, inventing a triangle. Range-offset packing must count zero.
+    rows = [(-6, -2), (-6, -1), (-3, 5), (-2, 4), (-1, 4)]
+    g = Graph(spark.createDataFrame(rows, "src long, dst long"),
+              directed=False, num_partitions=2)
+    assert _tri_map(triangles_block(g)) == _tri_map(
+        triangles(g, engine="join"))
+    assert triangle_count(g, engine="block") == 0
+
+
+def test_mixed_sign_ids_match_join(spark):
+    # random graph over ids centered on 0 (half negative)
+    e = spark.range(15_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) - 500).alias("src"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)) - 500).alias("dst"))
+    g = Graph(e, directed=False, num_partitions=8)
+    assert _tri_map(triangles(g, engine="join")) == _tri_map(
+        triangles_block(g, num_blocks=4))
+
+
 def test_sparse_ids_fall_back_to_join(spark):
     # ids beyond the packable key base: triangles_block must still return
     # exact counts (via the join fallback — no silent overflow)
