@@ -56,14 +56,11 @@ def cdlp(
     edges = g.out_edges.select("src", "dst")
     salted_src = salted_dst = None
     if skew == "auto" and g.num_edges >= _sensor_floor():
-        from graphscope_spark.operators.skew import (
-            HubSaltedEdges, measured_hub_keys,
-        )
+        from graphscope_spark.operators.skew import HubSaltedEdges
 
-        hubs = measured_hub_keys(
-            edges, key="src", num_partitions=g.num_partitions,
-            total=g.num_edges,
-        )
+        # hub sets from the CACHED degree-derived sensor
+        # (Graph.measured_hubs) — no per-call edge aggregation
+        hubs = g.measured_hubs("out")
         if hubs:
             salted_src = HubSaltedEdges(
                 edges, key="src", n_salts=8,
@@ -71,10 +68,7 @@ def cdlp(
             )
         if g.directed:
             # the in-direction join keys on dst — its own sensor + cache
-            dhubs = measured_hub_keys(
-                edges, key="dst", num_partitions=g.num_partitions,
-                total=g.num_edges,
-            )
+            dhubs = g.measured_hubs("in")
             if dhubs:
                 salted_dst = HubSaltedEdges(
                     edges, key="dst", n_salts=8,

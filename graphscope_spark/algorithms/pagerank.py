@@ -25,7 +25,7 @@ the degree table on the receive side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import Graph
@@ -105,16 +105,18 @@ def pagerank(
     ):
         from graphscope_spark.operators.skew import HubIsolatedEdges
 
-        # explicit flag, or the auto policy (sum combiner → isolate; the
-        # class measures the hub set itself and an empty set means the
-        # tail IS the plain pre-partitioned cache, untouched). Below the
-        # sensor floor the remedy can't pay for itself — plain path.
-        # out_edges is already src-partitioned+sorted: the tail streams
-        # the existing cache through a filter, no new edge shuffle at all
+        # explicit flag, or the auto policy (sum combiner → isolate; an
+        # empty measured set means the tail IS the plain pre-partitioned
+        # cache, untouched). The hub set comes from the CACHED
+        # degree-derived sensor (Graph.measured_hubs — no edge
+        # re-aggregation per call, and repeat calls on the same Graph
+        # reuse it). out_edges is already src-partitioned+sorted: the
+        # tail streams the existing cache through a filter, no new edge
+        # shuffle at all.
         salted = HubIsolatedEdges(
             edges, key="src", top_n=hub_top_n,
             num_partitions=g.num_partitions, pre_partitioned=True,
-            total=g.num_edges,  # cached — the sensor skips its own count
+            hub_keys=g.measured_hubs("out", top_n=hub_top_n),
         )
     elif hub_salts > 1:
         from graphscope_spark.operators.skew import HubSaltedEdges
@@ -318,42 +320,36 @@ def pagerank_block(
         .repartition(b, "blk")
     )
 
-    _MSG_SCHEMA = "sblk int, dblk int, ids binary, sums binary, dang double"
+    _MSG_SCHEMA = "sblk int, dblk int, ids binary, sums binary"
 
     def gather(key, pdf):
         # pdf: the block's (single) packed state row; adjacency and the
         # block's sorted vertex ids/degrees come from the worker-local
         # mmap — nothing edge-shaped enters through Arrow.
         #
-        # The dangling-mass allreduce rides IN the message rows: every
-        # source block sends its per-block dang scalar to EVERY
-        # destination block (Θ(B²) tiny rows — the message complexity the
-        # engine already has), and the receive side sums one scalar per
-        # sblk. This removes the per-round BroadcastExchange job the old
-        # state.agg→crossJoin(broadcast) spelling cost (~0.1-0.2 s of
-        # driver/job latency per superstep — material at mid scale where
-        # rounds are ~0.7 s).
+        # The dangling-mass allreduce does NOT ride here: step() folds
+        # Σ dang over the B state rows into a `dang_tot` column with an
+        # ordered window (Θ(B) rows through one tiny exchange, same job,
+        # no BroadcastExchange), and update() reads it off its state row.
+        # Messages therefore carry ONLY non-empty (sblk,dblk) pairs —
+        # at the 100 TB sizing (B ≈ 10⁴) a dang-carrying dense emit
+        # would be ~10⁸ tiny rows per superstep for nothing when the
+        # block-to-block connectivity is sparse.
         empty = pd.DataFrame({
             "sblk": pd.Series(dtype=np.int32),
             "dblk": pd.Series(dtype=np.int32),
             "ids": pd.Series(dtype=object),
             "sums": pd.Series(dtype=object),
-            "dang": pd.Series(dtype=np.float64),
         })
         blk = int(key[0])
         if len(pdf) == 0:
             return empty
         st = pdf.iloc[0]
-        dang_b = float(st["dang"])
         buf = csrmod.load_spilled_block(sd, blk)
         if buf is None:
-            # no out-edges from this block — its dangling mass must still
-            # reach every receiver
-            return pd.DataFrame([
-                {"sblk": blk, "dblk": int(d), "ids": b"", "sums": b"",
-                 "dang": dang_b}
-                for d in range(b)
-            ])
+            # no out-edges from this block — its dangling mass reaches
+            # every receiver via the state-side dang_tot column
+            return empty
         vb = csrmod.load_spilled_vertices(sd, blk)
         ids = vb["vids"]
         degs = vb["degs"]
@@ -371,30 +367,30 @@ def pagerank_block(
         rows: list[dict] = []
         for d in range(bounds.size - 1):
             lo, hi = bounds[d], bounds[d + 1]
-            rows.append({
-                "sblk": blk, "dblk": int(d),
-                "ids": np.ascontiguousarray(uniq[lo:hi]).tobytes()
-                if lo < hi else b"",
-                "sums": sums[lo:hi].tobytes() if lo < hi else b"",
-                "dang": dang_b,
-            })
-        return pd.DataFrame(rows)
+            if lo < hi:  # suppress empty (sblk,dblk) pairs entirely
+                rows.append({
+                    "sblk": blk, "dblk": int(d),
+                    "ids": np.ascontiguousarray(uniq[lo:hi]).tobytes(),
+                    "sums": sums[lo:hi].tobytes(),
+                })
+        return pd.DataFrame(rows) if rows else empty
 
     def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left: B packed message rows addressed to this block (one per
-        # source block, each carrying that block's dangling scalar);
-        # right: the block's packed state row. Emits the next state row.
+        # left: the non-empty packed message rows addressed to this block
+        # (≤1 per source block); right: the block's packed state row,
+        # whose `dang_tot` column carries Σ dang over ALL blocks of the
+        # previous round (step() computes it blk-ordered → deterministic,
+        # identical FP order to the old per-sblk sum). Emits next state.
         if len(right) == 0:
             return pd.DataFrame(columns=["blk", "n", "ranks", "dang"])
         st = right.iloc[0]
         blk = int(st["blk"])
+        dang = float(st["dang_tot"])
         vb = csrmod.load_spilled_vertices(sd, blk)
         ids = vb["vids"]
         degs = vb["degs"]
         if len(left):
             left = left.sort_values("sblk", kind="mergesort")
-            # deterministic: one dang scalar per sblk, summed in sblk order
-            dang = float(left["dang"].to_numpy(np.float64).sum())
             mids = np.concatenate(
                 [np.frombuffer(x, np.int64) for x in left["ids"]])
             msums = np.concatenate(
@@ -402,7 +398,6 @@ def pagerank_block(
             pos = np.searchsorted(ids, mids)
             gathered = np.bincount(pos, weights=msums, minlength=ids.size)
         else:
-            dang = 0.0
             gathered = np.zeros(ids.size, np.float64)
         rank = alpha * gathered + teleport + alpha * dang / n
         return pd.DataFrame([{
@@ -412,13 +407,20 @@ def pagerank_block(
             "dang": float(rank[np.asarray(degs) == 0].sum()),
         }])
 
+    # dangling allreduce: Σ dang over the B packed state rows, appended
+    # as a column with an empty-partition ordered window — Θ(B) tiny rows
+    # through ONE extra exchange inside the same job (no per-round
+    # BroadcastExchange/agg job, no Θ(B²) dang-carrying message rows).
+    # orderBy("blk") + unbounded frame fixes the FP summation order.
+    _W_ALL = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        # the dangling allreduce is IN the packed messages (gather docs);
-        # the round is exactly two grouped-UDF stages, no broadcast job
-        packed = state.groupBy("blk").applyInPandas(gather, _MSG_SCHEMA)
+        st = state.withColumn("dang_tot", F.sum("dang").over(_W_ALL))
+        packed = st.groupBy("blk").applyInPandas(gather, _MSG_SCHEMA)
         return (
             packed.groupby("dblk")
-            .cogroup(state.groupby("blk"))
+            .cogroup(st.groupby("blk"))
             .applyInPandas(update, _STATE_SCHEMA)
         )
 

@@ -71,17 +71,14 @@ def sssp(
     edges = g.out_edges.select("src", "dst", w.alias("w"))
     salted = None
     if skew == "auto":
-        from graphscope_spark.operators.skew import (
-            SKEW_SENSOR_MIN_EDGES, HubSaltedEdges, measured_hub_keys,
-        )
+        from graphscope_spark.operators.skew import HubSaltedEdges
 
         # min-combiner → salt (operators/skew.py policy table); empty
         # measured hub set on uniform inputs (or a graph below the
-        # sensor floor) → plain path, no re-key
-        hubs = [] if g.num_edges < SKEW_SENSOR_MIN_EDGES else measured_hub_keys(
-            edges, key="src", num_partitions=g.num_partitions,
-            total=g.num_edges,
-        )
+        # sensor floor) → plain path, no re-key. Hub set from the CACHED
+        # degree-derived sensor (Graph.measured_hubs) — no per-call edge
+        # aggregation.
+        hubs = g.measured_hubs("out")
         if hubs:
             salted = HubSaltedEdges(
                 edges, key="src", n_salts=8,

@@ -92,21 +92,17 @@ def wcc(
             num_partitions=g.num_partitions,
         )
     elif skew == "auto":
-        from graphscope_spark.operators.skew import (
-            SKEW_SENSOR_MIN_EDGES, HubSaltedEdges, measured_hub_keys,
-        )
+        from graphscope_spark.operators.skew import HubSaltedEdges
 
         # measured-skew auto policy (module docs in operators/skew.py):
         # min-combiner → salt, and only when a hub block exceeds a
         # partition's share; empty hub set (or a graph below the sensor
-        # floor) → plain path below
-        # |both| is known without a scan: the stored edge count, doubled
-        # when a directed graph was symmetrized above
-        n_both = g.num_edges * (2 if g.directed else 1)
-        hubs = [] if g.num_edges < SKEW_SENSOR_MIN_EDGES else measured_hub_keys(
-            both, key="src", top_n=hub_top_n,
-            num_partitions=g.num_partitions, total=n_both,
-        )
+        # floor) → plain path below. The hub set comes from the CACHED
+        # degree-derived sensor (Graph.measured_hubs, mode="sym": the
+        # symmetrized table's block per key is out_deg+in_deg when
+        # directed, out_deg on bidirectionally-stored undirected Graphs)
+        # — no per-call edge aggregation.
+        hubs = g.measured_hubs("sym", top_n=hub_top_n)
         if hubs:
             salted = HubSaltedEdges(
                 both, key="src", n_salts=8, top_n=hub_top_n,

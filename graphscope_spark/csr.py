@@ -648,7 +648,22 @@ def build_csr_blocks_indexed(g: Graph, num_blocks: int | None = None) -> DataFra
 # --------------------------------------------------------------------- #
 
 _SPILL_BUFS = ("srcs", "indptr", "inv", "uniq", "bounds")
-_CSR_SPILL_CACHE: dict = {}  # (spill_dir, blk) -> {name: mmap'd ndarray}
+# (spill_dir, blk, kind, file-token) -> mmap'd ndarray(s). The token is
+# the primary file's (mtime_ns, size) — or None when the file is absent —
+# so REUSING a spill_dir across two runs (or a file appearing after a
+# miss was cached) can never serve a stale mmap or a stale empty-key
+# entry to a long-lived Python worker. Engines using default_spill_dir()
+# get a fresh dir per run and a constant token; the stat is ~1 µs on
+# /dev/shm, amortized over a whole block kernel call.
+_CSR_SPILL_CACHE: dict = {}
+
+
+def _spill_token(path: str):
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def _purge_dead_spills() -> None:
@@ -678,11 +693,11 @@ def load_spilled_block(spill_dir: str, blk: int) -> dict | None:
     reuse the mapping for the life of the worker process (Spark reuses
     Python workers across rounds). Returns None when the block has no
     edges (no file was packed)."""
-    key = (spill_dir, int(blk))
+    first = os.path.join(spill_dir, f"blk{int(blk)}_srcs.npy")
+    key = (spill_dir, int(blk), "e", _spill_token(first))
     bufs = _CSR_SPILL_CACHE.get(key)
     if bufs is None:
         _purge_dead_spills()
-        first = os.path.join(spill_dir, f"blk{int(blk)}_srcs.npy")
         if not os.path.exists(first):
             return None
         bufs = {
@@ -845,11 +860,11 @@ def load_spilled_keys(
 ):
     """Worker-side mmap of one block's sorted key array (empty array when
     the block spilled nothing), cached per process."""
-    key = (spill_dir, int(blk), name)
+    path = os.path.join(spill_dir, f"blk{int(blk)}_{name}.npy")
+    key = (spill_dir, int(blk), name, _spill_token(path))
     arr = _CSR_SPILL_CACHE.get(key)
     if arr is None:
         _purge_dead_spills()
-        path = os.path.join(spill_dir, f"blk{int(blk)}_{name}.npy")
         if not os.path.exists(path):
             arr = np.empty(0, np.int64)
         else:
@@ -908,11 +923,11 @@ def spill_vertex_arrays(
 def load_spilled_vertices(spill_dir: str, blk: int) -> dict | None:
     """Worker-side mmap of the block's (vids, degs) arrays, cached per
     process like :func:`load_spilled_block`."""
-    key = (spill_dir, int(blk), "v")
+    first = os.path.join(spill_dir, f"blk{int(blk)}_vids.npy")
+    key = (spill_dir, int(blk), "v", _spill_token(first))
     bufs = _CSR_SPILL_CACHE.get(key)
     if bufs is None:
         _purge_dead_spills()
-        first = os.path.join(spill_dir, f"blk{int(blk)}_vids.npy")
         if not os.path.exists(first):
             return None
         bufs = {

@@ -331,7 +331,10 @@ class CypherSession:
                 return re.sub(r"\x00(\d+)\x00",
                               lambda mm: lits[int(mm.group(1))], s2)
 
-            masked = re.sub(r"'[^']*'", _mask, t)
+            # Cypher escapes a quote inside a string literal by doubling
+            # it ('it''s') — the mask must swallow the doubled quote or
+            # the literal unbalances and WHEN/ELSE/END splits derail
+            masked = re.sub(r"'(?:[^']|'')*'", _mask, t)
             cm = re.match(r"(?is)^CASE\s+(.*?)\s+END$", masked)
             if not cm:
                 raise ValueError(f"unsupported CASE shape: {t!r}")

@@ -205,6 +205,7 @@ class Graph:
         self._degrees: DataFrame | None = None
         self._nv: int | None = None
         self._ne: int | None = None
+        self._hub_cache: dict = {}
 
     # ------------------------------------------------------------------ #
     # construction helpers
@@ -288,6 +289,58 @@ class Graph:
                 deg = persist_partitioned(deg)
             self._degrees = deg
         return self._degrees
+
+    def measured_hubs(
+        self, mode: str = "out", top_n: int = 16, min_share: float = 1.0
+    ) -> list:
+        """Measured-skew sensor, CACHED per (mode, top_n, min_share) on
+        the Graph — the auto-policy entry point for every iterative
+        algorithm (operators/skew.py module docs hold the policy table).
+
+        Derives each key's edge-block size from the cached ``degrees``
+        table instead of re-aggregating the edge table per algorithm
+        call: the per-invocation count + top-n sensor cost ~5% scaling
+        efficiency at small parallelism (round-4 2→8 runs: 0.810 auto vs
+        0.849 plan-pinned), and repeated calls on the same Graph paid it
+        every time. Block sizes per mode — ``out``: out-edge table keyed
+        by src (out_deg); ``in``: keyed by dst (in_deg); ``sym``: the
+        symmetrized union table wcc joins against (out_deg + in_deg for
+        directed graphs; undirected Graphs already store both directions,
+        so out_deg IS the symmetric block). Same threshold rule as
+        :func:`operators.skew.measured_hub_keys` — a block bigger than
+        ``min_share`` × (E_table / num_partitions) makes its key a hub —
+        and the same sensor floor (below SKEW_SENSOR_MIN_EDGES the remedy
+        can't pay for its own re-key; read dynamically so tests can pin
+        it to 0)."""
+        from graphscope_spark.operators import skew as skewmod
+
+        ck = (mode, top_n, min_share)
+        if ck in self._hub_cache:
+            return self._hub_cache[ck]
+        if self.num_edges < skewmod.SKEW_SENSOR_MIN_EDGES:
+            self._hub_cache[ck] = []
+            return []
+        sym2 = mode == "sym" and self.directed
+        deg = {
+            "out": F.col("out_deg"),
+            "in": F.col("in_deg"),
+            "sym": (F.col("out_deg") + F.col("in_deg")) if sym2
+            else F.col("out_deg"),
+        }[mode]
+        total = self.num_edges * (2 if sym2 else 1)
+        if total == 0:
+            self._hub_cache[ck] = []
+            return []
+        threshold = max(1.0, min_share * total / self.num_partitions)
+        rows = (
+            self.degrees.select("id", deg.alias("deg"))
+            .orderBy(F.col("deg").desc(), "id")
+            .limit(top_n)
+            .collect()
+        )
+        hubs = sorted(r["id"] for r in rows if r["deg"] > threshold)
+        self._hub_cache[ck] = hubs
+        return hubs
 
     @property
     def num_vertices(self) -> int:

@@ -186,15 +186,18 @@ class HubIsolatedEdges:
         min_share: float = 1.0,
         pre_partitioned: bool = False,
         total: int | None = None,
+        hub_keys: list | None = None,
     ) -> None:
         from graphscope_spark.graph import persist_partitioned
 
         self.key = key
         if num_partitions is None:
             num_partitions = edges.rdd.getNumPartitions()
-        # the shared sensor (measured_hub_keys) — one logic to keep in
-        # sync; ``total`` lets callers reuse the cached g.num_edges
-        self.hub_keys = measured_hub_keys(
+        # pre-measured ``hub_keys`` (Graph.measured_hubs — the cached
+        # degree-derived sensor) skips the edge aggregation here; the
+        # fallback is the shared sensor (measured_hub_keys), with
+        # ``total`` letting callers reuse the cached g.num_edges
+        self.hub_keys = hub_keys if hub_keys is not None else measured_hub_keys(
             edges, key, top_n, num_partitions, min_share, total=total)
         if not self.hub_keys:
             # no measured skew: stream the caller's cache untouched

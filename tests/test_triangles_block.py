@@ -71,14 +71,27 @@ def test_mixed_sign_ids_match_join(spark):
 
 
 def test_sparse_ids_fall_back_to_join(spark):
-    # ids beyond the packable key base: triangles_block must still return
-    # exact counts (via the join fallback — no silent overflow)
+    # id RANGE beyond the packable key base (K = mx-mn+1 > _MAX_KEY_BASE):
+    # triangles_block must take the K-guard join fallback and still return
+    # exact counts — no silent key overflow
+    rows = [(0, 4_000_000_000),
+            (4_000_000_000, 4_000_000_001),
+            (0, 4_000_000_001)]
+    g = Graph(spark.createDataFrame(rows, "src long, dst long"),
+              directed=False, num_partitions=2)
+    assert triangle_count(g, engine="block") == 1
+
+
+def test_large_but_dense_ids_stay_in_block_kernel(spark):
+    # ids far from 0 but with a tiny RANGE (K = 3): the block kernel
+    # handles these directly via the mn-offset packing — no fallback
     rows = [(5_000_000_000, 5_000_000_001),
             (5_000_000_001, 5_000_000_002),
             (5_000_000_000, 5_000_000_002)]
     g = Graph(spark.createDataFrame(rows, "src long, dst long"),
               directed=False, num_partitions=2)
-    assert triangle_count(g, engine="block") == 1
+    assert _tri_map(triangles_block(g, num_blocks=2)) == {
+        5_000_000_000: 1, 5_000_000_001: 1, 5_000_000_002: 1}
 
 
 def test_auto_dispatch_small_stays_join(spark):
