@@ -799,6 +799,19 @@ def _q_gremlin_khop(spark, sf_dir):
     )
 
 
+def _q_gremlin_khop_text(spark, sf_dir):
+    """The same khop query entering as a Gremlin STRING through the text
+    front end (gremlin_text.py — the reference's gremlinpython/Antlr API
+    shape); shares `gremlin_khop`'s SQL twin."""
+    from graphscope_spark.gremlin_text import eval_gremlin
+
+    g = tg.copurchase_graph(spark, sf_dir)
+    return eval_gremlin(
+        "g.V().filter(__.id().math('_ % 50').is(0)).as('a')"
+        ".out().out().select('a').groupCount()", g,
+    ).withColumnRenamed("key", "a").withColumnRenamed("count", "cnt")
+
+
 def _q_cypher_triangle(spark, sf_dir):
     from graphscope_spark.cypher import CypherSession
     cs = CypherSession(tg.copurchase_graph(spark, sf_dir))
@@ -1708,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_triangle": _q_in_triangle,
         "out_triangle": _q_out_triangle,
         "gremlin_khop": _q_gremlin_khop,
+        "gremlin_khop_text": _q_gremlin_khop_text,
         "gremlin_topk": _q_gremlin_topk,
         "gremlin_match": _q_gremlin_match,
         "cypher_multi_match": _q_cypher_multi_match,
@@ -1863,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
         "path_expand": tg.path_expand_sql(mod=50),
         "path_expand_trail": tg.path_expand_trail_sql(mod=400),
         "gremlin_khop": tg.gremlin_khop_sql(mod=50),
+        "gremlin_khop_text": tg.gremlin_khop_sql(mod=50),
         "gremlin_path": tg.gremlin_path_sql(mod=100),
         "cypher_triangle": tg.cypher_triangle_sql(),
         "cypher_degree_hist": tg.cypher_degree_hist_sql(min_deg=10),

@@ -99,6 +99,49 @@ class P:
         return lambda c: (c > F.lit(lo)) & (c < F.lit(hi))
 
 
+def _parse_math(expr: str, underscore: Column) -> Column:
+    """Shunting-yard mini-parser for the math() step: numbers, ``_``,
+    ``+ - * / %`` and parentheses → one Column expression. No eval()."""
+    import re as _re
+
+    toks = _re.findall(r"\d+\.\d+|\d+|_|[()+\-*/%]", expr.replace(" ", ""))
+    if "".join(toks).replace(" ", "") != expr.replace(" ", ""):
+        raise ValueError(f"unsupported math() expression: {expr!r}")
+    prec = {"+": 1, "-": 1, "*": 2, "/": 2, "%": 2}
+    out: list = []
+    ops: list[str] = []
+
+    def _apply(op: str) -> None:
+        b, a = out.pop(), out.pop()
+        out.append({"+": a + b, "-": a - b, "*": a * b,
+                    "/": a / b, "%": a % b}[op])
+
+    for t in toks:
+        if t == "_":
+            out.append(underscore)
+        elif t == "(":
+            ops.append(t)
+        elif t == ")":
+            while ops and ops[-1] != "(":
+                _apply(ops.pop())
+            if not ops:
+                raise ValueError(f"unbalanced parens in math(): {expr!r}")
+            ops.pop()
+        elif t in prec:
+            while ops and ops[-1] != "(" and prec[ops[-1]] >= prec[t]:
+                _apply(ops.pop())
+            ops.append(t)
+        else:
+            out.append(F.lit(float(t) if "." in t else int(t)))
+    while ops:
+        if ops[-1] == "(":
+            raise ValueError(f"unbalanced parens in math(): {expr!r}")
+        _apply(ops.pop())
+    if len(out) != 1:
+        raise ValueError(f"malformed math() expression: {expr!r}")
+    return out[0]
+
+
 def _as_pred(value) -> Callable[[Column], Column]:
     return value if callable(value) else P.eq(value)
 
@@ -342,6 +385,40 @@ class Traversal:
         'lt','gt') or a callable (head, tag) → Column."""
         fn = TAG_CMP[cmp] if isinstance(cmp, str) else cmp
         return self._new(self.df.filter(fn(self._head_col(), F.col(f"t_{tag}"))))
+
+    def filter_(self, sub: Callable[["Traversal"], "Traversal"]) -> "Traversal":
+        """filter(traversal): keep records whose subtraversal is
+        NON-empty — Apply with a semi-join (the positive twin of
+        :meth:`not_`; algebra.proto:387-406). Correlation is an explicit
+        carried column, as in not_."""
+        if self.head == "e":
+            corr = F.struct(F.col("src"), F.col("dst"))
+        else:
+            corr = self._head_col()
+        base = self.df.withColumn("__corr", corr)
+        inner = sub(self._new(base))
+        hit = inner.df.select("__corr").distinct()
+        return self._new(base.join(hit, "__corr", "left_semi").drop("__corr"))
+
+    def math(self, expr: str) -> "Traversal":
+        """math('_ % 50') (supported_gremlin_steps.md math step): evaluate
+        an arithmetic expression over the numeric head, ``_`` = the
+        incoming value. Parsed by a tiny shunting-yard grammar (+ - * / %
+        and parentheses — never eval()) and lowered to ONE Catalyst
+        column expression, JVM-side."""
+        self._require("val")
+        col = _parse_math(expr, F.col("val"))
+        keep = [c for c in self.df.columns if c != "val"]
+        return self._new(self.df.select(*keep, col.alias("val")), "val")
+
+    def select_tag(self, tag: str) -> "Traversal":
+        """select('a') mid-chain: re-head the traversal on a tagged value
+        (supported_gremlin_steps.md:335-366 — the one-key form keeps
+        traversing; the multi-key form is the terminal :meth:`select`)."""
+        keep = [c for c in self.df.columns if c not in ("v", "val")]
+        return self._new(
+            self.df.select(*keep, F.col(f"t_{tag}").alias("val")), "val"
+        )
 
     def not_(self, sub: Callable[["Traversal"], "Traversal"]) -> "Traversal":
         """not(traversal): keep records whose subtraversal is EMPTY —

@@ -21,12 +21,14 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a local SparkSession.
 
     cpus defaults to $SPARK_GRAFT_CPUS or all cores. On a real cluster the
-    same confs apply; only ``master`` changes (spark-submit owns it then).
-    """
+    same confs apply; only ``master`` changes (spark-submit owns it then,
+    or pass ``master=`` explicitly — e.g. ``local-cluster[2,4,1024]`` for
+    the separate-executor-JVM tests)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
@@ -35,7 +37,7 @@ def get_spark(
         shuffle_partitions = max(int(cpus), 4)
 
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
