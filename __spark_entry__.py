@@ -679,32 +679,80 @@ def _q_cc_pull(spark, sf_dir):
     return _ccp(tg.copurchase_graph(spark, sf_dir)).select("id", "cid")
 
 
+def _replay_graph_lists(g):
+    # the gate graph is small (sf0.01: 1662 vertices / 4736 rows) — the
+    # sequential replay is its VALUE oracle, run in-gate
+    verts = [r["id"] for r in g.vertices.select("id").collect()]
+    und = sorted({
+        (min(r[0], r[1]), max(r[0], r[1]))
+        for r in g.edges.select("src", "dst").collect()
+        if r[0] != r[1]
+    })
+    return verts, und
+
+
+def _fluid_seed_ids(g, k, seed):
+    # replicate the engine's seed choice (xxhash64 ordering) via Spark —
+    # the seed *selection* is not the algorithm under check
+    return [
+        r["id"]
+        for r in g.vertices
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(k).collect()
+    ]
+
+
 def _q_lpa_by_color(spark, sf_dir):
-    # rows-only: the schedule interleaves a JP coloring with per-class
-    # sequential relabels — the exact replay oracle lives in
-    # tests/test_lpa_by_color.py (class count is data-dependent, so a
-    # fixed SQL unroll would be fragile)
+    # rows-only SQL-wise (the schedule interleaves a JP coloring with
+    # per-class sequential relabels; class count is data-dependent, so a
+    # fixed SQL unroll would be fragile) — but the exact sequential
+    # replay (graphscope_spark/replay_oracles.py, shared with the pytest
+    # oracle) runs IN the gate and must match value-for-value before the
+    # result is returned, so the driver row-counts a value-checked result
+    from graphscope_spark import replay_oracles as ro
     from graphscope_spark.algorithms.cdlp import lpa_by_color as _lbc
-    return _lbc(tg.copurchase_graph(spark, sf_dir), max_rounds=2).select(
-        "id", "label"
-    )
+
+    g = tg.copurchase_graph(spark, sf_dir)
+    res = _lbc(g, max_rounds=2).select("id", "label")
+    verts, und = _replay_graph_lists(g)
+    got = {r["id"]: r["label"] for r in res.collect()}
+    want = ro.seq_lpa_by_color(verts, und, max_rounds=2)
+    if got != want:
+        raise AssertionError("lpa_by_color != sequential replay oracle")
+    return res
 
 
 def _q_fluid_by_color(spark, sf_dir):
-    # rows-only: same reasons as fluid_community + lpa_by_color; exact
-    # sequential-replay oracle in tests/test_fluid.py
+    # rows-only SQL-wise; exact in-gate sequential replay as in
+    # _q_lpa_by_color (replay_oracles.seq_fluid_by_color)
+    from graphscope_spark import replay_oracles as ro
     from graphscope_spark.algorithms.fluid import fluid_by_color as _fbc
-    return _fbc(tg.copurchase_graph(spark, sf_dir), k=8, seed=42,
-                max_rounds=2).select("id", "lab")
+
+    g = tg.copurchase_graph(spark, sf_dir)
+    res = _fbc(g, k=8, seed=42, max_rounds=2).select("id", "lab")
+    verts, und = _replay_graph_lists(g)
+    got = {r["id"]: r["lab"] for r in res.collect()}
+    want = ro.seq_fluid_by_color(verts, und, _fluid_seed_ids(g, 8, 42),
+                                 max_rounds=2)
+    if got != want:
+        raise AssertionError("fluid_by_color != sequential replay oracle")
+    return res
 
 
 def _q_fluid_community(spark, sf_dir):
-    # rows-only: density argmax fixpoint with data-dependent rounds;
-    # exact sequential-replay oracle in tests/test_fluid.py
+    # rows-only SQL-wise (density argmax fixpoint with data-dependent
+    # rounds); exact in-gate sequential replay (replay_oracles.seq_fluid)
+    from graphscope_spark import replay_oracles as ro
     from graphscope_spark.algorithms.fluid import fluid_community as _fc
-    return _fc(tg.copurchase_graph(spark, sf_dir), k=8, seed=42).select(
-        "id", "lab"
-    )
+
+    g = tg.copurchase_graph(spark, sf_dir)
+    res = _fc(g, k=8, seed=42).select("id", "lab")
+    verts, und = _replay_graph_lists(g)
+    got = {r["id"]: r["lab"] for r in res.collect()}
+    want = ro.seq_fluid(verts, und, _fluid_seed_ids(g, 8, 42))
+    if got != want:
+        raise AssertionError("fluid_community != sequential replay oracle")
+    return res
 
 
 def _q_lpa_u2i(spark, sf_dir):

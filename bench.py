@@ -46,10 +46,18 @@ def main() -> None:
     # bench measures the engine's dataflow, not this sandbox's virtio disk
     # (a real cluster node spills shuffle to local NVMe). Falls back to the
     # default temp dir when /dev/shm is absent.
-    extra = {}
+    # reclaim dead shuffle files promptly: ContextCleaner only fires on
+    # driver GC, and with a large heap that can lag far behind tmpfs
+    # growth — at the 1B row the accumulated shuffles of dropped plans
+    # otherwise OOM the BOX (tmpfs is RAM) before the heap is even full
+    extra = {"spark.cleaner.periodicGC.interval": "60s"}
     if os.path.isdir("/dev/shm"):
         os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
         extra["spark.local.dir"] = "/dev/shm/spark-tmp"
+    # the 1B-edge probe row runs in this same JVM: execution buffers for a
+    # 1B-row pack shuffle want more than the 16g default heap (the heap is
+    # a max, not a reservation — smaller probes are unaffected)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=parts,
                       extra_conf=extra)
 
@@ -293,6 +301,71 @@ def main() -> None:
     g3.unpersist()
     spark.catalog.clearCache()
 
+    # 1B-edge pagerank_block probe (VERDICT r4 #7 — the 100 TB story
+    # previously topped out at 100M edges). Same generator shape, same
+    # pack; the Graph is built persist=False: at 16 GB columnar the edge
+    # cache exceeds any sane single-JVM heap share, and the deterministic
+    # range()+xxhash64 generator re-derives edges cheaper than the cache
+    # serves them (wholesale-codegen, no I/O) — the at-scale posture is
+    # "recompute cheap lineage, spill only the packed CSR". B comes from
+    # default_num_blocks (width-bound regime: 64 at 32 cores; the
+    # by-size bound of 2000 is the cap hit, documented in the row).
+    # SPARK_GRAFT_BENCH_1B_EDGES=0 skips the row.
+    n_1b = int(os.environ.get("SPARK_GRAFT_BENCH_1B_EDGES",
+                              "1000000000"))
+    err_1b = None
+    b_default = b_1b = rounds_1b = 0
+    sec_1b = 0.0
+    # failure-isolated: the 1B row is the heaviest probe in this file and
+    # a box-level OOM/timeout here must not take the whole bench line
+    # down with it — the JSON line still prints, with the error recorded
+    try:
+      if n_1b:
+        from graphscope_spark import csr as csrmod  # noqa: E402
+
+        nv1 = n_1b // 8
+        b1 = spark.range(n_1b)
+        h1 = F.xxhash64(F.col("id"))
+        h1b = F.xxhash64(F.col("id"), F.lit(1))
+        hub1 = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(100)) < 20
+        edges1 = b1.select(
+            F.pmod(h1, F.lit(nv1)).alias("src"),
+            F.when(hub1, F.pmod(h1b, F.lit(nv1 // 100 + 1)))
+             .otherwise(F.pmod(h1b, F.lit(nv1))).alias("dst"),
+        )
+        g1 = Graph(edges1, directed=True, num_partitions=cpus,
+                   persist=False)
+        g1.num_edges
+        # persist ONLY the Θ(V) degrees table (125M rows ≈ 3 GB — the one
+        # derived table the engine reads again; the Graph caches the
+        # DataFrame handle, so this persist sticks), matching the warm
+        # posture of the 100M row without the 16 GB edge cache
+        g1.degrees.persist()
+        g1.degrees.count()
+        b_default = csrmod.default_num_blocks(g1)
+        rounds_1b = 3
+        # B=128 explicitly (default_num_blocks' width bound would pick 64
+        # = 15.6M edges/block): the pack worker materializes a block's
+        # rows as one pandas frame, and 32 concurrent 15.6M-row frames
+        # are ~22 GB of transient Python RSS on this box — the 100 TB
+        # contract's "a block must fit one core" bound hit from the
+        # memory side; 128 blocks halve it and cost two extra waves.
+        b_1b = 128
+        t0 = time.monotonic()
+        res1 = pagerank_block(g1, alpha=0.85, max_iter=rounds_1b,
+                              num_blocks=b_1b)
+        sink(res1.state)
+        sec_1b = round(time.monotonic() - t0, 3)
+        g1.degrees.unpersist()
+        spark.catalog.clearCache()
+    except Exception as e:  # noqa: BLE001
+        err_1b = f"{type(e).__name__}: {e}"[:300]
+        sec_1b = 0.0
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+
     # North-star corpus-path probe: synthesize repos(content) → vectorized
     # pandas-UDF import extraction → dense-id encode → 10-round PageRank.
     # Guards the round-1 gate-killer (plan growth through the derived edge
@@ -377,6 +450,13 @@ def main() -> None:
         "sssp_block_rounds": sssp_block_rounds,
         "sssp_block_eups": round(
             n_b3 * sssp_block_rounds / sssp_block_sec, 1),
+        "block1b_edges": n_1b,
+        "block1b_rounds": rounds_1b,
+        "block1b_num_blocks": (b_1b if n_1b else 0),
+        "block1b_default_num_blocks": b_default,
+        "block1b_sec": sec_1b,
+        "pagerank_block_eups_1b": (
+            round(n_1b * rounds_1b / sec_1b, 1) if sec_1b else 0.0),
         "corpus_repos": n_repos,
         "corpus_end_to_end_pagerank_sec": corpus_sec,
         "n_docs": n_docs,

@@ -161,6 +161,18 @@ def cdlp_block(
     b = num_blocks or csrmod.default_num_blocks(g)
     sd, _ = csrmod.spill_csr_blocks_indexed(g, b, direction="both")
 
+    # Message dtype: CDLP labels ARE vertex ids, so when every id fits
+    # int32 the (ids, labels, counts) message buffers ship as int32 —
+    # HALF the Arrow/shuffle bytes of the int64 spelling. The message
+    # volume (distinct (dst, label) pairs ≈ E in the early rounds before
+    # labels coalesce) is what makes CDLP the slowest LDBC number for the
+    # reference too; at V < 2³¹ this is free. One tiny agg over the
+    # cached vertices table decides it for both sides of the exchange.
+    _mm = g.vertices.agg(F.min("id"), F.max("id")).first()
+    use32 = (_mm[0] is not None and _mm[0] >= 0
+             and _mm[1] < 2**31)
+    msg_dt = np.int32 if use32 else np.int64
+
     _STATE_SCHEMA = "blk int, n long, labels binary"
 
     def _init_state(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -223,12 +235,14 @@ def cdlp_block(
         pkey.sort()
         first = np.concatenate(([True], pkey[1:] != pkey[:-1]))
         starts = np.flatnonzero(first)
-        cnt = np.diff(np.append(starts, pkey.size)).astype(np.int64)
+        cnt = np.diff(np.append(starts, pkey.size)).astype(msg_dt)
         ksel = pkey[starts]
         rows = csrmod._emit_packed(
-            blk, buf["bounds"], buf["uniq"],
+            blk, buf["bounds"],
+            np.asarray(buf["uniq"]).astype(msg_dt, copy=False),
             ksel >> 32,
-            {"labels": lab_u[ksel & 0xFFFFFFFF], "counts": cnt},
+            {"labels": lab_u.astype(msg_dt, copy=False)[ksel & 0xFFFFFFFF],
+             "counts": cnt},
         )
         return pd.DataFrame(rows) if rows else empty
 
@@ -238,7 +252,8 @@ def cdlp_block(
         st = right.iloc[0]
         blk = int(st["blk"])
         new = np.frombuffer(st["labels"], np.int64).copy()
-        mids, mlabs = argmax_packed_labels(left)
+        mids, mlabs = argmax_packed_labels(
+            left, dtypes=(msg_dt, msg_dt, msg_dt))
         if mids.size:
             vids = np.asarray(
                 csrmod.load_spilled_vertices(sd, blk)["vids"])

@@ -79,19 +79,27 @@ def stage_totals():
 
 before = stage_totals()
 t0 = time.monotonic()
-if {use_block}:
+job = {job!r}
+if job == "block":
     # blocks = 4 tasks per WIDE-leg core (identical at both widths so the
     # plan matches): coarse blocks leave the wide leg with 2 task waves
     # and straggler idle time (measured busy 0.76 vs 0.90); finer blocks
     # restore balance without changing the dataflow.
     res = pagerank_block(g, alpha=0.85, max_iter=rounds,
                          num_blocks={blocks})
+elif job == "auto":
+    # the NO-FLAGS default path, sensor included in the timed region.
+    # Round 5 made the sensor a cached top-n over the already-persisted
+    # degrees table (Graph.measured_hubs) instead of a per-call count +
+    # top-n over the edge table — the ~5% efficiency drag the r4 runs
+    # measured at N=2 (0.810 auto vs 0.849 plan-pinned) was that
+    # re-aggregation.
+    res = pagerank(g, alpha=0.85, max_iter=rounds)
 else:
     # skew=None pins the PLAIN join plan: the criterion row must stay
-    # the same measured job across rounds (the auto sensor — round 4's
-    # no-flags default — would add its count+top-n jobs to the timed
-    # region; runs #20-21 in the history ran with the sensor, a no-op
-    # remedy on this src-uniform input plus ~1-2 s of sensor jobs)
+    # the same measured job across rounds (the auto sensor would
+    # otherwise add its jobs to the timed region — measured separately
+    # by --job auto)
     res = pagerank(g, alpha=0.85, max_iter=rounds, skew=None)
 # JVM-side noop sink: materializes every row without Python serialization
 res.state.write.format("noop").mode("overwrite").save()
@@ -171,8 +179,7 @@ def run(cpus: int, n_edges: int, rounds: int, parts: int,
         pin: bool = True, job: str = "pagerank") -> dict:
     tmpl = CONTROL_WORKER if job == "control" else WORKER
     code = tmpl.format(repo=REPO, cpus=cpus, n_edges=n_edges,
-                       rounds=rounds, parts=parts,
-                       use_block=(job == "block"),
+                       rounds=rounds, parts=parts, job=job,
                        blocks=parts * 2)
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "16g")
@@ -203,7 +210,7 @@ def main() -> None:
     ap.add_argument("--no-md", action="store_true",
                     help="print JSON only; don't overwrite BENCH/BASELINE.md")
     ap.add_argument("--job", default="pagerank",
-                    choices=["pagerank", "block", "control"],
+                    choices=["pagerank", "auto", "block", "control"],
                     help="control = shuffle-free CPU-bound sha2 chain "
                     "(isolates box/harness scaling from memory-bandwidth)")
     ap.add_argument("--report", action="store_true",

@@ -8,8 +8,9 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.algorithms.fluid import fluid_community
 from graphscope_spark.graph import Graph
-
-EPS = 1e-10
+from graphscope_spark.replay_oracles import (
+    jp_coloring as _jp_coloring, seq_fluid, seq_fluid_by_color,
+)
 
 
 def _random_graph(seed: int, n: int = 40, m: int = 90):
@@ -20,44 +21,6 @@ def _random_graph(seed: int, n: int = 40, m: int = 90):
         if u != v:
             edges.add((min(u, v), max(u, v)))
     return list(range(n)), sorted(edges)
-
-
-def seq_fluid(vertices, edge_list, seed_ids, max_iter=100):
-    adj = {v: set() for v in vertices}
-    for u, v in edge_list:
-        adj[u].add(v)
-        adj[v].add(u)
-    lab = {v: -1 for v in vertices}
-    for i, s in enumerate(sorted(seed_ids)):
-        lab[s] = i
-    l1 = {v: -2 for v in vertices}
-    l2 = {v: -2 for v in vertices}
-    for _ in range(max_iter):
-        cnt = {}
-        for v in vertices:
-            if lab[v] >= 0:
-                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
-        new = {}
-        for v in vertices:
-            d = {}
-            for u in adj[v] | {v}:
-                if lab[u] >= 0:
-                    d[lab[u]] = d.get(lab[u], 0.0) + 1.0 / cnt[lab[u]]
-            if not d:
-                new[v] = lab[v]
-                continue
-            bd = max(d.values())
-            bl = min(i for i, w in d.items() if w == bd)
-            cur = d.get(lab[v], 0.0)
-            if lab[v] < 0 or bd > cur + EPS:
-                new[v] = bl
-            else:
-                new[v] = lab[v]
-        l2, l1 = l1, dict(lab)
-        lab = new
-        if all(lab[v] == l1[v] or lab[v] == l2[v] for v in vertices):
-            break
-    return lab
 
 
 def test_fluid_matches_sequential(spark):
@@ -81,55 +44,6 @@ def test_fluid_matches_sequential(spark):
     assert len(labs) <= 4
 
 
-def _jp_coloring(vertices, edge_list):
-    adj = {v: set() for v in vertices}
-    for u, v in edge_list:
-        adj[u].add(v)
-        adj[v].add(u)
-    deg = {v: len(adj[v]) for v in vertices}
-    color = {}
-    for v in sorted(vertices, key=lambda x: (-deg[x], -x)):
-        used = {color[u] for u in adj[v] if u in color}
-        c = 0
-        while c in used:
-            c += 1
-        color[v] = c
-    return adj, color
-
-
-def seq_fluid_by_color(vertices, edge_list, seed_ids, max_rounds=100):
-    adj, color = _jp_coloring(vertices, edge_list)
-    classes = sorted(set(color.values()))
-    lab = {v: -1 for v in vertices}
-    for i, s in enumerate(sorted(seed_ids)):
-        lab[s] = i
-    for _ in range(max_rounds):
-        cnt = {}
-        for v in vertices:
-            if lab[v] >= 0:
-                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
-        changed = False
-        for c in classes:
-            upd = {}
-            for v in (x for x in vertices if color[x] == c):
-                d = {}
-                for u in adj[v] | {v}:
-                    if lab[u] >= 0:
-                        d[lab[u]] = d.get(lab[u], 0.0) + 1.0 / cnt[lab[u]]
-                if not d:
-                    continue
-                bd = max(d.values())
-                bl = min(i for i, w in d.items() if w == bd)
-                curw = d.get(lab[v], 0.0)
-                if lab[v] < 0 or bd > curw + EPS:
-                    upd[v] = bl
-            for v, nl in upd.items():
-                if lab[v] != nl:
-                    changed = True
-                lab[v] = nl
-        if not changed:
-            break
-    return lab
 
 
 def test_fluid_by_color_matches_sequential(spark):

@@ -10,43 +10,7 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.algorithms.cdlp import lpa_by_color
 from graphscope_spark.graph import Graph
-
-
-def _oracle(verts, und_edges, max_rounds=10):
-    adj = defaultdict(set)
-    for u, v in und_edges:
-        adj[u].add(v)
-        adj[v].add(u)
-    deg = {v: len(adj[v]) for v in verts}
-    # Jones–Plassmann fixpoint == greedy coloring in decreasing (deg, id)
-    order = sorted(verts, key=lambda v: (-deg[v], -v))
-    color = {}
-    for v in order:
-        used = {color[u] for u in adj[v] if u in color}
-        c = 0
-        while c in used:
-            c += 1
-        color[v] = c
-    classes = sorted(set(color.values()))
-    label = {v: v for v in verts}
-    for _ in range(max_rounds):
-        changed = False
-        for c in classes:
-            members = [v for v in verts if color[v] == c]
-            # members form an independent set: synchronous within the class
-            upd = {}
-            for v in members:
-                cnt = Counter(label[u] for u in adj[v])
-                if not cnt:
-                    continue
-                upd[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-            for v, lab in upd.items():
-                if label[v] != lab:
-                    changed = True
-                label[v] = lab
-        if not changed:
-            break
-    return label
+from graphscope_spark.replay_oracles import seq_lpa_by_color as _oracle
 
 
 def test_lpa_by_color_matches_replay(spark):
