@@ -880,6 +880,25 @@ def _q_cypher_degree_hist(spark, sf_dir):
     )
 
 
+def _q_cypher_multi_with(spark, sf_dir):
+    # chained WITH clauses (round-5 grammar addition): per-vertex degree,
+    # then a degree histogram, in two intermediate projections
+    from graphscope_spark.cypher import CypherSession
+    cs = CypherSession(tg.copurchase_graph(spark, sf_dir))
+    return cs.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS deg "
+        "WITH deg, count(a) AS n RETURN deg, n"
+    )
+
+
+def _q_cypher_arith(spark, sf_dir):
+    # binary +,-,*,/,% in RETURN terms (round-5 grammar addition) —
+    # lowered to Catalyst column arithmetic (cypher.py _term)
+    from graphscope_spark.cypher import CypherSession
+    cs = CypherSession(tg.copurchase_graph(spark, sf_dir))
+    return cs.run("MATCH (a)-[]->(b) RETURN a, (a * 2 + b) % 97 AS k")
+
+
 def _q_cypher_case(spark, sf_dir):
     # searched CASE in RETURN (round-4 grammar addition; the reference
     # marks Cypher CASE "planned", supported_cypher.md:105) — lowered to
@@ -1778,6 +1797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphar_roundtrip": _q_graphar_roundtrip,
         "hll_distinct": _q_hll_distinct,
         "cypher_case": _q_cypher_case,
+        "cypher_arith": _q_cypher_arith,
+        "cypher_multi_with": _q_cypher_multi_with,
         "graph_degrees": _q_graph_degrees,
         "pagerank_directed": _q_pagerank_directed,
         "pagerank_tol": _q_pagerank_tol,
@@ -1933,6 +1954,8 @@ def oracle_sql() -> dict[str, str]:
         # same anchors as shortest_path_expand: min id -> max reachable
         "cypher_shortest": tg.shortest_path_expand_sql(),
         "cypher_case": tg.cypher_case_sql(),
+        "cypher_arith": tg.cypher_arith_sql(mod=97),
+        "cypher_multi_with": tg.cypher_multi_with_sql(),
         "gremlin_topk": tg.gremlin_topk_sql(k=20),
         "gremlin_nbr_size": tg.gremlin_nbr_size_sql(min_size=25),
         "gremlin_no_out": tg.gremlin_no_out_sql(),

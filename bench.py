@@ -333,7 +333,12 @@ def main() -> None:
             F.when(hub1, F.pmod(h1b, F.lit(nv1 // 100 + 1)))
              .otherwise(F.pmod(h1b, F.lit(nv1))).alias("dst"),
         )
-        g1 = Graph(edges1, directed=True, num_partitions=cpus,
+        # explicit vertex table: the generator's universe IS [0, nv) —
+        # deriving it from the edges would be a 2B-row distinct (two full
+        # shuffles) for a fact the synthesizer already knows. At 100 TB
+        # the same applies: load the vertex table, don't re-derive it.
+        verts1 = spark.range(nv1).select(F.col("id"))
+        g1 = Graph(edges1, verts1, directed=True, num_partitions=cpus,
                    persist=False)
         g1.num_edges
         # persist ONLY the Θ(V) degrees table (125M rows ≈ 3 GB — the one

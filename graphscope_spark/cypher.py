@@ -4,8 +4,8 @@ The reference's GIE accepts Cypher alongside Gremlin (GOpt compiler,
 docs/interactive_engine/neo4j/supported_cypher.md — the clause inventory
 this module mirrors: MATCH chains (multiple MATCH clauses join their
 pattern trees on shared variables) + OPTIONAL MATCH, WHERE incl.
-``NOT EXISTS`` as anti-join, WITH .. AS (project/aggregate/distinct,
-supported_cypher.md:145; a WHERE after WITH filters the projection —
+``NOT EXISTS`` as anti-join, chained WITH .. AS (project/aggregate/
+distinct, supported_cypher.md:145; a WHERE after a WITH filters it —
 SQL's HAVING), RETURN .. AS with aggregates/DISTINCT, ORDER BY, LIMIT,
 and the anchored ``shortestPath()`` form, supported_cypher.md:118).
 Queries lower to the same join-tree the Gremlin ``match()`` step uses:
@@ -28,7 +28,7 @@ Grammar (case-insensitive keywords)::
     MATCH <pattern> (, <pattern>)* (MATCH <pattern> (, <pattern>)*)*
     [OPTIONAL MATCH <pattern>]
     [WHERE <cond> (AND <cond>)*]
-    [WITH [DISTINCT] <item> (, <item>)* [WHERE <cond> (AND <cond>)*]]
+    (WITH [DISTINCT] <item> (, <item>)* [WHERE <cond> (AND <cond>)*])*
     RETURN [DISTINCT] <item> (, <item>)*
     [ORDER BY <col> [ASC|DESC] (, ...)*] [LIMIT n]
 
@@ -81,9 +81,11 @@ class _Query:
     opt_rels: list[_Rel] = field(default_factory=list)
     singletons: list[str] = field(default_factory=list)
     conds: list[str] = field(default_factory=list)
-    with_items: list[tuple[str, str]] = field(default_factory=list)
-    with_distinct: bool = False
-    having: list[str] = field(default_factory=list)  # WHERE after WITH
+    # chained WITH clauses in order: (distinct, items, having-conds) —
+    # each is an intermediate projection; a WHERE after a WITH filters
+    # that projection (SQL HAVING when the WITH aggregated)
+    withs: list[tuple[bool, list[tuple[str, str]], list[str]]] = field(
+        default_factory=list)
     distinct: bool = False
     items: list[tuple[str, str]] = field(default_factory=list)  # (expr, alias)
     order: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
@@ -153,11 +155,76 @@ def _split_top(text: str, sep: str = ",") -> list[str]:
     return [s.strip() for s in out if s.strip()]
 
 
+def _parens_balanced(s: str) -> bool:
+    """Depth never negative and zero at the end (quoted strings masked)."""
+    depth = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(s):
+                if s[j] == "'" and not (j + 1 < len(s) and s[j + 1] == "'"):
+                    break
+                j += 2 if s[j] == "'" else 1
+            i = j
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+        i += 1
+    return depth == 0
+
+
+def _top_level_op(t: str, ops: str) -> int | None:
+    """Rightmost position of a BINARY operator from ``ops`` at paren
+    depth 0 outside quotes — None if absent. A +/- preceded (ignoring
+    spaces) by nothing or another operator is unary, not binary."""
+    depth = 0
+    i = 0
+    best = None
+    while i < len(t):
+        ch = t[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(t):
+                if t[j] == "'" and not (j + 1 < len(t) and t[j + 1] == "'"):
+                    break
+                j += 2 if t[j] == "'" else 1
+            i = j
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"(?is)CASE\b", t[i:]):
+            # a CASE...END block is opaque to the operator scan (its WHEN
+            # arms hold arbitrary expressions at this paren depth) — jump
+            # to the matching END, honoring nested CASEs
+            nest = 0
+            for m in re.finditer(r"(?is)\b(CASE|END)\b", t[i:]):
+                nest += 1 if m.group(1).upper() == "CASE" else -1
+                if nest == 0:
+                    i += m.end() - 1
+                    break
+            else:
+                return None  # unbalanced CASE — let _term's grammar complain
+        elif depth == 0 and ch in ops:
+            prev = t[:i].rstrip()
+            if not prev or prev[-1] in "+-*/%(<>=,":
+                pass  # unary sign / leading operator — not a split point
+            else:
+                best = i
+        i += 1
+    return best
+
+
 _CLAUSE = re.compile(
     r"(?is)^\s*MATCH\s+(?P<match>.*?)"
     r"(?:\s+OPTIONAL\s+MATCH\s+(?P<opt>.*?))?"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+WITH\s+(?P<with>.*?)(?:\s+WHERE\s+(?P<having>.*?))?)?"
+    r"(?:\s+WITH\s+(?P<with>.*?))?"
     r"\s+RETURN\s+(?P<ret>.*?)"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$"
@@ -207,10 +274,15 @@ def _parse(q: str) -> _Query:
     if m.group("where"):
         out.conds = re.split(r"(?i)\s+AND\s+", m.group("where").strip())
     if m.group("with"):
-        out.with_distinct, out.with_items = _parse_items(
-            m.group("with").strip())
-        if m.group("having"):
-            out.having = re.split(r"(?i)\s+AND\s+", m.group("having").strip())
+        # CHAINED WITH clauses (WITH a ... WITH b ... RETURN): the lazy
+        # capture holds the whole region; split on the keyword and peel
+        # an optional trailing WHERE off each segment
+        for seg in re.split(r"(?i)\s+WITH\s+", m.group("with").strip()):
+            parts = re.split(r"(?i)\s+WHERE\s+", seg, maxsplit=1)
+            distinct, items = _parse_items(parts[0].strip())
+            having = (re.split(r"(?i)\s+AND\s+", parts[1].strip())
+                      if len(parts) > 1 else [])
+            out.withs.append((distinct, items, having))
     out.distinct, out.items = _parse_items(m.group("ret").strip())
     if m.group("order"):
         for ob in _split_top(m.group("order")):
@@ -310,7 +382,11 @@ class CypherSession:
     # ------------------------------------------------------ expressions
     def _term(self, t: str, bind: DataFrame) -> tuple[Column, DataFrame]:
         t = t.strip()
-        if re.match(r"(?is)^CASE\b", t):
+        # one redundant outer paren pair: (expr) → expr
+        if t.startswith("(") and t.endswith(")") \
+                and _parens_balanced(t[1:-1]):
+            return self._term(t[1:-1], bind)
+        if re.match(r"(?is)^CASE\b", t) and re.search(r"(?is)\bEND\s*$", t):
             # searched CASE: CASE WHEN c THEN v [WHEN c THEN v]...
             # [ELSE v] END → Catalyst when/otherwise chain (JVM-side;
             # the reference marks Cypher CASE "planned",
@@ -364,6 +440,21 @@ class CypherSession:
                 ev, bind = self._term(_unmask(else_txt), bind)
                 col = col.otherwise(ev)
             return col, bind
+        # binary arithmetic (supported_cypher.md lists +,-,*,/,%% under
+        # operators): split at the RIGHTMOST top-level +/- first (lowest
+        # precedence, left associativity), then */%; operands recurse, so
+        # parenthesized subexpressions and CASE operands compose. Lowered
+        # to Catalyst column arithmetic — JVM-side, codegen'd.
+        for ops in ("+-", "*/%"):
+            pos = _top_level_op(t, ops)
+            if pos is not None:
+                lhs, bind = self._term(t[:pos], bind)
+                rhs, bind = self._term(t[pos + 1:], bind)
+                op = t[pos]
+                return {
+                    "+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs,
+                    "/": lhs / rhs, "%": lhs % rhs,
+                }[op], bind
         im = re.match(r"(?i)^id\(\s*(\w+)\s*\)$", t)
         if im:
             return F.col(im.group(1)), bind
@@ -541,13 +632,14 @@ class CypherSession:
             col, bind = self._cond(c, bind)
             if col is not None:
                 bind = bind.filter(col)
-        if q.with_items:
+        for w_distinct, w_items, w_having in q.withs:
             # WITH = an intermediate projection (supported_cypher.md:145,
             # "project, aggregate, distinct"); a WHERE after it filters the
             # projected/aggregated columns — SQL's HAVING when WITH
-            # aggregated. Downstream terms see only the WITH aliases.
-            bind = self._project(bind, q.with_items, q.with_distinct)
-            for c in q.having:
+            # aggregated. Downstream clauses see only the WITH aliases;
+            # chains apply in order (multi-WITH, round-5 grammar addition).
+            bind = self._project(bind, w_items, w_distinct)
+            for c in w_having:
                 col, bind = self._cond(c, bind)
                 if col is not None:
                     bind = bind.filter(col)

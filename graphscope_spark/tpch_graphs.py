@@ -1886,6 +1886,28 @@ FROM deg WHERE deg > {min_deg} GROUP BY deg"""
     return _materialized(_sql)
 
 
+def cypher_multi_with_sql() -> str:
+    """MATCH (a)-[]->(b) WITH a, count(b) AS deg WITH deg, count(a) AS n
+    RETURN deg, n — chained WITH clauses (degree, then histogram)."""
+    _sql = f"""WITH {COPURCHASE_CTE},
+deg AS (
+  SELECT src AS a, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY src
+)
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n FROM deg GROUP BY deg"""
+    return _materialized(_sql)
+
+
+def cypher_arith_sql(mod: int = 97) -> str:
+    """MATCH (a)-[]->(b) RETURN a, (a * 2 + b) % mod AS k — binary
+    arithmetic in RETURN terms (cypher.py _term round-5 grammar
+    addition), one row per distinct directed pair."""
+    _sql = f"""WITH {COPURCHASE_CTE}
+SELECT src AS a, CAST((src * 2 + dst) % {mod} AS BIGINT) AS k
+FROM edges"""
+    return _materialized(_sql)
+
+
 def cypher_case_sql(hi: int = 20, lo: int = 5) -> str:
     """MATCH (a)-[]->(b) WITH a, count(b) AS deg
     RETURN CASE WHEN deg > hi THEN 'hub' WHEN deg > lo THEN 'mid'

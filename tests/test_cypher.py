@@ -147,11 +147,17 @@ def test_with_parse():
     from graphscope_spark.cypher import _parse
     q = _parse("MATCH (a)-[]->(b) WITH a, count(*) AS c WHERE c > 2 "
                "RETURN a ORDER BY a")
-    assert q.with_items == [("a", "a"), ("count(*)", "c")]
-    assert q.having == ["c > 2"]
+    assert q.withs == [(False, [("a", "a"), ("count(*)", "c")], ["c > 2"])]
     q2 = _parse("MATCH (a)-[]->(b) WHERE a > 1 WITH DISTINCT b RETURN b")
-    assert q2.conds == ["a > 1"] and q2.with_distinct
-    assert q2.with_items == [("b", "b")]
+    assert q2.conds == ["a > 1"]
+    assert q2.withs == [(True, [("b", "b")], [])]
+    # chained WITH clauses parse in order
+    q3 = _parse("MATCH (a)-[]->(b) WITH a, count(b) AS deg "
+                "WITH deg, count(a) AS n WHERE n > 1 RETURN deg, n")
+    assert len(q3.withs) == 2
+    assert q3.withs[0] == (False, [("a", "a"), ("count(b)", "deg")], [])
+    assert q3.withs[1] == (False, [("deg", "deg"), ("count(a)", "n")],
+                           ["n > 1"])
 
 
 def test_string_operators(cs):
@@ -265,3 +271,47 @@ def test_case_keywords_inside_string_literals(cs):
     ).collect()
     assert [tuple(r) for r in rows] == [("the end", 2),
                                         ("use when needed", 1)]
+
+
+@pytest.fixture(scope="module")
+def cs_price(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 3), (4, 1)],
+                              "src long, dst long")
+    g = Graph(e, directed=True, num_partitions=2)
+    props = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 5)], "id long, price long")
+    return CypherSession(g, vertex_props=props)
+
+
+def test_return_arithmetic(cs_price):
+    cs = cs_price
+    rows = cs.run(
+        "MATCH (a)-[]->(b) RETURN a, a.price * 2 + 1 AS x ORDER BY a, x"
+    ).collect()
+    assert all(r["x"] == r["a"] * 20 + 1 for r in rows)
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WHERE a.price + 10 > 20 "
+        "RETURN a, (a.price - b.price) / 10 AS d ORDER BY a, d"
+    ).collect()
+    assert rows and all(r["a"] * 10 + 10 > 20 for r in rows)
+    # CASE composes as an arithmetic operand
+    rows = cs.run(
+        "MATCH (a)-[]->(b) RETURN a, CASE WHEN a.price > 20 "
+        "THEN a.price * 2 ELSE 0 END + 5 AS y ORDER BY a, y"
+    ).collect()
+    assert all(
+        r["y"] == (r["a"] * 20 + 5 if r["a"] * 10 > 20 else 5) for r in rows)
+    rows = cs.run(
+        "MATCH (a)-[]->(b) RETURN a, a.price % 3 AS m ORDER BY a, m"
+    ).collect()
+    assert all(r["m"] == (r["a"] * 10) % 3 for r in rows)
+
+
+def test_multi_with_chain(cs):
+    # degree -> histogram in two WITH hops, then RETURN
+    rows = cs.run(
+        "MATCH (a)-[]->(b) WITH a, count(b) AS deg "
+        "WITH deg, count(a) AS n RETURN deg, n ORDER BY deg"
+    ).collect()
+    # EDGES = [(1,2),(2,3),(1,3),(3,4)]: out-degrees 1->2, 2->1, 3->1
+    assert [(r["deg"], r["n"]) for r in rows] == [(1, 2), (2, 1)]
