@@ -320,26 +320,28 @@ def pagerank_block(
         .repartition(b, "blk")
     )
 
-    _MSG_SCHEMA = "sblk int, dblk int, ids binary, sums binary"
+    _MSG_SCHEMA = "sblk int, dblk int, ids binary, sums binary, dang double"
 
     def gather(key, pdf):
         # pdf: the block's (single) packed state row; adjacency and the
         # block's sorted vertex ids/degrees come from the worker-local
         # mmap — nothing edge-shaped enters through Arrow.
         #
-        # The dangling-mass allreduce does NOT ride here: step() folds
-        # Σ dang over the B state rows into a `dang_tot` column with an
-        # ordered window (Θ(B) rows through one tiny exchange, same job,
-        # no BroadcastExchange), and update() reads it off its state row.
-        # Messages therefore carry ONLY non-empty (sblk,dblk) pairs —
-        # at the 100 TB sizing (B ≈ 10⁴) a dang-carrying dense emit
-        # would be ~10⁸ tiny rows per superstep for nothing when the
-        # block-to-block connectivity is sparse.
+        # The dangling-mass allreduce does NOT ride here: step() windows
+        # Σ dang over a (blk, dang) PROJECTION of the state (Θ(B) tiny
+        # rows through one single-partition exchange — NEVER the packed
+        # ranks blobs, which are Θ(V) bytes) and unions B dedicated
+        # sblk=-1 rows into the message shuffle, one per destination.
+        # Real messages carry ONLY non-empty (sblk,dblk) pairs (dang
+        # null) — at the 100 TB sizing (B ≈ 10⁴) a dang-carrying dense
+        # emit would be ~10⁸ tiny rows per superstep for nothing when
+        # the block-to-block connectivity is sparse.
         empty = pd.DataFrame({
             "sblk": pd.Series(dtype=np.int32),
             "dblk": pd.Series(dtype=np.int32),
             "ids": pd.Series(dtype=object),
             "sums": pd.Series(dtype=object),
+            "dang": pd.Series(dtype=np.float64),
         })
         blk = int(key[0])
         if len(pdf) == 0:
@@ -372,23 +374,30 @@ def pagerank_block(
                     "sblk": blk, "dblk": int(d),
                     "ids": np.ascontiguousarray(uniq[lo:hi]).tobytes(),
                     "sums": sums[lo:hi].tobytes(),
+                    "dang": None,
                 })
         return pd.DataFrame(rows) if rows else empty
 
     def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left: the non-empty packed message rows addressed to this block
-        # (≤1 per source block); right: the block's packed state row,
-        # whose `dang_tot` column carries Σ dang over ALL blocks of the
-        # previous round (step() computes it blk-ordered → deterministic,
-        # identical FP order to the old per-sblk sum). Emits next state.
+        # (≤1 per source block) PLUS exactly one sblk=-1 row whose `dang`
+        # column carries Σ dang over ALL blocks of the previous round
+        # (step() windows it over the tiny (blk,dang) projection,
+        # blk-ordered → deterministic, identical FP order to the old
+        # per-sblk sum); right: the block's packed state row.
         if len(right) == 0:
             return pd.DataFrame(columns=["blk", "n", "ranks", "dang"])
         st = right.iloc[0]
         blk = int(st["blk"])
-        dang = float(st["dang_tot"])
         vb = csrmod.load_spilled_vertices(sd, blk)
         ids = vb["vids"]
         degs = vb["degs"]
+        dang = 0.0
+        if len(left):
+            dser = left.loc[left["sblk"] < 0, "dang"]
+            if len(dser):
+                dang = float(dser.iloc[0])
+            left = left[left["sblk"] >= 0]
         if len(left):
             left = left.sort_values("sblk", kind="mergesort")
             mids = np.concatenate(
@@ -407,20 +416,32 @@ def pagerank_block(
             "dang": float(rank[np.asarray(degs) == 0].sum()),
         }])
 
-    # dangling allreduce: Σ dang over the B packed state rows, appended
-    # as a column with an empty-partition ordered window — Θ(B) tiny rows
-    # through ONE extra exchange inside the same job (no per-round
-    # BroadcastExchange/agg job, no Θ(B²) dang-carrying message rows).
+    # dangling allreduce: Σ dang over a PROJECTION of the B packed state
+    # rows (blk + the dang scalar — the ranks blobs, Θ(V) bytes, never
+    # enter this exchange; round 5's first cut windowed the full state
+    # rows through one partition and cost 2.5× at the 100M probe), then
+    # B dedicated sblk=-1 rows join the message shuffle — Θ(B) tiny rows,
+    # no per-round BroadcastExchange/agg job, no Θ(B²) dense emit.
     # orderBy("blk") + unbounded frame fixes the FP summation order.
     _W_ALL = Window.orderBy("blk").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
 
     def step(state: DataFrame, rnd: int) -> DataFrame:
-        st = state.withColumn("dang_tot", F.sum("dang").over(_W_ALL))
-        packed = st.groupBy("blk").applyInPandas(gather, _MSG_SCHEMA)
+        dang_rows = (
+            state.select("blk", "dang")
+            .withColumn("d", F.sum("dang").over(_W_ALL))
+            .select(
+                F.lit(-1).cast("int").alias("sblk"),
+                F.col("blk").cast("int").alias("dblk"),
+                F.lit(b"").alias("ids"),
+                F.lit(b"").alias("sums"),
+                F.col("d").alias("dang"),
+            )
+        )
+        packed = state.groupBy("blk").applyInPandas(gather, _MSG_SCHEMA)
         return (
-            packed.groupby("dblk")
-            .cogroup(st.groupby("blk"))
+            packed.unionByName(dang_rows).groupby("dblk")
+            .cogroup(state.groupby("blk"))
             .applyInPandas(update, _STATE_SCHEMA)
         )
 
